@@ -1,0 +1,457 @@
+"""Training criteria (reference `cpc/criterion/criterion.py`).
+
+TPU-first design of the InfoNCE loss
+------------------------------------
+The reference materializes per-step candidate tensors
+`[positive_k ‖ 128 negatives]` of shape (B, 1+N, W, D) and runs 12 separate
+CrossEntropy calls (`criterion.py:237-363`). Here the whole loss is a single
+fused XLA program:
+
+1. all K prediction heads produce one tensor `preds (B, K, W, D)`;
+2. **one large MXU matmul** scores every prediction against every encoded
+   frame in the batch: `all_scores = preds @ z_flat.T / D`, shape
+   (B, K, W, B*S) — `(B*K*W, D) @ (D, B*S)` maps perfectly onto the
+   128x128 systolic array;
+3. positives and negatives are then **scalar gathers** from `all_scores`
+   (the reference gathers D-dim vectors — ~100x more HBM traffic);
+4. softmax-CE over the (1+N) candidates reduces to
+   `logsumexp([pos ‖ negs]) - pos`, fused by XLA with the gathers.
+
+Negative-sampling *semantics* are preserved exactly
+(`criterion.py:237-286`): for every (batch, window, sample) draw
+`batchIdx ~ U[0,B)`, `seqIdx = (U[1,S) + w) mod S`, negatives shared across
+the K prediction steps, collisions with positives allowed.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..models.ar import _StackedRNN
+from ..models.layers import Dropout, TorchLinear, torch_linear_init
+from ..models.transformer import TransformerAR, MultiHeadTransformerAR
+from .custom_layers import EqualizedLinear
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Prediction networks
+# ---------------------------------------------------------------------------
+
+class FFNetwork(nn.Module):
+    """`criterion.py:11-20`: EqualizedLinear -> ReLU -> Dropout ->
+    EqualizedLinear."""
+    dout: int
+    dff: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        y = EqualizedLinear(self.dff, name='lin1')(x)
+        y = Dropout(self.dropout, name='drop')(nn.relu(y), deterministic)
+        return EqualizedLinear(self.dout, name='lin2')(y)
+
+
+class ShiftedConv(nn.Module):
+    """Causal (left-padded) equalized Conv1d predictor
+    (`criterion.py:23-41`). Input NWC; params at this scope (torch's nested
+    `.module.module.` wrappers are flattened by the checkpoint converter)."""
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_features = x.shape[-1]
+        fan_in = in_features * self.kernel_size
+        weight = self.param('weight', nn.initializers.normal(1.0),
+                            (self.features, in_features, self.kernel_size))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        kernel = jnp.transpose(weight, (2, 1, 0))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,),
+            padding=[(self.kernel_size - 1, 0)],
+            dimension_numbers=('NWC', 'WIO', 'NWC'),
+            preferred_element_type=jnp.float32)
+        return y * math.sqrt(2.0 / fan_in) + bias
+
+
+def _linear_predictor_init(dim_ar: int, dim_enc: int, residual_std: float = 0.01):
+    """Default linear predictor init (`criterion.py:144-150`): torch Linear
+    default unless dim_enc > dim_ar, in which case [randn(ar,ar);
+    0.01*randn(residual,ar)]."""
+    if dim_enc <= dim_ar:
+        return torch_linear_init(dim_ar)
+
+    def init(key, shape, dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        top = jax.random.normal(k1, (dim_ar, dim_ar), dtype)
+        bottom = residual_std * jax.random.normal(
+            k2, (dim_enc - dim_ar, dim_ar), dtype)
+        return jnp.concatenate([top, bottom], axis=0)
+    return init
+
+
+class PredictionNetwork(nn.Module):
+    """K independent prediction heads (`criterion.py:97-173`).
+
+    Returns the stacked predictions `(B, K, W, dim_enc)`; the score
+    computation (reference `outK = (locC*candidates[k]).mean(dim=3)`)
+    moves into the fused criterion.
+    """
+    n_predicts: int
+    dim_ar: int
+    dim_enc: int
+    rnn_mode: Optional[str] = None
+    dropout: bool = False
+    size_input_seq: int = 116
+
+    @nn.compact
+    def __call__(self, c: Array, train: bool = True) -> Array:
+        det = not train
+        outs = []
+        for k in range(self.n_predicts):
+            name = f'predictors_{k}'
+            if self.rnn_mode == 'RNN':
+                # Reference quirk kept: nn.RNN without batch_first receives
+                # (B, W, C) and scans over axis 0 (treats batch as time).
+                net = _StackedRNN(self.dim_ar, self.dim_enc, 1, 'RNN',
+                                  name=name)
+                y, _ = net(jnp.swapaxes(c, 0, 1))
+                y = jnp.swapaxes(y, 0, 1)
+            elif self.rnn_mode == 'LSTM':
+                net = _StackedRNN(self.dim_ar, self.dim_enc, 1, 'LSTM',
+                                  name=name)
+                y, _ = net(c)
+            elif self.rnn_mode == 'ffd':
+                y = FFNetwork(self.dim_enc, self.dim_enc, 0.0, name=name)(
+                    c, det)
+            elif self.rnn_mode in ('conv4', 'conv8', 'conv12'):
+                ksize = int(self.rnn_mode[4:])
+                y = ShiftedConv(self.dim_enc, ksize, name=name)(c)
+            elif self.rnn_mode == 'transformer':
+                net = TransformerAR(dim_encoded=self.dim_enc,
+                                    dim_ar=self.dim_ar, n_layers=1,
+                                    size_seq=self.size_input_seq,
+                                    abspos=False, name=name)
+                y, _ = net(c, train=train)
+            else:  # 'linear' / None / False
+                y = TorchLinear(
+                    self.dim_enc, use_bias=False,
+                    kernel_init=_linear_predictor_init(self.dim_ar,
+                                                       self.dim_enc),
+                    name=name)(c)
+            if self.dropout:
+                y = Dropout(0.5, name=f'drop_{k}')(y, det)
+            outs.append(y)
+        return jnp.stack(outs, axis=1)  # (B, K, W, D)
+
+
+class MultiHeadPredictionNetwork(nn.Module):
+    """Shared transformer trunk with K classifier heads
+    (`criterion.py:44-94`)."""
+    n_predicts: int
+    dim_ar: int
+    dim_enc: int
+    rnn_mode: str = 'transformer'
+    dropout: bool = False
+    size_input_seq: int = 116
+
+    @nn.compact
+    def __call__(self, c: Array, train: bool = True) -> Array:
+        if self.rnn_mode != 'transformer':
+            raise ValueError(f"unknown mode {self.rnn_mode}")
+        net = MultiHeadTransformerAR(dim_encoded=self.dim_enc,
+                                     dim_ar=self.dim_ar, n_layers=1,
+                                     size_seq=self.size_input_seq,
+                                     n_heads_out=self.n_predicts,
+                                     abspos=False, name='predictor')
+        y = net(c, train=train)                       # (B, W, K, D)
+        y = jnp.transpose(y, (0, 2, 1, 3))            # (B, K, W, D)
+        if self.dropout:
+            y = Dropout(0.5, name='drop')(y, not train)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# InfoNCE criterion
+# ---------------------------------------------------------------------------
+
+def sample_negative_indices(rng: Array, batch_size: int, seq_size: int,
+                            n_negative: int, window_size: int) -> Array:
+    """Negative sample flat indices into z.reshape(B*S, D), reference
+    semantics (`criterion.py:237-267`): per (b, n, w) draw a random batch
+    element and a random frame `(U[1,S) + w) mod S`. Returns (B, N, W) int32."""
+    k1, k2 = jax.random.split(rng)
+    shape = (batch_size, n_negative, window_size)
+    batch_idx = jax.random.randint(k1, shape, 0, batch_size)
+    seq_idx = jax.random.randint(k2, shape, 1, seq_size)
+    base = jnp.arange(window_size, dtype=jnp.int32)[None, None, :]
+    seq_idx = jnp.remainder(seq_idx + base, seq_size)
+    return seq_idx + batch_idx * seq_size
+
+
+class BaseCriterion(nn.Module):
+    def warm_up(self):
+        return False
+
+    def update(self):
+        return
+
+
+class NoneCriterion(BaseCriterion):
+    """`criterion.py:185-191`."""
+
+    @nn.compact
+    def __call__(self, c_feature, encoded_data, label, signal_quality=None,
+                 train: bool = True):
+        return jnp.zeros((1, 1)), jnp.zeros((1, 1))
+
+
+class CPCUnsupervisedCriterion(BaseCriterion):
+    """Multi-step InfoNCE (`criterion.py:193-363`); see module docstring for
+    the fused TPU formulation."""
+    n_predicts: int
+    dim_ar: int
+    dim_enc: int
+    negative_sampling_ext: int
+    mode: Optional[str] = None
+    rnn_mode: Any = False
+    dropout: bool = False
+    n_speakers: int = 0
+    size_input_seq: int = 116
+    multihead_rnn: bool = False
+    n_skipped: int = 0
+    growth_rate: Optional[float] = None
+    inflection_point_x: Optional[float] = None
+
+    def setup(self):
+        if self.mode not in (None, "reverse"):
+            raise ValueError("Invalid mode")
+        kwargs = dict(n_predicts=self.n_predicts, dim_ar=self.dim_ar,
+                      dim_enc=self.dim_enc, rnn_mode=self.rnn_mode,
+                      dropout=self.dropout,
+                      size_input_seq=self.size_input_seq - self.n_predicts)
+        if self.multihead_rnn:
+            self.wPrediction = MultiHeadPredictionNetwork(**kwargs)
+        else:
+            self.wPrediction = PredictionNetwork(**kwargs)
+
+    def _oriented(self, c_feature: Array, encoded_data: Array):
+        if self.mode == "reverse":
+            return jnp.flip(c_feature, 1), jnp.flip(encoded_data, 1)
+        return c_feature, encoded_data
+
+    def _scores(self, c_feature: Array, encoded_data: Array,
+                train: bool) -> Tuple[Array, Array]:
+        """Returns (all_scores (B,K,W,B*S), window_size)."""
+        b, s, _ = c_feature.shape
+        w = s - self.n_predicts
+        preds = self.wPrediction(c_feature[:, :w], train=train)
+        d = encoded_data.shape[-1]
+        z_flat = encoded_data.reshape(b * s, d)
+        # Score of the reference: (pred * candidate).mean(over D) = dot / D.
+        all_scores = jnp.einsum('bkwd,md->bkwm', preds, z_flat,
+                                preferred_element_type=jnp.float32) / d
+        return all_scores, w
+
+    def __call__(self, c_feature: Array, encoded_data: Array, label=None,
+                 signal_quality: Optional[Array] = None, train: bool = True):
+        c_feature, encoded_data = self._oriented(c_feature, encoded_data)
+        b, s, _ = c_feature.shape
+        all_scores, w = self._scores(c_feature, encoded_data, train)
+
+        # Positive scores: z frame (w + k + 1) of the same batch element.
+        karange = jnp.arange(1, self.n_predicts + 1, dtype=jnp.int32)
+        warange = jnp.arange(w, dtype=jnp.int32)
+        pos_idx = (jnp.arange(b, dtype=jnp.int32)[:, None, None] * s
+                   + karange[None, :, None] + warange[None, None, :])
+        pos = jnp.take_along_axis(all_scores, pos_idx[..., None],
+                                  axis=-1)[..., 0]          # (B, K, W)
+
+        # Negative scores: shared across K.
+        rng = self.make_rng('negatives')
+        neg_idx = sample_negative_indices(rng, b, s,
+                                          self.negative_sampling_ext, w)
+        neg_gather = jnp.transpose(neg_idx, (0, 2, 1))[:, None]  # (B,1,W,N)
+        neg = jnp.take_along_axis(all_scores,
+                                  jnp.broadcast_to(
+                                      neg_gather,
+                                      (b, self.n_predicts, w,
+                                       self.negative_sampling_ext)),
+                                  axis=-1)                   # (B, K, W, N)
+
+        # Softmax-CE over (1+N) candidates, positive at index 0.
+        cat = jnp.concatenate([pos[..., None], neg], axis=-1)
+        lse = jax.nn.logsumexp(cat, axis=-1)
+        losses = lse - pos                                   # (B, K, W)
+        # torch argmax picks the first maximal index, so ties favour index 0.
+        correct = (pos >= jnp.max(neg, axis=-1))             # (B, K, W)
+
+        if signal_quality is not None:
+            q = jnp.mean(signal_quality, axis=1)             # (B,)
+            weight = 1e-5 + jax.nn.sigmoid(
+                self.growth_rate * (q - self.inflection_point_x))
+            losses = losses * weight[:, None, None]
+
+        out_losses = jnp.mean(losses, axis=(0, 2))           # (K,)
+        out_acc = jnp.mean(correct.astype(jnp.float32), axis=(0, 2))
+        out_losses = out_losses[self.n_skipped:][None, :]
+        out_acc = out_acc[self.n_skipped:][None, :]
+        return out_losses, out_acc
+
+    def cosine_distances(self, c_feature: Array, encoded_data: Array) -> Array:
+        """Positives-only scores (`criterion.py:304-327`): (B, K, W)."""
+        c_feature, encoded_data = self._oriented(c_feature, encoded_data)
+        b, s, _ = c_feature.shape
+        all_scores, w = self._scores(c_feature, encoded_data, train=False)
+        karange = jnp.arange(1, self.n_predicts + 1, dtype=jnp.int32)
+        warange = jnp.arange(w, dtype=jnp.int32)
+        pos_idx = (jnp.arange(b, dtype=jnp.int32)[:, None, None] * s
+                   + karange[None, :, None] + warange[None, None, :])
+        return jnp.take_along_axis(all_scores, pos_idx[..., None],
+                                   axis=-1)[..., 0]
+
+
+# Reference-spelled alias (the reference class is `CPCUnsupersivedCriterion`).
+CPCUnsupersivedCriterion = CPCUnsupervisedCriterion
+
+
+# ---------------------------------------------------------------------------
+# Supervised probes
+# ---------------------------------------------------------------------------
+
+def _cross_entropy(logits: Array, labels: Array) -> Array:
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+
+
+class SpeakerCriterion(BaseCriterion):
+    """Linear speaker classifier on the last context frame
+    (`criterion.py:366-387`)."""
+    dim_encoder: int
+    n_speakers: int
+
+    @nn.compact
+    def __call__(self, c_feature: Array, other_encoded: Array, label: Array,
+                 signal_quality=None, train: bool = True):
+        feats = c_feature[:, -1, :]
+        logits = TorchLinear(self.n_speakers,
+                             name='linearSpeakerClassifier')(feats)
+        loss = jnp.mean(_cross_entropy(logits, label)).reshape(1, 1)
+        acc = jnp.mean((jnp.argmax(logits, -1) == label)
+                       .astype(jnp.float32)).reshape(1, 1)
+        return loss, acc
+
+
+class AdvSpeakerCriterion(BaseCriterion):
+    """Adversarial speaker criterion (`criterion.py:390-422`): mean-pooled
+    features; entropy loss when label is None."""
+    dim_encoder: int
+    n_speakers: int
+    on_encoder: bool = False
+
+    @nn.compact
+    def __call__(self, c_feature: Array, other_encoded: Array,
+                 label: Optional[Array], signal_quality=None,
+                 train: bool = True):
+        feats = other_encoded if self.on_encoder else c_feature
+        feats = jnp.mean(feats, axis=1)
+        logits = TorchLinear(self.n_speakers,
+                             name='linearSpeakerClassifier')(feats)
+        if label is None:
+            logp = jax.nn.log_softmax(logits, axis=1)
+            p = jax.nn.softmax(logits, axis=1)
+            loss = jnp.sum(logp * p, axis=1).reshape(-1)
+            acc = jnp.zeros((1, 1))
+        else:
+            loss = jnp.mean(_cross_entropy(logits, label)).reshape(1, 1)
+            acc = jnp.mean((jnp.argmax(logits, -1) == label)
+                           .astype(jnp.float32)).reshape(1, 1)
+        return loss, acc
+
+
+class PhoneCriterion(BaseCriterion):
+    """Frame-wise phone classifier (`criterion.py:425-460`)."""
+    dim_encoder: int
+    n_phones: int
+    on_encoder: bool = False
+    n_layers: int = 1
+
+    def setup(self):
+        if self.n_layers == 1:
+            self.classifiers = (TorchLinear(
+                self.n_phones, name='PhoneCriterionClassifier'),)
+        else:
+            # torch Sequential [Linear, ReLU, Linear, ...] — ReLUs hold no
+            # params, so torch key indices are 0, 2, 4, ...
+            layers = [TorchLinear(self.n_phones,
+                                  name='PhoneCriterionClassifier_0')]
+            for l in range(self.n_layers - 1):
+                layers.append(TorchLinear(
+                    self.n_phones,
+                    name=f'PhoneCriterionClassifier_{2 * l + 2}'))
+            self.classifiers = tuple(layers)
+
+    def get_prediction(self, c_feature: Array) -> Array:
+        x = self.classifiers[0](c_feature)
+        for layer in self.classifiers[1:]:
+            x = layer(nn.relu(x))
+        return x
+
+    def __call__(self, c_feature: Array, other_encoded: Array, label: Array,
+                 signal_quality=None, train: bool = True):
+        feats = other_encoded if self.on_encoder else c_feature
+        logits = self.get_prediction(feats)
+        logits = logits.reshape(-1, logits.shape[-1])
+        label = label.reshape(-1)
+        loss = jnp.mean(_cross_entropy(logits, label)).reshape(1, 1)
+        acc = jnp.mean((jnp.argmax(logits, -1) == label)
+                       .astype(jnp.float32)).reshape(1, 1)
+        return loss, acc
+
+
+def collapse_label_chain_padded(labels: Array) -> Tuple[Array, Array]:
+    """jit-friendly collapseLabelChain: collapse runs of equal labels,
+    left-compacted and zero-padded to the input length. Returns
+    (collapsed (N, T), sizes (N,))."""
+    n, t = labels.shape
+    status = jnp.concatenate(
+        [jnp.ones((n, 1), bool), labels[:, 1:] != labels[:, :-1]], axis=1)
+    sizes = jnp.sum(status, axis=1)
+    # Stable sort: valid positions first, preserving order.
+    order = jnp.argsort(~status, axis=1, stable=True)
+    collapsed = jnp.take_along_axis(labels, order, axis=1)
+    mask = jnp.arange(t)[None, :] < sizes[:, None]
+    return jnp.where(mask, collapsed, 0), sizes
+
+
+class CTCPhoneCriterion(BaseCriterion):
+    """Linear (nPhones+1) head + CTC loss, blank = nPhones
+    (`criterion.py:463-496`)."""
+    dim_encoder: int
+    n_phones: int
+    on_encoder: bool = False
+
+    @nn.compact
+    def __call__(self, c_feature: Array, other_encoded: Array, label: Array,
+                 signal_quality=None, train: bool = True):
+        if self.on_encoder:
+            raise ValueError("On encoder version not implemented yet")
+        import optax
+        b, s, _ = c_feature.shape
+        logits = TorchLinear(self.n_phones + 1,
+                             name='PhoneCriterionClassifier')(c_feature)
+        labels, sizes = collapse_label_chain_padded(label)
+        logit_paddings = jnp.zeros((b, s))
+        label_paddings = (jnp.arange(labels.shape[1])[None, :]
+                          >= sizes[:, None]).astype(jnp.float32)
+        loss = optax.ctc_loss(logits, logit_paddings, labels, label_paddings,
+                              blank_id=self.n_phones)
+        return jnp.mean(loss).reshape(1, 1), jnp.zeros((1, 1))
