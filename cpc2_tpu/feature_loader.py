@@ -1,0 +1,380 @@
+"""Model factories, checkpoint loading and feature extraction
+(reference `cpc/feature_loader.py`).
+
+A flax module is stateless, so the reference's `CPCModel` object becomes a
+`ModelBundle` (module + params + config). `loadModel` reads reference torch
+checkpoints (including recursive load-of-load and multi-checkpoint concat,
+`feature_loader.py:238-283`) through the converter in `io/torch_ckpt.py`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import freeze, unfreeze
+
+from .io.checkpoint import get_checkpoint_data, load_args
+from .io.torch_ckpt import (load_torch_checkpoint,
+                            params_from_torch_state_dict)
+from .models import (BiDIRARTangled, CPCAR, CPCBertModel, CPCEncoder,
+                     CPCModel, ConcatenatedModel, LFBEncoder, MFCCEncoder,
+                     NoAr, build_transformer_ar)
+from .models.encoder import DOWNSAMPLING, encoded_seq_len
+
+Array = jax.Array
+
+
+def get_encoder(args: argparse.Namespace) -> nn.Module:
+    """Encoder factory (reference `feature_loader.py:202-212`)."""
+    if args.encoder_type == 'mfcc':
+        return MFCCEncoder(dim_encoded=args.hiddenEncoder)
+    elif args.encoder_type == 'lfb':
+        return LFBEncoder(dim_encoded=args.hiddenEncoder)
+    return CPCEncoder(size_hidden=args.hiddenEncoder,
+                      norm_mode=args.normMode)
+
+
+def get_ar(args: argparse.Namespace) -> nn.Module:
+    """AR factory (reference `feature_loader.py:215-235`). NOTE: mirrors the
+    reference's in-place `args.hiddenGar = args.hiddenEncoder` for the
+    transformer AR."""
+    if args.arMode == 'transformer':
+        ar = build_transformer_ar(args.hiddenEncoder, args.hiddenGar,
+                                  args.nLevelsGRU, args.sizeWindow // 160,
+                                  args.abspos)
+        args.hiddenGar = args.hiddenEncoder
+        return ar
+    if args.cpc_mode == "bert":
+        return BiDIRARTangled(dim_encoded=args.hiddenEncoder,
+                              dim_output=args.hiddenGar,
+                              n_levels=args.nLevelsGRU)
+    if args.arMode == 'no_ar':
+        return NoAr()
+    return CPCAR(dim_encoded=args.hiddenEncoder,
+                 dim_output=args.hiddenGar,
+                 keep_hidden=args.samplingType == "sequential",
+                 n_levels=args.nLevelsGRU,
+                 mode=args.arMode,
+                 reverse=args.cpc_mode == "reverse")
+
+
+# Reference-spelled aliases
+getEncoder = get_encoder
+getAR = get_ar
+
+
+def build_model(args: argparse.Namespace) -> nn.Module:
+    encoder = get_encoder(args)
+    ar = get_ar(args)
+    if args.cpc_mode == "bert":
+        model = CPCBertModel(gEncoder=encoder, gAR=ar,
+                             block_size=args.nPredicts,
+                             supervised=getattr(args, 'supervised', False))
+    else:
+        model = CPCModel(gEncoder=encoder, gAR=ar,
+                         mask_prob=getattr(args, 'mask_prob', 0.0),
+                         mask_length=getattr(args, 'mask_length', 10))
+    return model
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """A flax module plus its variables and originating config."""
+    module: nn.Module
+    variables: Dict[str, Any]
+    args: argparse.Namespace
+    hidden_gar: int = 0
+    hidden_encoder: int = 0
+
+    @property
+    def params(self):
+        return self.variables.get('params', {})
+
+    def apply(self, batch: Array, label=None, hidden=None,
+              train: bool = False, rngs=None):
+        return self.module.apply(self.variables, batch, label, hidden=hidden,
+                                 train=train, rngs=rngs)
+
+    def downsampling_factor(self) -> int:
+        return DOWNSAMPLING
+
+
+def init_model(args: argparse.Namespace, seed: int = 0,
+               batch_size: int = 2) -> ModelBundle:
+    """Initialize a fresh model from config."""
+    module = build_model(args)
+    dummy = jnp.zeros((batch_size, args.sizeWindow), jnp.float32)
+    rngs = {'params': jax.random.PRNGKey(seed)}
+    variables = module.init(rngs, dummy, None, train=False)
+    return ModelBundle(module=module, variables=unfreeze(variables),
+                       args=args, hidden_gar=args.hiddenGar,
+                       hidden_encoder=args.hiddenEncoder)
+
+
+def load_model(path_checkpoints: Sequence[str], load_state_dict: bool = True,
+               update_config: Optional[argparse.Namespace] = None
+               ) -> Tuple[ModelBundle, int, int]:
+    """Reference `loadModel` (`feature_loader.py:238-283`): build from the
+    checkpoint's stored args, optionally recurse through its own `load`
+    chain, concat multiple checkpoints."""
+    bundles: List[ModelBundle] = []
+    hidden_gar, hidden_encoder = 0, 0
+    for path in path_checkpoints:
+        print(f"Loading checkpoint {path}")
+        _, _, loc_args = get_checkpoint_data(os.path.dirname(path))
+        do_load = loc_args.load is not None and \
+            (len(loc_args.load) > 1 or
+             os.path.dirname(loc_args.load[0]) != os.path.dirname(path))
+
+        if update_config is not None and not do_load:
+            print("Updating the configuration file with")
+            print(json.dumps(vars(update_config), indent=4, sort_keys=True))
+            load_args(loc_args, update_config)
+
+        if do_load:
+            bundle, hg, he = load_model(loc_args.load, load_state_dict=False,
+                                        update_config=update_config)
+            hidden_gar += hg
+            hidden_encoder += he
+        else:
+            bundle = init_model(loc_args)
+
+        if load_state_dict:
+            print(f"Loading the state dict at {path}")
+            state = load_torch_checkpoint(path)
+            params, batch_stats, unmatched = params_from_torch_state_dict(
+                state["gEncoder"], bundle.variables['params'])
+            merged = dict(bundle.variables)
+            merged['params'] = _merge_trees(bundle.variables['params'],
+                                            params)
+            if batch_stats:
+                merged['batch_stats'] = _merge_trees(
+                    bundle.variables.get('batch_stats', {}), batch_stats)
+            bundle = dataclasses.replace(bundle, variables=merged)
+            if unmatched:
+                print(f"  (skipped {len(unmatched)} torch keys: "
+                      f"{unmatched[:5]}...)")
+        if not do_load:
+            hidden_gar += loc_args.hiddenGar
+            hidden_encoder += loc_args.hiddenEncoder
+        bundles.append(bundle)
+
+    if len(bundles) == 1:
+        b = bundles[0]
+        return dataclasses.replace(b, hidden_gar=hidden_gar,
+                                   hidden_encoder=hidden_encoder), \
+            hidden_gar, hidden_encoder
+
+    concat = ConcatenatedModel(models=tuple(b.module for b in bundles))
+    variables = {'params': {f'models_{i}': b.variables['params']
+                            for i, b in enumerate(bundles)}}
+    bs = {f'models_{i}': b.variables['batch_stats']
+          for i, b in enumerate(bundles) if 'batch_stats' in b.variables}
+    if bs:
+        variables['batch_stats'] = bs
+    bundle = ModelBundle(module=concat, variables=variables,
+                         args=bundles[0].args, hidden_gar=hidden_gar,
+                         hidden_encoder=hidden_encoder)
+    return bundle, hidden_gar, hidden_encoder
+
+
+# Reference-spelled alias
+loadModel = load_model
+
+
+def _merge_trees(base: Dict, override: Dict) -> Dict:
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge_trees(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (reference `feature_loader.py:15-54, 316-433`)
+# ---------------------------------------------------------------------------
+
+class FeatureModule:
+    """Callable feature maker over a ModelBundle: choose context vs encoder
+    output, optional flatten (`collapse`), optional CCA projection."""
+
+    def __init__(self, bundle: ModelBundle, get_encoded: bool,
+                 collapse: bool = False, cca_projection: Optional[str] = None,
+                 keep_hidden: bool = False, seq_norm: bool = False):
+        self.bundle = bundle
+        self.get_encoded = get_encoded
+        self.collapse = collapse
+        self.keep_hidden = keep_hidden
+        self.seq_norm = seq_norm
+        self.hidden = None
+        self.cca_projection = None
+        if cca_projection:
+            import pickle
+            assert cca_projection[-4:] == ".pkl"
+            print("Loading canonical correlation analysis model.")
+            with open(cca_projection, 'rb') as f:
+                self.cca_projection = pickle.load(f)
+
+        @jax.jit
+        def _fwd(variables, batch, hidden):
+            # Feature extraction feeds parity-sensitive evals (ABX,
+            # separability): force fp32 matmul precision on TPU.
+            with jax.default_matmul_precision('highest'):
+                c, e, _, h = bundle.module.apply(variables, batch, None,
+                                                 hidden=hidden, train=False)
+            return c, e, h
+        self._fwd = _fwd
+
+    @property
+    def out_feature_dim(self) -> int:
+        return (self.bundle.hidden_encoder if self.get_encoded
+                else self.bundle.hidden_gar)
+
+    def get_downsampling_factor(self) -> int:
+        return DOWNSAMPLING
+
+    # reference-spelled alias
+    getDownsamplingFactor = get_downsampling_factor
+
+    def reset_hidden(self):
+        self.hidden = None
+
+    def __call__(self, data) -> Array:
+        batch_audio, _label = data
+        batch_audio = jnp.asarray(batch_audio)
+        if batch_audio.ndim == 4:       # (B, 1, 1, T) torch-style
+            batch_audio = batch_audio[:, 0]
+        if batch_audio.ndim == 3:       # (B, 1, T) channel-first
+            batch_audio = batch_audio[:, 0]
+        c, e, h = self._fwd(self.bundle.variables, batch_audio,
+                            self.hidden)
+        if self.keep_hidden:
+            self.hidden = h
+        feats = e if self.get_encoded else c
+        if self.seq_norm:
+            feats = seq_normalization(feats)
+        if self.collapse:
+            feats = feats.reshape(-1, feats.shape[-1])
+        if self.cca_projection is not None:
+            feats = jnp.asarray(self.cca_projection.transform(
+                np.asarray(feats).reshape(-1, feats.shape[-1])
+            ).reshape(feats.shape[0], feats.shape[1], -1))
+        return feats
+
+
+def seq_normalization(out: Array) -> Array:
+    """Normalize along time (reference `feature_loader.py:316-320`)."""
+    mean = jnp.mean(out, axis=1, keepdims=True)
+    var = jnp.var(out, axis=1, keepdims=True, ddof=1)
+    return (out - mean) / jnp.sqrt(var + 1e-08)
+
+
+def to_one_hot(input_vector: Array, n_items: int) -> Array:
+    """(B, S) int -> (B, S, n_items) one-hot (`feature_loader.py:307-313`)."""
+    return jax.nn.one_hot(input_vector, n_items, dtype=jnp.int32)
+
+
+toOneHot = to_one_hot
+
+
+def build_feature(feature_maker: Callable, seq_path: str, strict: bool = False,
+                  max_size_seq: int = 64000, seq_norm: bool = False) -> Array:
+    """Whole-file feature extraction in fixed chunks
+    (reference `feature_loader.py:323-367`). Stateful RNN carry-over happens
+    inside `feature_maker` when keep_hidden is set."""
+    from .data.audio_io import load_audio
+    seq, _sr = load_audio(seq_path)
+    seq = np.asarray(seq, dtype=np.float32)
+    size_seq = seq.shape[-1]
+    start = 0
+    out = []
+    if hasattr(feature_maker, 'reset_hidden'):
+        feature_maker.reset_hidden()
+    while start < size_seq:
+        if strict and start + max_size_seq > size_seq:
+            break
+        end = min(size_seq, start + max_size_seq)
+        subseq = seq[start:end][None, :]
+        features = feature_maker((subseq, None))
+        if seq_norm:
+            features = seq_normalization(features)
+        out.append(np.asarray(features))
+        start += max_size_seq
+
+    if strict and start < size_seq:
+        subseq = seq[-max_size_seq:][None, :]
+        features = feature_maker((subseq, None))
+        if seq_norm:
+            features = seq_normalization(features)
+        ds = (feature_maker.get_downsampling_factor()
+              if hasattr(feature_maker, 'get_downsampling_factor')
+              else DOWNSAMPLING)
+        delta = (size_seq - start) // ds
+        out.append(np.asarray(features)[:, -delta:])
+
+    return jnp.concatenate([jnp.asarray(o) for o in out], axis=1)
+
+
+def build_feature_batch(feature_maker: Callable, seq_path: str,
+                        strict: bool = False, max_size_seq: int = 8000,
+                        seq_norm: bool = False, batch_size: int = 8) -> Array:
+    """Batched whole-file extraction (reference
+    `feature_loader.py:370-433`); no hidden carry-over across chunks."""
+    from .data.audio_io import load_audio
+    seq, _sr = load_audio(seq_path)
+    seq = np.asarray(seq, dtype=np.float32)
+    size_seq = seq.shape[-1]
+    ds = (feature_maker.get_downsampling_factor()
+          if hasattr(feature_maker, 'get_downsampling_factor')
+          else DOWNSAMPLING)
+
+    n_chunks = size_seq // max_size_seq
+    n_batches = n_chunks // batch_size
+    if n_chunks % batch_size != 0:
+        n_batches += 1
+
+    out = []
+    for batch_idx in range(n_batches):
+        start = batch_idx * batch_size * max_size_seq
+        end = min((batch_idx + 1) * batch_size * max_size_seq,
+                  max_size_seq * n_chunks)
+        batch_seqs = seq[start:end].reshape(-1, max_size_seq)
+        batch_out = feature_maker((batch_seqs, None))
+        for features in batch_out:
+            features = features[None]
+            if seq_norm:
+                features = seq_normalization(features)
+            out.append(np.asarray(features))
+
+    if size_seq % max_size_seq >= ds:
+        remainders = size_seq % max_size_seq
+        if strict:
+            subseq = seq[-max_size_seq:][None, :]
+            features = feature_maker((subseq, None))
+            if seq_norm:
+                features = seq_normalization(features)
+            delta = remainders // ds
+            out.append(np.asarray(features)[:, -delta:])
+        else:
+            subseq = seq[-remainders:][None, :]
+            features = feature_maker((subseq, None))
+            if seq_norm:
+                features = seq_normalization(features)
+            out.append(np.asarray(features))
+
+    return jnp.concatenate([jnp.asarray(o) for o in out], axis=1)
+
+
+# Reference-spelled aliases
+buildFeature = build_feature
+buildFeature_batch = build_feature_batch

@@ -1,0 +1,171 @@
+"""Logging, seeding and LR-schedule helpers (reference `cpc/utils/misc.py`).
+
+Schedulers are expressed both as the reference's stateful stepper objects
+(`SchedulerCombiner`) for API parity and as a pure `learning_rate_fn(epoch)`
+used to build the optax schedule (`make_lr_schedule`).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+from bisect import bisect_left
+from copy import deepcopy
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+
+def untensor(d):
+    if isinstance(d, list):
+        return [untensor(v) for v in d]
+    if isinstance(d, dict):
+        return dict((k, untensor(v)) for k, v in d.items())
+    if hasattr(d, 'tolist'):
+        return d.tolist()
+    return d
+
+
+def save_logs(data: Dict, path_logs: str) -> None:
+    with open(path_logs, 'w') as f:
+        json.dump(data, f, indent=2)
+
+
+def update_logs(logs: Dict, log_step: int, prev_logs: Optional[Dict] = None
+                ) -> Dict:
+    out = {}
+    for key in logs:
+        out[key] = deepcopy(logs[key])
+        if prev_logs is not None:
+            out[key] -= prev_logs[key]
+        out[key] /= log_step
+    return out
+
+
+def show_logs(text: str, logs: Dict) -> None:
+    print("")
+    print('-' * 50)
+    print(text)
+    for key in logs:
+        if key == "iter":
+            continue
+        n_predicts = logs[key].shape[0]
+        str_steps = ['Step'] + [str(s) for s in range(1, n_predicts + 1)]
+        format_command = ' '.join(['{:>16}' for _ in range(n_predicts + 1)])
+        print(format_command.format(*str_steps))
+        str_log = [key] + ["{:10.6f}".format(s) for s in logs[key]]
+        print(format_command.format(*str_log))
+    print('-' * 50)
+
+
+def set_seed(seed: Optional[int]) -> None:
+    if seed is None:
+        return
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def cpu_stats() -> None:
+    print(sys.version)
+    try:
+        import psutil
+        print(psutil.cpu_percent())
+        print(psutil.virtual_memory())
+    except ImportError:
+        pass
+
+
+def ramp_scheduling_function(n_epoch_ramp: int, epoch: int,
+                             square_ramp: bool = False) -> float:
+    """Linear warm-up (reference `utils/misc.py:77-83`)."""
+    if epoch >= n_epoch_ramp:
+        return 1
+    if square_ramp:
+        return ((epoch + 1) / n_epoch_ramp) ** 2
+    return (epoch + 1) / n_epoch_ramp
+
+
+class _FunctionScheduler:
+    """Minimal stand-in for torch LambdaLR/StepLR: tracks a multiplicative
+    factor as `.step()` is called; `scale` is the current LR multiplier."""
+
+    def __init__(self, fn: Callable[[int], float]):
+        self.fn = fn
+        self.epoch = 0
+
+    @property
+    def scale(self) -> float:
+        return self.fn(self.epoch)
+
+    def step(self):
+        self.epoch += 1
+
+
+def step_lr(scheduler_step: int, gamma: float = 0.5) -> _FunctionScheduler:
+    return _FunctionScheduler(lambda e: gamma ** (e // scheduler_step))
+
+
+def lambda_lr(fn: Callable[[int], float]) -> _FunctionScheduler:
+    return _FunctionScheduler(fn)
+
+
+class SchedulerCombiner:
+    """Apply schedulers sequentially (reference `utils/misc.py:85-122`)."""
+
+    def __init__(self, scheduler_list: List, activation_step: List[int],
+                 curr_step: int = 0):
+        if len(scheduler_list) != len(activation_step):
+            raise ValueError("The number of scheduler must be the same as "
+                             "the number of activation step")
+        if activation_step[0] > curr_step:
+            raise ValueError("The first activation step cannot be higher "
+                             "than the current step.")
+        self.scheduler_list = scheduler_list
+        self.activation_step = deepcopy(activation_step)
+        self.curr_step = curr_step
+
+    def step(self):
+        self.curr_step += 1
+        index = bisect_left(self.activation_step, self.curr_step) - 1
+        for i in reversed(range(index, len(self.scheduler_list))):
+            self.scheduler_list[i].step()
+
+    @property
+    def scale(self) -> float:
+        return float(np.prod([s.scale for s in self.scheduler_list]))
+
+    def __str__(self):
+        out = "SchedulerCombiner \n(\n"
+        for index, scheduler in enumerate(self.scheduler_list):
+            out += f"({index}) {scheduler.__str__()} \n"
+        out += ")\n"
+        return out
+
+
+def make_lr_schedule(learning_rate: float, scheduler_step: int,
+                     scheduler_ramp: Optional[int]) -> Callable[[int], float]:
+    """Pure per-epoch LR function reproducing the reference's
+    StepLR(gamma=0.5) + optional linear ramp combination
+    (`cpc/train.py:501-520` + `SchedulerCombiner`).
+
+    Exact torch-chained semantics: while the ramp is active (epoch <=
+    schedulerRamp) the LambdaLR overwrites the StepLR's multiplications, so
+    step decay only accumulates for milestones *after* the ramp:
+    lr(e > R) = base * 0.5^(e//step - R//step)."""
+
+    def lr_fn(epoch: int) -> float:
+        if scheduler_ramp is not None:
+            if epoch <= scheduler_ramp:
+                return learning_rate * ramp_scheduling_function(
+                    scheduler_ramp, epoch)
+            if scheduler_step > 0:
+                decays = (epoch // scheduler_step
+                          - scheduler_ramp // scheduler_step)
+                return learning_rate * 0.5 ** decays
+            return learning_rate
+        if scheduler_step > 0:
+            return learning_rate * 0.5 ** (epoch // scheduler_step)
+        return learning_rate
+
+    return lr_fn
