@@ -262,7 +262,8 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         return all_scores, w
 
     def __call__(self, c_feature: Array, encoded_data: Array, label=None,
-                 signal_quality: Optional[Array] = None, train: bool = True):
+                 signal_quality: Optional[Array] = None, train: bool = True,
+                 negative_indices: Optional[Array] = None):
         c_feature, encoded_data = self._oriented(c_feature, encoded_data)
         b, s, _ = c_feature.shape
         all_scores, w = self._scores(c_feature, encoded_data, train)
@@ -276,9 +277,12 @@ class CPCUnsupervisedCriterion(BaseCriterion):
                                   axis=-1)[..., 0]          # (B, K, W)
 
         # Negative scores: shared across K.
-        rng = self.make_rng('negatives')
-        neg_idx = sample_negative_indices(rng, b, s,
-                                          self.negative_sampling_ext, w)
+        if negative_indices is not None:
+            neg_idx = negative_indices
+        else:
+            rng = self.make_rng('negatives')
+            neg_idx = sample_negative_indices(rng, b, s,
+                                              self.negative_sampling_ext, w)
         neg_gather = jnp.transpose(neg_idx, (0, 2, 1))[:, None]  # (B,1,W,N)
         neg = jnp.take_along_axis(all_scores,
                                   jnp.broadcast_to(
