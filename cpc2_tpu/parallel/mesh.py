@@ -1,0 +1,51 @@
+"""Device mesh and sharding helpers.
+
+The reference's two parallelism strategies (single-node DataParallel,
+multi-node NCCL DDP — `cpc/train.py:523-532`, `distributed_mode.py`) both
+reduce to data parallelism. Here that is ONE program: a `shard_map` over a
+1-D `('data',)` mesh — per-device batches, replicated params, gradient
+`psum` compiled by XLA onto ICI (and DCN across slices, by growing the mesh
+to ('dcn_data', 'ici_data') without touching the step function).
+
+Per-shard InfoNCE negative sampling falls out of shard_map for free and
+matches the reference's per-GPU negative pool semantics
+(`criterion.py:247-267` under DDP).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data_axis_size: int = -1, devices=None) -> Mesh:
+    """1-D data-parallel mesh. data_axis_size == -1 uses all devices."""
+    devices = devices if devices is not None else jax.devices()
+    if data_axis_size > 0:
+        devices = devices[:data_axis_size]
+    return Mesh(np.asarray(devices), ('data',))
+
+
+def local_batch_size(batch_size_per_device: int, mesh: Mesh) -> int:
+    return batch_size_per_device * mesh.devices.size
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place host arrays on the mesh, sharded over axis 0."""
+    out = []
+    for a in arrays:
+        if a is None:
+            out.append(None)
+            continue
+        spec = P('data', *([None] * (np.ndim(a) - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return out if len(out) != 1 else out[0]
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)

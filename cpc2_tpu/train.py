@@ -1,0 +1,630 @@
+"""CPC pretraining driver (reference `cpc/train.py`).
+
+Same CLI surface (flags, defaults, checkpoint layout, auto-resume, logging
+format); the compute path is a single jitted shard_map program per step
+(see `training.py`).
+
+Run: `python -m cpc2_tpu.train --pathDB ... --pathCheckpoint ...`
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+from copy import deepcopy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import feature_loader as fl
+from .config import set_default_cpc_config, set_tpu_config
+from .data.augmentation import augmentation_factory
+from .data.corpus import filterSeqs, findAllSeqs, parseSeqLabels
+from .data.dataset import AudioBatchData, PeakNorm
+from .io.checkpoint import get_checkpoint_data, load_args, save_logs
+from .io.torch_ckpt import (load_torch_checkpoint,
+                            params_from_torch_state_dict,
+                            params_to_torch_state_dict, save_checkpoint)
+from .losses import (CPCUnsupervisedCriterion, CTCPhoneCriterion,
+                     NoneCriterion, PhoneCriterion, SpeakerCriterion)
+from .models.cpc import compute_bert_mask, compute_mask_indices
+from .models.encoder import encoded_seq_len
+from .parallel.distributed import init_distributed_mode
+from .parallel.mesh import make_mesh, shard_batch
+from .training import (TrainState, build_steps, create_train_state,
+                       make_optimizer, set_learning_rate)
+from .utils import misc as utils
+
+
+def get_criterion(args, downsampling, n_speakers, n_phones):
+    """Reference `train.py:27-59`."""
+    dim_features = args.hiddenGar if not args.onEncoder else args.hiddenEncoder
+    if not args.supervised:
+        if args.cpc_mode == 'none':
+            return NoneCriterion()
+        size_input_seq = args.sizeWindow // downsampling
+        return CPCUnsupervisedCriterion(
+            n_predicts=args.nPredicts, dim_ar=args.hiddenGar,
+            dim_enc=args.hiddenEncoder,
+            negative_sampling_ext=args.negativeSamplingExt,
+            mode=args.cpc_mode, rnn_mode=args.rnnMode, dropout=args.dropout,
+            n_speakers=n_speakers, size_input_seq=size_input_seq,
+            multihead_rnn=args.multihead_rnn, n_skipped=args.n_skipped,
+            growth_rate=args.growth_rate,
+            inflection_point_x=args.inflection_point_x)
+    elif args.pathPhone is not None:
+        if not args.CTC:
+            return PhoneCriterion(dim_encoder=dim_features,
+                                  n_phones=n_phones,
+                                  on_encoder=args.onEncoder,
+                                  n_layers=args.nLevelsPhone)
+        return CTCPhoneCriterion(dim_encoder=dim_features,
+                                 n_phones=n_phones,
+                                 on_encoder=args.onEncoder)
+    return SpeakerCriterion(dim_encoder=dim_features, n_speakers=n_speakers)
+
+
+# Reference-spelled alias
+getCriterion = get_criterion
+
+
+def init_criterion_vars(criterion, args, model_bundle, seed=1):
+    """Initialize criterion params with correctly-shaped dummies."""
+    frames = encoded_seq_len(args.sizeWindow)
+    b = 2
+    c = jnp.zeros((b, frames, args.hiddenGar), jnp.float32)
+    e = jnp.zeros((b, frames, args.hiddenEncoder), jnp.float32)
+    label = jnp.zeros((b,), jnp.int32)
+    if args.supervised and args.pathPhone is not None:
+        label = jnp.zeros((b, frames), jnp.int32)
+    rngs = {'params': jax.random.PRNGKey(seed),
+            'negatives': jax.random.PRNGKey(seed + 1),
+            'dropout': jax.random.PRNGKey(seed + 2)}
+    return criterion.init(rngs, c, e, label, train=False)
+
+
+def _stack_batch(full_data, frames, args, train):
+    """Host-side batch assembly: numpy -> jnp-ready arrays + optional mask."""
+    sequence, label, *signal_quality = full_data
+    quality = signal_quality[0] if len(signal_quality) else None
+    mask = None
+    if args.cpc_mode == 'bert':
+        mask = compute_bert_mask((2 * sequence.shape[0], frames),
+                                 2, args.nPredicts)
+    elif args.mask_prob > 0:
+        mask = compute_mask_indices((2 * sequence.shape[0], frames),
+                                    args.mask_prob, args.mask_length,
+                                    min_masks=2)
+    return sequence, label, quality, mask
+
+
+def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
+                rng, frames, expected_batch):
+    start_time = time.perf_counter()
+    n_examples = 0
+    logs, last_logs = {}, None
+    it = 0
+    dropped = 0
+
+    for step, full_data in enumerate(data_loader):
+        sequence, label, quality, mask = _stack_batch(full_data, frames,
+                                                      args, True)
+        if sequence.shape[0] != expected_batch:
+            dropped += 1
+            continue
+        batch, label = shard_batch(mesh, sequence.astype(np.float32),
+                                   np.asarray(label))
+        if quality is not None:
+            quality = shard_batch(mesh, quality.astype(np.float32))
+        if mask is not None:
+            mask = shard_batch(mesh, mask)
+        n_examples += sequence.shape[0]
+        state, all_losses, all_acc = train_step(state, batch, label, rng,
+                                                quality=quality,
+                                                mask_indices=mask)
+        if all_losses.size > 0:
+            if "locLoss_train" not in logs:
+                logs["locLoss_train"] = np.zeros(all_losses.shape[1])
+                logs["locAcc_train"] = np.zeros(all_losses.shape[1])
+            it += 1
+            logs["locLoss_train"] += np.asarray(all_losses).mean(0)
+            logs["locAcc_train"] += np.asarray(all_acc).mean(0)
+
+            if (step + 1) % logging_step == 0:
+                jax.block_until_ready(state.params)
+                new_time = time.perf_counter()
+                elapsed = new_time - start_time
+                print(f"Update {step + 1}")
+                print(f"elapsed: {elapsed:.1f} s")
+                print(f"{1000.0 * elapsed / logging_step:.1f} ms per batch, "
+                      f"{1000.0 * elapsed / max(n_examples, 1):.1f} ms / "
+                      f"example")
+                loc_logs = utils.update_logs(logs, it, last_logs)
+                last_logs = deepcopy(logs)
+                utils.show_logs("Training loss", loc_logs)
+                start_time, n_examples = new_time, 0
+
+    if dropped:
+        print(f"(dropped {dropped} ragged batches to keep shapes static)")
+    logs = utils.update_logs(logs, max(it, 1))
+    logs["iter"] = it
+    utils.show_logs("Average training loss on epoch", logs)
+    return state, logs
+
+
+def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
+              expected_batch):
+    logs = {}
+    it = 0
+    for step, full_data in enumerate(data_loader):
+        sequence, label, quality, mask = _stack_batch(full_data, frames,
+                                                      args, False)
+        if sequence.shape[0] != expected_batch:
+            continue
+        batch, label = shard_batch(mesh, sequence.astype(np.float32),
+                                   np.asarray(label))
+        if mask is not None:
+            mask = shard_batch(mesh, mask)
+        all_losses, all_acc = val_step(state, batch, label, rng,
+                                       mask_indices=mask)
+        if "locLoss_val" not in logs:
+            logs["locLoss_val"] = np.zeros(all_losses.shape[1])
+            logs["locAcc_val"] = np.zeros(all_losses.shape[1])
+        it += 1
+        logs["locLoss_val"] += np.asarray(all_losses).mean(0)
+        logs["locAcc_val"] += np.asarray(all_acc).mean(0)
+
+    logs = utils.update_logs(logs, max(it, 1))
+    logs["iter"] = it
+    utils.show_logs("Validation loss:", logs)
+    return logs
+
+
+def run(train_dataset, val_dataset, batch_size, sampling_mode, state,
+        train_step, val_step, mesh, args, n_epoch, path_checkpoint,
+        lr_fn, logs, model_bundle, criterion):
+    print(f"Running {n_epoch} epochs")
+    start_epoch = len(logs["epoch"])
+    best_acc = -1
+    best_state_params = None
+    start_time = time.time()
+    frames = encoded_seq_len(args.sizeWindow)
+    rng = jax.random.PRNGKey(args.random_seed or 0)
+
+    for epoch in range(start_epoch, n_epoch):
+        print(f"Starting epoch {epoch}")
+        utils.cpu_stats()
+
+        state = set_learning_rate(state, lr_fn(epoch))
+
+        train_loader = train_dataset.getDataLoader(
+            batch_size, sampling_mode, True, numWorkers=0,
+            remove_artefacts=args.no_artefacts,
+            batch_size_per_gpu=args.batchSizeGPU)
+        val_loader = (val_dataset.getDataLoader(batch_size, 'sequential',
+                                                False, numWorkers=0)
+                      if val_dataset is not None else [])
+
+        print("Training dataset %d batches, Validation dataset %d batches, "
+              "batch size %d" % (len(train_loader),
+                                 len(val_loader) if val_loader else 0,
+                                 batch_size))
+
+        state, loc_logs_train = train_epoch(
+            train_loader, state, train_step, mesh, args,
+            logs["logging_step"], jax.random.fold_in(rng, epoch), frames,
+            batch_size)
+        loc_logs_val = (val_epoch(val_loader, state, val_step, mesh, args,
+                                  jax.random.fold_in(rng, 2**20 + epoch),
+                                  frames, batch_size)
+                        if val_dataset is not None else {})
+
+        print(f'Ran {epoch + 1} epochs '
+              f'in {time.time() - start_time:.2f} seconds')
+
+        if loc_logs_val.get("locAcc_val") is not None:
+            current_accuracy = float(
+                np.asarray(loc_logs_val["locAcc_val"]).mean())
+            if current_accuracy > best_acc:
+                best_acc = current_accuracy
+                best_state_params = jax.tree.map(np.asarray, state.params)
+
+        for key, value in dict(loc_logs_train, **loc_logs_val).items():
+            if key not in logs:
+                logs[key] = [None for _ in range(epoch)]
+            if isinstance(value, np.ndarray):
+                value = value.tolist()
+            logs[key].append(value)
+        logs["epoch"].append(epoch)
+
+        if path_checkpoint is not None \
+                and (epoch % logs["saveStep"] == 0 or epoch == n_epoch - 1):
+            _save_training_checkpoint(
+                state, best_state_params, model_bundle, args,
+                f"{path_checkpoint}_{epoch}.pt")
+            utils.save_logs(logs, path_checkpoint + "_logs.json")
+    return state
+
+
+def _save_training_checkpoint(state, best_params, model_bundle, args, path):
+    """Reference layout: {gEncoder, cpcCriterion, optimizer, best} torch
+    pickle; model/criterion state dicts readable by the reference code."""
+    batch_stats = (state.batch_stats.get('model')
+                   if state.batch_stats else None)
+    model_sd = params_to_torch_state_dict(
+        jax.tree.map(np.asarray, state.params['model']),
+        batch_stats=jax.tree.map(np.asarray, batch_stats)
+        if batch_stats else None,
+        norm_mode=args.normMode)
+    crit_sd = params_to_torch_state_dict(
+        jax.tree.map(np.asarray, state.params['criterion']),
+        rnn_mode=args.rnnMode)
+    best_sd = None
+    if best_params is not None:
+        best_sd = params_to_torch_state_dict(best_params['model'],
+                                             norm_mode=args.normMode)
+    opt_np = jax.tree.map(np.asarray, state.opt_state)
+    save_checkpoint(model_sd, crit_sd, opt_np, best_sd, path)
+
+
+def main(argv):
+    args = parse_args(argv)
+
+    logs = {"epoch": [], "iter": [], "saveStep": args.save_step}
+    logs["logging_step"] = args.logging_step
+    load_optimizer = False
+
+    if args.pathCheckpoint is not None and not args.restart:
+        cdata = get_checkpoint_data(args.pathCheckpoint)
+        if cdata is not None:
+            data, logs, loc_args = cdata
+            print(f"Checkpoint detected at {data}")
+            load_args(args, loc_args,
+                      forbidden_attr={"nGPU", "pathCheckpoint", "debug",
+                                      "restart", "world_size", "global_rank",
+                                      "local_rank", "n_nodes", "node_id",
+                                      "n_gpu_per_node", "max_size_loaded",
+                                      "nEpoch", "save_step"})
+            args.load, load_optimizer = [data], True
+            args.loadCriterion = True
+
+    logs["logging_step"] = args.logging_step
+
+    if args.nGPU == 0:
+        args.nGPU = 1
+
+    if args.signal_quality_path is not None and \
+            not os.path.exists(args.signal_quality_path):
+        raise ValueError("%s can't be found. Are you sure you provided the "
+                         "right location ?" % args.signal_quality_path)
+
+    batch_size = args.nGPU * args.batchSizeGPU
+
+    if args.distributed:
+        print('Distributed mode, moving to 1 process for data loading')
+        args.n_process_loader = 1
+        init_distributed_mode(args)
+    args.is_local_master = (not args.distributed) or (args.global_rank == 0)
+
+    utils.set_seed(args.random_seed)
+    print(f'CONFIG:\n{json.dumps(vars(args), indent=4, sort_keys=True)}')
+    print('-' * 50)
+
+    seq_names, speakers = findAllSeqs(args.pathDB,
+                                      no_speaker=args.no_speaker,
+                                      extension=args.file_extension,
+                                      loadCache=not args.ignore_cache,
+                                      format=args.naming_convention,
+                                      cache_path=args.path_cache)
+
+    print(f'Found files: {len(seq_names)} seqs, {len(speakers)} speakers')
+
+    if args.pathTrain is not None:
+        seq_train = filterSeqs(args.pathTrain, seq_names)
+    else:
+        seq_train = seq_names
+    if len(seq_train) == 0:
+        raise ValueError("No training sequences can be found. Please check "
+                         "that you provided the right path, and specified "
+                         "the right audio extension.")
+
+    if args.pathVal is None:
+        print('No validation data specified!')
+        if args.samplingType == "temporalsamespeaker":
+            blocks, curr = [], None
+            for seq_id, seq_path in seq_train:
+                if curr != seq_id:
+                    blocks.append([(seq_id, seq_path)])
+                    curr = seq_id
+                else:
+                    blocks[-1].append((seq_id, seq_path))
+            random.shuffle(blocks)
+            seq_train = [item for b in blocks for item in b]
+        else:
+            random.shuffle(seq_train)
+        size_train = int(0.95 * len(seq_train))
+        seq_train, seq_val = seq_train[:size_train], seq_train[size_train:]
+        print(f'Found files: {len(seq_train)} train, {len(seq_val)} val')
+    else:
+        seq_val = filterSeqs(args.pathVal, seq_names)
+
+    if args.debug:
+        seq_train = seq_train[-1000:]
+        seq_val = seq_val[-100:]
+
+    phone_labels, n_phones = None, None
+    if args.supervised and args.pathPhone is not None:
+        print("Loading the phone labels at " + args.pathPhone)
+        phone_labels, n_phones = parseSeqLabels(args.pathPhone)
+        print(f"{n_phones} phones found")
+
+    # Noise dataset
+    seq_noise = None
+    noise_dataset = None
+    if args.pathDBNoise is not None and (args.augment_past
+                                         or args.augment_future):
+        seq_noise, _ = findAllSeqs(args.pathDBNoise,
+                                   extension=args.noise_extension,
+                                   loadCache=True, speaker_level=0)
+        if args.pathSeqNoise is not None:
+            seq_noise = filterSeqs(args.pathSeqNoise, seq_noise)
+        if args.debug:
+            seq_noise = seq_noise[:100]
+        print(f'\nLoading noise data at {args.pathDBNoise}')
+        noise_dataset = AudioBatchData(
+            args.pathDBNoise, args.sizeWindow, seq_noise, None, 1,
+            transform=PeakNorm(), nProcessLoader=args.n_process_loader,
+            MAX_SIZE_LOADED=args.max_size_loaded, augment_future=False,
+            augment_past=args.meta_aug,
+            augmentation=augmentation_factory(args, None,
+                                              applied_on_noise=True),
+            keep_temporality=(args.naming_convention or '').startswith(
+                "id_spkr_onset_offset"),
+            past_equal_future=args.meta_aug)
+
+    if args.distributed:
+        def filter_distributed(files):
+            start = len(files) * args.global_rank // args.world_size
+            end = len(files) * (args.global_rank + 1) // args.world_size
+            return files[start:end]
+        print(f'Initial worker files: {len(seq_train)} train, '
+              f'{len(seq_val)} val')
+        seq_train = filter_distributed(seq_train)
+        seq_val = filter_distributed(seq_val)
+        if seq_noise is not None:
+            seq_noise = filter_distributed(seq_noise)
+        print(f'Current worker files: {len(seq_train)} train, '
+              f'{len(seq_val)} val')
+
+    print(f'\nLoading audio data at {args.pathDB}')
+    train_dataset = AudioBatchData(
+        args.pathDB, args.sizeWindow, seq_train, phone_labels, len(speakers),
+        nProcessLoader=args.n_process_loader,
+        MAX_SIZE_LOADED=args.max_size_loaded,
+        augment_future=args.augment_future, augment_past=args.augment_past,
+        augmentation=augmentation_factory(args, noise_dataset),
+        keep_temporality=args.samplingType == "temporalsamespeaker",
+        signal_quality_path=args.signal_quality_path,
+        signal_quality_step=args.signal_quality_step,
+        signal_quality_mode=args.signal_quality_mode,
+        past_equal_future=args.past_equal_future)
+    print("Training dataset loaded\n")
+
+    if seq_val:
+        val_dataset = AudioBatchData(args.pathDB, args.sizeWindow, seq_val,
+                                     phone_labels, len(speakers),
+                                     nProcessLoader=args.n_process_loader)
+        print("Validation dataset loaded\n")
+    else:
+        val_dataset = None
+
+    # Model
+    if args.load is not None:
+        model_bundle, args.hiddenGar, args.hiddenEncoder = \
+            fl.loadModel(args.load)
+    else:
+        model_bundle = fl.init_model(args, seed=args.random_seed or 0)
+
+    # Criterion
+    criterion = get_criterion(args, 160, len(speakers), n_phones)
+    criterion_vars = init_criterion_vars(criterion, args, model_bundle)
+    if args.load is not None and args.loadCriterion:
+        state_dict = load_torch_checkpoint(args.load[0])
+        crit_params, _, unmatched = params_from_torch_state_dict(
+            state_dict["cpcCriterion"], criterion_vars['params'])
+        criterion_vars = {'params': _merge(criterion_vars['params'],
+                                           crit_params)}
+        if unmatched:
+            print(f"(criterion: skipped {len(unmatched)} keys)")
+
+    # Mesh & optimizer
+    mesh = make_mesh(args.data_axis_size if args.data_axis_size > 0
+                     else args.nGPU)
+    print(f"Mesh: {mesh}")
+    tx = make_optimizer(args)
+    state = create_train_state(model_bundle.variables, criterion_vars, tx)
+
+    if load_optimizer and args.load is not None:
+        state_dict = load_torch_checkpoint(args.load[0])
+        if "optimizer" in state_dict and not isinstance(
+                state_dict["optimizer"], dict):
+            try:
+                state = state.replace(opt_state=jax.tree.map(
+                    jnp.asarray, state_dict["optimizer"]))
+                print("Restored optimizer state")
+            except Exception as e:
+                print(f"Could not restore optimizer state: {e}")
+
+    # Checkpoint dir
+    if args.pathCheckpoint is not None:
+        if not os.path.isdir(args.pathCheckpoint):
+            os.makedirs(args.pathCheckpoint, exist_ok=True)
+        args.pathCheckpoint = os.path.join(args.pathCheckpoint, "checkpoint")
+        if args.is_local_master:
+            with open(args.pathCheckpoint + "_args.json", 'w') as f:
+                json.dump(vars(args), f, indent=2)
+
+    lr_fn = utils.make_lr_schedule(args.learningRate, args.schedulerStep,
+                                   args.schedulerRamp)
+
+    uses_mask = args.cpc_mode == 'bert' or args.mask_prob > 0
+    train_step, val_step = build_steps(
+        model_bundle.module, criterion, tx, mesh,
+        has_quality=args.signal_quality_path is not None,
+        uses_mask=uses_mask)
+
+    run(train_dataset, val_dataset, batch_size, args.samplingType, state,
+        train_step, val_step, mesh, args, args.nEpoch,
+        args.pathCheckpoint if args.is_local_master else None,
+        lr_fn, logs, model_bundle, criterion)
+
+
+def _merge(base, override):
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser(description='Trainer')
+    parser = set_default_cpc_config(parser)
+    parser = set_tpu_config(parser)
+
+    group_db = parser.add_argument_group('Dataset')
+    group_db.add_argument('--pathDB', type=str, default=None,
+                          help='Path to the directory containing the data.')
+    group_db.add_argument('--file_extension', type=str, default=".flac",
+                          help="Extension of the audio files in the dataset.")
+    group_db.add_argument('--pathTrain', type=str, default=None,
+                          help='Path to a .txt file containing the list of '
+                          'the training sequences.')
+    group_db.add_argument('--pathVal', type=str, default=None,
+                          help='Path to a .txt file containing the list of '
+                          'the validation sequences.')
+    group_db.add_argument('--n_process_loader', type=int, default=8,
+                          help='Number of processes to call to load the '
+                          'dataset')
+    group_db.add_argument('--ignore_cache', action='store_true',
+                          help='Activate if the dataset has been modified '
+                          'since the last training session.')
+    group_db.add_argument('--path_cache', type=str, default=None,
+                          help="For big datasets, path to an existing cache")
+    group_db.add_argument('--max_size_loaded', type=int, default=4000000000,
+                          help='Maximal amount of data (in byte) a dataset '
+                          'can hold in memory at any given time')
+
+    group_supervised = parser.add_argument_group(
+        'Supervised mode (depreciated)')
+    group_supervised.add_argument('--supervised', action='store_true',
+                                  help='(Depreciated) Disable the CPC loss '
+                                  'and activate the supervised mode.')
+    group_supervised.add_argument('--pathPhone', type=str, default=None,
+                                  help='(Supervised mode only) Path to a '
+                                  '.txt containing the phone labels.')
+    group_supervised.add_argument('--CTC', action='store_true')
+
+    group_save = parser.add_argument_group('Save')
+    group_save.add_argument('--pathCheckpoint', type=str, default=None,
+                            help="Path of the output directory.")
+    group_save.add_argument('--logging_step', type=int, default=1000)
+    group_save.add_argument('--save_step', type=int, default=5,
+                            help="Frequency (in epochs) at which a "
+                            "checkpoint should be saved")
+
+    group_load = parser.add_argument_group('Load')
+    group_load.add_argument('--load', type=str, default=None, nargs='*',
+                            help="Load an exsiting checkpoint. Should give a "
+                            "path to a .pt file.")
+    group_load.add_argument('--loadCriterion', action='store_true',
+                            help="If --load is activated, load the state of "
+                            "the training criterion as well.")
+    group_load.add_argument('--restart', action='store_true',
+                            help="If any checkpoint is found, ignore it and "
+                            "restart the training from scratch.")
+
+    group_gpu = parser.add_argument_group('GPUs')
+    group_gpu.add_argument('--nGPU', type=int, default=-1,
+                           help="Number of devices to use (default: all "
+                           "available devices)")
+    group_gpu.add_argument('--batchSizeGPU', type=int, default=8,
+                           help='Number of batches per device.')
+    parser.add_argument('--debug', action='store_true',
+                        help="Load only a very small amount of files for "
+                        "debugging purposes.")
+
+    group_dist = parser.add_argument_group('Distributed training')
+    group_dist.add_argument('--distributed', action='store_true')
+    group_dist.add_argument("--local_rank", type=int, default=-1,
+                            help="Multi-GPU - Local rank")
+    group_dist.add_argument("--master_port", type=int, default=-1,
+                            help="Master port (for multi-node SLURM jobs)")
+
+    args = parser.parse_args(argv)
+
+    if args.pathDB is None and (args.pathCheckpoint is None or args.restart):
+        parser.print_help()
+        print("Either provides an input dataset or a checkpoint to load")
+        sys.exit()
+
+    assert args.bandreject_scaler >= 0
+
+    if args.samplingType == "temporalsamespeaker" and \
+            (args.pathTrain is not None or args.pathVal is not None):
+        raise ValueError(
+            "Can not apply temporal sampling (with same speaker) if "
+            "pathTrain or pathVal is specified.")
+
+    if args.samplingType == "temporalsamespeaker" and \
+            args.naming_convention not in [
+                'id_spkr_onset_offset',
+                'id_spkr_onset_offset_spkr_onset_offset', 'spkr-id',
+                'spkr_id_nb', 'spkr-id-nb', 'no_speaker', 'full_seedlings']:
+        raise ValueError(
+            "If you want to use temporalsamespeaker sampling type, you must "
+            "set naming_convention accordingly.")
+
+    if not args.meta_aug and (args.meta_aug_type is not None
+                              or args.meta_aug_type == "none"):
+        raise ValueError("You specified parameters --meta_aug_type without "
+                         "having activated --meta_aug flag.")
+    if args.meta_aug and args.meta_aug_type is None \
+            or args.meta_aug_type == "none":
+        raise ValueError("You specified flag --meta_aug, but you haven't "
+                         "specified meta_aug_type")
+
+    if args.pathCheckpoint is not None:
+        args.pathCheckpoint = os.path.abspath(args.pathCheckpoint)
+    if args.load is not None:
+        args.load = [os.path.abspath(x) for x in args.load]
+
+    if args.random_seed is None:
+        args.random_seed = random.randint(0, 2**31)
+
+    n_devices = len(jax.devices())
+    if args.nGPU < 0:
+        args.nGPU = n_devices
+    assert args.nGPU <= n_devices, \
+        f"number of devices asked: {args.nGPU}, " \
+        f"number of devices detected: {n_devices}"
+    print(f"Let's use {args.nGPU} devices!")
+
+    if args.arMode == 'no_ar':
+        args.hiddenGar = args.hiddenEncoder
+    return args
+
+
+# Reference-spelled alias
+parseArgs = parse_args
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

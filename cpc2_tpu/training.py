@@ -1,0 +1,182 @@
+"""The compiled training/validation step.
+
+One `jax.jit`-of-`shard_map` program over the `('data',)` mesh replaces the
+reference's DataParallel/DDP wrapping (`cpc/train.py:523-532`):
+
+* the per-device body computes the reference's past/future two-view forward
+  (`train.py:95-104`): encoder+AR on `concat([past, future])`, context from
+  the past half, targets from the future half — XLA's DCE removes the unused
+  AR pass over the future half, which torch eagerly computes;
+* InfoNCE negatives are sampled inside the shard over the *local* batch,
+  preserving the reference's per-GPU negative-pool semantics;
+* gradients/metrics are `psum`-averaged across the mesh (the NCCL all-reduce,
+  compiled onto ICI);
+* optimizer update runs replicated (params are replicated in DP).
+
+The returned functions are pure: `(state, batch, labels, rng[, quality])
+-> (state, losses, accs)`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+Array = jax.Array
+
+
+@struct.dataclass
+class TrainState:
+    params: Dict[str, Any]            # {'model': ..., 'criterion': ...}
+    opt_state: Any
+    batch_stats: Dict[str, Any]       # {'model': ...} (empty if unused)
+    step: Array
+
+
+def make_optimizer(args) -> optax.GradientTransformation:
+    """Adam/SGD (reference `train.py:475-484`) with an injected learning rate
+    so per-epoch LR schedules don't recompile the step."""
+    if args.optimizer == 'adam':
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=args.learningRate, b1=args.beta1, b2=args.beta2,
+            eps=args.epsilon)
+    elif args.optimizer == 'sgd':
+        return optax.inject_hyperparams(optax.sgd)(
+            learning_rate=args.learningRate, momentum=0.9)
+    raise ValueError("Unsupported optimizer: %s" % args.optimizer)
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Update the injected learning rate (host-side, between epochs)."""
+    hyperparams = dict(state.opt_state.hyperparams)
+    hyperparams['learning_rate'] = jnp.asarray(lr, jnp.float32)
+    return dataclasses.replace(
+        state, opt_state=state.opt_state._replace(hyperparams=hyperparams))
+
+
+def create_train_state(model_vars: Dict, criterion_vars: Dict,
+                       tx: optax.GradientTransformation) -> TrainState:
+    params = {'model': model_vars['params'],
+              'criterion': criterion_vars.get('params', {})}
+    batch_stats = {}
+    if 'batch_stats' in model_vars:
+        batch_stats['model'] = model_vars['batch_stats']
+    return TrainState(params=params, opt_state=tx.init(params),
+                      batch_stats=batch_stats, step=jnp.zeros((), jnp.int32))
+
+
+def build_steps(model: nn.Module, criterion: nn.Module,
+                tx: optax.GradientTransformation, mesh: Mesh,
+                has_quality: bool = False, uses_mask: bool = False):
+    """Returns (train_step, val_step), jitted over `mesh`.
+
+    Batch layout: (B_local*n_dev, 2, 1, W) float32 on axis 0 of the mesh.
+    """
+    has_bs = None  # resolved lazily from state
+
+    def forward(params, batch_stats, batch, labels, quality, rng, train,
+                mask_indices):
+        b = batch.shape[0]
+        past, future = batch[:, 0, 0, :], batch[:, 1, 0, :]
+        combined = jnp.concatenate([past, future], axis=0)
+        if labels is not None and labels.ndim >= 1:
+            labels2 = jnp.concatenate([labels, labels], axis=0)
+        else:
+            labels2 = labels
+
+        model_vars = {'params': params['model']}
+        mutable = []
+        if batch_stats and 'model' in batch_stats and batch_stats['model']:
+            model_vars['batch_stats'] = batch_stats['model']
+            mutable = ['batch_stats'] if train else []
+
+        # Per-device, per-step rng streams.
+        dev = jax.lax.axis_index('data')
+        key = jax.random.fold_in(jax.random.fold_in(rng, dev), 0)
+        k_drop, k_neg, k_drop2 = jax.random.split(key, 3)
+
+        kwargs = dict(train=train)
+        if uses_mask:
+            kwargs['mask_indices'] = mask_indices
+        if mutable:
+            (c, e, lab, _), updates = model.apply(
+                model_vars, combined, labels2, rngs={'dropout': k_drop},
+                mutable=mutable, **kwargs)
+            new_bs = {'model': updates['batch_stats']}
+        else:
+            c, e, lab, _ = model.apply(model_vars, combined, labels2,
+                                       rngs={'dropout': k_drop}, **kwargs)
+            new_bs = batch_stats
+
+        c = c[:b]
+        e = e[b:]
+        lab = lab[:b] if (lab is not None and hasattr(lab, 'ndim')
+                          and lab.ndim >= 1) else lab
+
+        crit_vars = {'params': params['criterion']}
+        losses, accs = criterion.apply(
+            crit_vars, c, e, lab, quality, train=train,
+            rngs={'negatives': k_neg, 'dropout': k_drop2})
+        return losses, accs, new_bs
+
+    def train_body(state: TrainState, batch, labels, quality, rng,
+                   mask_indices):
+        def loss_fn(params):
+            losses, accs, new_bs = forward(
+                params, state.batch_stats, batch, labels, quality,
+                jax.random.fold_in(rng, state.step), True, mask_indices)
+            return jnp.sum(losses), (losses, accs, new_bs)
+
+        grads, (losses, accs, new_bs) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, 'data')
+        losses = jax.lax.pmean(losses, 'data')
+        accs = jax.lax.pmean(accs, 'data')
+        if new_bs:
+            new_bs = jax.lax.pmean(new_bs, 'data')
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               batch_stats=new_bs, step=state.step + 1)
+        return new_state, losses, accs
+
+    def val_body(state: TrainState, batch, labels, quality, rng,
+                 mask_indices):
+        losses, accs, _ = forward(state.params, state.batch_stats, batch,
+                                  labels, quality,
+                                  jax.random.fold_in(rng, state.step),
+                                  False, mask_indices)
+        return jax.lax.pmean(losses, 'data'), jax.lax.pmean(accs, 'data')
+
+    data_spec = P('data')
+    rep = P()
+
+    n_in = (rep, data_spec, data_spec,
+            data_spec if has_quality else rep, rep,
+            data_spec if uses_mask else rep)
+
+    train_sm = shard_map(train_body, mesh=mesh, in_specs=n_in,
+                         out_specs=(rep, rep, rep), check_rep=False)
+    val_sm = shard_map(val_body, mesh=mesh, in_specs=n_in,
+                       out_specs=(rep, rep), check_rep=False)
+
+    train_jit = jax.jit(train_sm, donate_argnums=(0,))
+    val_jit = jax.jit(val_sm)
+
+    def train_step(state, batch, labels, rng, quality=None,
+                   mask_indices=None):
+        return train_jit(state, batch, labels, quality, rng, mask_indices)
+
+    def val_step(state, batch, labels, rng, quality=None, mask_indices=None):
+        return val_jit(state, batch, labels, quality, rng, mask_indices)
+
+    return train_step, val_step
