@@ -44,7 +44,7 @@ from .utils import misc as utils
 def get_criterion(args, downsampling, n_speakers, n_phones):
     """Reference `train.py:27-59`."""
     dim_features = args.hiddenGar if not args.onEncoder else args.hiddenEncoder
-    if not args.supervised:
+    if not getattr(args, 'supervised', False):
         if args.cpc_mode == 'none':
             return NoneCriterion()
         size_input_seq = args.sizeWindow // downsampling
@@ -57,8 +57,8 @@ def get_criterion(args, downsampling, n_speakers, n_phones):
             multihead_rnn=args.multihead_rnn, n_skipped=args.n_skipped,
             growth_rate=args.growth_rate,
             inflection_point_x=args.inflection_point_x)
-    elif args.pathPhone is not None:
-        if not args.CTC:
+    elif getattr(args, 'pathPhone', None) is not None:
+        if not getattr(args, 'CTC', False):
             return PhoneCriterion(dim_encoder=dim_features,
                                   n_phones=n_phones,
                                   on_encoder=args.onEncoder,
@@ -80,7 +80,8 @@ def init_criterion_vars(criterion, args, model_bundle, seed=1):
     c = jnp.zeros((b, frames, args.hiddenGar), jnp.float32)
     e = jnp.zeros((b, frames, args.hiddenEncoder), jnp.float32)
     label = jnp.zeros((b,), jnp.int32)
-    if args.supervised and args.pathPhone is not None:
+    if getattr(args, 'supervised', False) and \
+            getattr(args, 'pathPhone', None) is not None:
         label = jnp.zeros((b, frames), jnp.int32)
     rngs = {'params': jax.random.PRNGKey(seed),
             'negatives': jax.random.PRNGKey(seed + 1),
