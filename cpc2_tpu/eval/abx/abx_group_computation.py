@@ -1,0 +1,135 @@
+"""Per-group ABX score computation
+(reference `cpc/eval/ABX/abx_group_computation.py`).
+
+TPU-first: the pairwise frame distance matrix is one batched matmul on the
+MXU (cosine: `a1 @ a2ᵀ` on pre-normalized features), and the DTW DP runs as
+the batched wavefront scan in `ops/dtw.py` — no per-pair host loop, no
+device<->host round-trip between distances and DTW.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.dtw import dtw_normalized, _bucket
+
+
+def get_distance_function_from_name(name_str: str):
+    if name_str == 'euclidian':
+        return get_euclidian_distance_batch
+    if name_str == 'cosine':
+        return get_cosine_distance_batch
+    raise ValueError("Invalid distance mode")
+
+
+def check_dtw_group_validity(a, b, x):
+    assert a.ndim == b.ndim == x.ndim
+    assert a.shape[2] == x.shape[2] == b.shape[2]
+
+
+@jax.jit
+def _cosine_dist(a1, a2):
+    prod = jnp.einsum('xsd,ytd->xyst', a1, a2,
+                      preferred_element_type=jnp.float32)
+    return jnp.arccos(jnp.clip(prod, -1.0, 1.0)) / math.pi
+
+
+def get_cosine_distance_batch(a1, a2, epsilon=1e-8):
+    """a1 (N1,S1,D), a2 (N2,S2,D) pre-normalized -> (N1,N2,S1,S2) angular
+    distance (reference `abx_group_computation.py:26-35`)."""
+    return _cosine_dist(jnp.asarray(a1), jnp.asarray(a2))
+
+
+@jax.jit
+def _euclid_dist(a1, a2):
+    n1 = jnp.sum(jnp.square(a1), axis=2)                 # (N1,S1)
+    n2 = jnp.sum(jnp.square(a2), axis=2)                 # (N2,S2)
+    cross = jnp.einsum('xsd,ytd->xyst', a1, a2,
+                       preferred_element_type=jnp.float32)
+    sq = n1[:, None, :, None] - 2 * cross + n2[None, :, None, :]
+    return jnp.sqrt(jnp.maximum(sq, 0.0))
+
+
+def get_euclidian_distance_batch(a1, a2):
+    return _euclid_dist(jnp.asarray(a1), jnp.asarray(a2))
+
+
+def get_distance_group_dtw(a1, a2, size1, size2, ignore_diag=False,
+                           symmetric=False,
+                           distance_function=get_cosine_distance_batch):
+    """(N1,S1,D) x (N2,S2,D) -> (N1,N2) DTW-averaged distances
+    (reference `abx_group_computation.py:45-60`), fully on device."""
+    n1_, s1, d = a1.shape
+    n2_, s2, _ = a2.shape
+    assert size1.shape[0] == n1_ and size2.shape[0] == n2_
+
+    dist_mat = distance_function(a1, a2)                 # (N1,N2,S1,S2)
+    p1, p2 = _bucket(s1), _bucket(s2)
+    if (p1, p2) != (s1, s2):
+        dist_mat = jnp.pad(dist_mat, ((0, 0), (0, 0), (0, p1 - s1),
+                                      (0, p2 - s2)))
+    flat = dist_mat.reshape(n1_ * n2_, p1, p2)
+    len1 = jnp.repeat(jnp.asarray(size1, jnp.int32), n2_)
+    len2 = jnp.tile(jnp.asarray(size2, jnp.int32), n1_)
+    out = np.array(dtw_normalized(flat, len1, len2)).reshape(n1_, n2_)
+    if ignore_diag:
+        np.fill_diagonal(out, 0.0)
+    return out
+
+
+def get_theta_group_dtw(a, b, x, sa, sb, sx, distance_function, symmetric):
+    """Asymmetric ABX score θ for one triplet group
+    (reference `abx_group_computation.py:63-90`)."""
+    check_dtw_group_validity(a, b, x)
+    dxb = get_distance_group_dtw(x, b, sx, sb,
+                                 distance_function=distance_function)
+    dxa = get_distance_group_dtw(x, a, sx, sa, ignore_diag=symmetric,
+                                 symmetric=symmetric,
+                                 distance_function=distance_function)
+    nx, na = dxa.shape
+    nx, nb = dxb.shape
+
+    if symmetric:
+        n_pos = na * (na - 1)
+        max_val = dxb.max()
+        np.fill_diagonal(dxa, max_val + 1)
+    else:
+        n_pos = na * nx
+
+    dxb_e = dxb.reshape(nx, 1, nb)
+    dxa_e = dxa.reshape(nx, na, 1)
+    sc = float((dxa_e < dxb_e).sum() + 0.5 * (dxa_e == dxb_e).sum())
+    sc /= n_pos * nb
+    return sc
+
+
+def loc_dtw(data, distance_function, symmetric):
+    coords, group_a, group_b, group_x = data
+    theta = get_theta_group_dtw(group_a[0], group_b[0], group_x[0],
+                                group_a[1], group_b[1], group_x[1],
+                                distance_function, symmetric)
+    return coords, 1 - theta
+
+
+def get_abx_scores_dtw_on_group(group_iterator, distance_function,
+                                symmetric):
+    """Accumulate θ scores into a sparse (coords -> score) map
+    (reference returns a torch sparse tensor; here (coords array, values
+    array, board_size) with identical contents)."""
+    data_list = []
+    coords_list = []
+    n = len(group_iterator)
+    for index, group in enumerate(group_iterator):
+        coords, abx = loc_dtw(group, distance_function, symmetric)
+        data_list.append(abx)
+        coords_list.append(coords)
+        if (index + 1) % 500 == 0:
+            print(f"  {index + 1}/{n} groups")
+    return (np.array(coords_list, dtype=np.int64),
+            np.array(data_list, dtype=np.float32),
+            group_iterator.get_board_size())

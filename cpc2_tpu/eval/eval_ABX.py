@@ -1,0 +1,193 @@
+"""ABX discriminability evaluation (reference `cpc/eval/eval_ABX.py`).
+
+Two-stage averaging parity: scores are accumulated per
+(speaker, phoneA, phoneB, context[, speakerX]) cell, averaged over contexts,
+then over speaker/phone pairs (`eval_ABX.py:44-97`); the sparse torch tensors
+become numpy scatter-adds into small dense boards.
+
+Run: `python -m cpc2_tpu.eval.eval_ABX from_checkpoint <ckpt> <item_file>
+<dataset> [...]`
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..data.corpus import findAllSeqs
+from ..feature_loader import FeatureModule, buildFeature, loadModel
+from .abx import abx_group_computation as abx_g
+from .abx import abx_iterators as abx_it
+
+
+def reduce_sparse_data(quotient, divisor):
+    return quotient / (1e-08 * (divisor == 0) + divisor)
+
+
+def _scatter_dense(coords, values, board_size):
+    dense = np.zeros(board_size, dtype=np.float64)
+    counts = np.zeros(board_size, dtype=np.float64)
+    np.add.at(dense, tuple(coords.T), values)
+    np.add.at(counts, tuple(coords.T), 1.0)
+    return dense, counts
+
+
+def ABX(feature_function, path_item_file, seq_list, distance_mode,
+        step_feature, modes, cuda=False, max_x_across=5, max_size_group=30,
+        normalize=True):
+    """Reference `eval_ABX.py:20-99`."""
+    ABXDataset = abx_it.ABXFeatureLoader(path_item_file, seq_list,
+                                         feature_function, step_feature,
+                                         normalize)
+    distance_function = abx_g.get_distance_function_from_name(distance_mode)
+    scores = {}
+
+    if 'within' in modes:
+        print("Computing ABX within speakers...")
+        ABXIterator = ABXDataset.get_iterator('within', max_size_group)
+        coords, values, board = abx_g.get_abx_scores_dtw_on_group(
+            ABXIterator, distance_function, ABXIterator.symmetric)
+        dense, counts = _scatter_dense(coords, values, board)
+        # average over contexts (axis 3)
+        divisor_context = counts.sum(axis=3)
+        group_confusion = reduce_sparse_data(dense.sum(axis=3),
+                                             divisor_context)
+        index_speaker = divisor_context > 0
+        divisor_speaker = index_speaker.sum(axis=0)
+        phone_confusion = reduce_sparse_data(group_confusion.sum(axis=0),
+                                             divisor_speaker)
+        scores['within'] = float(phone_confusion.sum()
+                                 / (divisor_speaker > 0).sum())
+        print(f"...done. ABX within : {scores['within']}")
+
+    if 'across' in modes:
+        print("Computing ABX across speakers...")
+        ABXIterator = ABXDataset.get_iterator('across', max_size_group,
+                                              max_x_across=max_x_across)
+        coords, values, board = abx_g.get_abx_scores_dtw_on_group(
+            ABXIterator, distance_function, ABXIterator.symmetric)
+        dense, counts = _scatter_dense(coords, values, board)
+        divisor_context = counts.sum(axis=3)
+        group_confusion = reduce_sparse_data(dense.sum(axis=3),
+                                             divisor_context)
+        index_speaker = divisor_context > 0
+        divisor_speaker = index_speaker.sum(axis=0).sum(axis=2)
+        phone_confusion = reduce_sparse_data(
+            group_confusion.sum(axis=0).sum(axis=2), divisor_speaker)
+        scores['across'] = float(phone_confusion.sum()
+                                 / (divisor_speaker > 0).sum())
+        print(f"...done. ABX across : {scores['across']}")
+
+    return scores
+
+
+def update_base_parser(parser):
+    parser.add_argument('--debug', action='store_true')
+    parser.add_argument('--feature_size', type=float, default=0.01,
+                        help="Size (in s) of one feature")
+    parser.add_argument('--cuda', action='store_true',
+                        help="(kept for CLI parity; distances always run on "
+                        "the accelerator)")
+    parser.add_argument('--mode', type=str, default='all',
+                        choices=['all', 'within', 'across'],
+                        help="Type of ABX score to compute")
+    parser.add_argument("--max_size_group", type=int, default=20,
+                        help="Max size of a group while computing the ABX "
+                        "score")
+    parser.add_argument("--max_x_across", type=int, default=5,
+                        help="When computing the ABX across score, maximum "
+                        "number of speaker X to sample per couple A,B")
+    parser.add_argument("--out", type=str, default=None,
+                        help="Path where the results should be saved")
+    parser.add_argument("--level_gru", type=int, default=None)
+
+
+def parse_args(argv):
+    base_parser = argparse.ArgumentParser(description='ABX metric')
+    subparsers = base_parser.add_subparsers(dest='load')
+    parser_checkpoint = subparsers.add_parser('from_checkpoint')
+    update_base_parser(parser_checkpoint)
+    parser_checkpoint.add_argument('path_checkpoint', type=str,
+                                   help="Path to the model's checkpoint")
+    parser_checkpoint.add_argument('path_item_file', type=str,
+                                   help="Path to the ABX .item file")
+    parser_checkpoint.add_argument('path_dataset', type=str,
+                                   help="Path to the dataset")
+    parser_checkpoint.add_argument('--seq_norm', action='store_true',
+                                   help='Normalize each batch of features '
+                                   'across the time channel before ABX.')
+    parser_checkpoint.add_argument('--max_size_seq', default=64000, type=int)
+    parser_checkpoint.add_argument('--strict', action='store_true')
+    parser_checkpoint.add_argument('--file_extension', type=str,
+                                   default='.wav')
+    parser_checkpoint.add_argument('--get_encoded', action='store_true')
+    parser_checkpoint.add_argument('-n', '--num_processes', type=int,
+                                   default=40,
+                                   help='(kept for CLI parity)')
+
+    parser_db = subparsers.add_parser('from_pre_computed')
+    update_base_parser(parser_db)
+    parser_db.add_argument('path_item_file', type=str)
+    parser_db.add_argument('path_dataset', type=str,
+                           help="Path to pre-computed features "
+                           "(.pt or .npy)")
+    parser_db.add_argument('--file_extension', type=str, default='.pt')
+    return base_parser.parse_args(argv)
+
+
+def main(argv):
+    args = parse_args(argv)
+
+    if args.load == 'from_checkpoint':
+        updateConfig = None
+        if args.level_gru is not None:
+            updateConfig = argparse.Namespace(nLevelsGRU=args.level_gru)
+        bundle = loadModel([args.path_checkpoint],
+                           updateConfig=updateConfig)[0]
+        feature_maker = FeatureModule(bundle, args.get_encoded,
+                                      keep_hidden=True)
+
+        def feature_function(x):
+            return buildFeature(feature_maker, x, seqNorm=args.seq_norm,
+                                strict=args.strict,
+                                maxSizeSeq=args.max_size_seq)
+    elif args.load == 'from_pre_computed':
+        def feature_function(x):
+            if str(x).endswith('.npy'):
+                return np.load(x)
+            import torch
+            return torch.load(x, map_location='cpu',
+                              weights_only=False).numpy()
+
+    modes = ["within", "across"] if args.mode == 'all' else [args.mode]
+    distance_mode = 'cosine'
+    step_feature = 1 / args.feature_size
+
+    seq_list, _ = findAllSeqs(args.path_dataset,
+                              extension=args.file_extension)
+    seq_list = [(str(Path(x).stem), str(Path(args.path_dataset) / x))
+                for (_, x) in seq_list]
+    if args.debug:
+        seq_list = seq_list[:1000]
+
+    scores = ABX(feature_function, args.path_item_file, seq_list,
+                 distance_mode, step_feature, modes, cuda=args.cuda,
+                 max_x_across=args.max_x_across,
+                 max_size_group=args.max_size_group)
+
+    out_dir = (Path(args.path_checkpoint).parent if args.out is None
+               else Path(args.out))
+    out_dir.mkdir(exist_ok=True)
+    with open(out_dir / 'ABX_scores.json', 'w') as f:
+        json.dump(scores, f, indent=2)
+    with open(out_dir / 'ABX_args.json', 'w') as f:
+        json.dump(vars(args), f, indent=2)
+    return scores
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -119,8 +119,8 @@ def init_model(args: argparse.Namespace, seed: int = 0,
                        hidden_encoder=args.hiddenEncoder)
 
 
-def load_model(path_checkpoints: Sequence[str], load_state_dict: bool = True,
-               update_config: Optional[argparse.Namespace] = None
+def load_model(path_checkpoints: Sequence[str], loadStateDict: bool = True,
+               updateConfig: Optional[argparse.Namespace] = None
                ) -> Tuple[ModelBundle, int, int]:
     """Reference `loadModel` (`feature_loader.py:238-283`): build from the
     checkpoint's stored args, optionally recurse through its own `load`
@@ -134,20 +134,20 @@ def load_model(path_checkpoints: Sequence[str], load_state_dict: bool = True,
             (len(loc_args.load) > 1 or
              os.path.dirname(loc_args.load[0]) != os.path.dirname(path))
 
-        if update_config is not None and not do_load:
+        if updateConfig is not None and not do_load:
             print("Updating the configuration file with")
-            print(json.dumps(vars(update_config), indent=4, sort_keys=True))
-            load_args(loc_args, update_config)
+            print(json.dumps(vars(updateConfig), indent=4, sort_keys=True))
+            load_args(loc_args, updateConfig)
 
         if do_load:
-            bundle, hg, he = load_model(loc_args.load, load_state_dict=False,
-                                        update_config=update_config)
+            bundle, hg, he = load_model(loc_args.load, loadStateDict=False,
+                                        updateConfig=updateConfig)
             hidden_gar += hg
             hidden_encoder += he
         else:
             bundle = init_model(loc_args)
 
-        if load_state_dict:
+        if loadStateDict:
             print(f"Loading the state dict at {path}")
             state = load_torch_checkpoint(path)
             params, batch_stats, unmatched = params_from_torch_state_dict(
@@ -210,12 +210,12 @@ class FeatureModule:
 
     def __init__(self, bundle: ModelBundle, get_encoded: bool,
                  collapse: bool = False, cca_projection: Optional[str] = None,
-                 keep_hidden: bool = False, seq_norm: bool = False):
+                 keep_hidden: bool = False, seqNorm: bool = False):
         self.bundle = bundle
         self.get_encoded = get_encoded
         self.collapse = collapse
         self.keep_hidden = keep_hidden
-        self.seq_norm = seq_norm
+        self.seqNorm = seqNorm
         self.hidden = None
         self.cca_projection = None
         if cca_projection:
@@ -261,8 +261,8 @@ class FeatureModule:
         if self.keep_hidden:
             self.hidden = h
         feats = e if self.get_encoded else c
-        if self.seq_norm:
-            feats = seq_normalization(feats)
+        if self.seqNorm:
+            feats = seqNormalization(feats)
         if self.collapse:
             feats = feats.reshape(-1, feats.shape[-1])
         if self.cca_projection is not None:
@@ -272,7 +272,7 @@ class FeatureModule:
         return feats
 
 
-def seq_normalization(out: Array) -> Array:
+def seqNormalization(out: Array) -> Array:
     """Normalize along time (reference `feature_loader.py:316-320`)."""
     mean = jnp.mean(out, axis=1, keepdims=True)
     var = jnp.var(out, axis=1, keepdims=True, ddof=1)
@@ -288,7 +288,7 @@ toOneHot = to_one_hot
 
 
 def build_feature(feature_maker: Callable, seq_path: str, strict: bool = False,
-                  max_size_seq: int = 64000, seq_norm: bool = False) -> Array:
+                  maxSizeSeq: int = 64000, seqNorm: bool = False) -> Array:
     """Whole-file feature extraction in fixed chunks
     (reference `feature_loader.py:323-367`). Stateful RNN carry-over happens
     inside `feature_maker` when keep_hidden is set."""
@@ -301,21 +301,21 @@ def build_feature(feature_maker: Callable, seq_path: str, strict: bool = False,
     if hasattr(feature_maker, 'reset_hidden'):
         feature_maker.reset_hidden()
     while start < size_seq:
-        if strict and start + max_size_seq > size_seq:
+        if strict and start + maxSizeSeq > size_seq:
             break
-        end = min(size_seq, start + max_size_seq)
+        end = min(size_seq, start + maxSizeSeq)
         subseq = seq[start:end][None, :]
         features = feature_maker((subseq, None))
-        if seq_norm:
-            features = seq_normalization(features)
+        if seqNorm:
+            features = seqNormalization(features)
         out.append(np.asarray(features))
-        start += max_size_seq
+        start += maxSizeSeq
 
     if strict and start < size_seq:
-        subseq = seq[-max_size_seq:][None, :]
+        subseq = seq[-maxSizeSeq:][None, :]
         features = feature_maker((subseq, None))
-        if seq_norm:
-            features = seq_normalization(features)
+        if seqNorm:
+            features = seqNormalization(features)
         ds = (feature_maker.get_downsampling_factor()
               if hasattr(feature_maker, 'get_downsampling_factor')
               else DOWNSAMPLING)
@@ -326,8 +326,8 @@ def build_feature(feature_maker: Callable, seq_path: str, strict: bool = False,
 
 
 def build_feature_batch(feature_maker: Callable, seq_path: str,
-                        strict: bool = False, max_size_seq: int = 8000,
-                        seq_norm: bool = False, batch_size: int = 8) -> Array:
+                        strict: bool = False, maxSizeSeq: int = 8000,
+                        seqNorm: bool = False, batch_size: int = 8) -> Array:
     """Batched whole-file extraction (reference
     `feature_loader.py:370-433`); no hidden carry-over across chunks."""
     from .data.audio_io import load_audio
@@ -338,38 +338,38 @@ def build_feature_batch(feature_maker: Callable, seq_path: str,
           if hasattr(feature_maker, 'get_downsampling_factor')
           else DOWNSAMPLING)
 
-    n_chunks = size_seq // max_size_seq
+    n_chunks = size_seq // maxSizeSeq
     n_batches = n_chunks // batch_size
     if n_chunks % batch_size != 0:
         n_batches += 1
 
     out = []
     for batch_idx in range(n_batches):
-        start = batch_idx * batch_size * max_size_seq
-        end = min((batch_idx + 1) * batch_size * max_size_seq,
-                  max_size_seq * n_chunks)
-        batch_seqs = seq[start:end].reshape(-1, max_size_seq)
+        start = batch_idx * batch_size * maxSizeSeq
+        end = min((batch_idx + 1) * batch_size * maxSizeSeq,
+                  maxSizeSeq * n_chunks)
+        batch_seqs = seq[start:end].reshape(-1, maxSizeSeq)
         batch_out = feature_maker((batch_seqs, None))
         for features in batch_out:
             features = features[None]
-            if seq_norm:
-                features = seq_normalization(features)
+            if seqNorm:
+                features = seqNormalization(features)
             out.append(np.asarray(features))
 
-    if size_seq % max_size_seq >= ds:
-        remainders = size_seq % max_size_seq
+    if size_seq % maxSizeSeq >= ds:
+        remainders = size_seq % maxSizeSeq
         if strict:
-            subseq = seq[-max_size_seq:][None, :]
+            subseq = seq[-maxSizeSeq:][None, :]
             features = feature_maker((subseq, None))
-            if seq_norm:
-                features = seq_normalization(features)
+            if seqNorm:
+                features = seqNormalization(features)
             delta = remainders // ds
             out.append(np.asarray(features)[:, -delta:])
         else:
             subseq = seq[-remainders:][None, :]
             features = feature_maker((subseq, None))
-            if seq_norm:
-                features = seq_normalization(features)
+            if seqNorm:
+                features = seqNormalization(features)
             out.append(np.asarray(features))
 
     return jnp.concatenate([jnp.asarray(o) for o in out], axis=1)
