@@ -378,3 +378,98 @@ def build_feature_batch(feature_maker: Callable, seq_path: str,
 # Reference-spelled aliases
 buildFeature = build_feature
 buildFeature_batch = build_feature_batch
+
+
+# ---------------------------------------------------------------------------
+# Combined feature makers (reference `feature_loader.py:85-147,159-173`)
+# ---------------------------------------------------------------------------
+
+class CriterionWrapper:
+    """A flax criterion module + its params, exposing get_prediction."""
+
+    def __init__(self, module, variables):
+        self.module = module
+        self.variables = variables
+
+    def get_prediction(self, c_feature):
+        return self.module.apply(self.variables, c_feature,
+                                 method=self.module.get_prediction)
+
+
+def load_supervised_criterion(path_checkpoint):
+    """Reference `loadSupervisedCriterion` (`feature_loader.py:159-173`):
+    build a PhoneCriterion from the checkpoint args and load its state."""
+    from .losses import PhoneCriterion
+    from .data.corpus import parse_seq_labels
+    *_, args = get_checkpoint_data(os.path.dirname(path_checkpoint))
+    _, n_phones = parse_seq_labels(args.pathPhone)
+    criterion = PhoneCriterion(dim_encoder=args.hiddenGar,
+                               n_phones=n_phones,
+                               on_encoder=args.onEncoder)
+    dummy_c = jnp.zeros((1, 8, args.hiddenGar))
+    variables = criterion.init(jax.random.PRNGKey(0), dummy_c, dummy_c,
+                               jnp.zeros((1, 8), jnp.int32), train=False)
+    state_dict = load_torch_checkpoint(path_checkpoint)
+    params, _, _ = params_from_torch_state_dict(state_dict["cpcCriterion"],
+                                                variables['params'])
+    return CriterionWrapper(criterion, {'params': _merge_trees(
+        variables['params'], params)}), n_phones
+
+
+loadSupervisedCriterion = load_supervised_criterion
+
+
+class ModelPhoneCombined:
+    """Feature maker + phone classifier (reference
+    `feature_loader.py:85-115`)."""
+
+    def __init__(self, model, criterion, one_hot: bool):
+        self.model = model
+        self.criterion = criterion
+        self.oneHot = one_hot
+
+    def get_downsampling_factor(self):
+        return self.model.get_downsampling_factor()
+
+    getDownsamplingFactor = get_downsampling_factor
+
+    def __call__(self, data):
+        c_feature = self.model(data)
+        pred = self.criterion.get_prediction(c_feature)
+        p = pred.shape[2]
+        if self.oneHot:
+            pred = jnp.argmax(pred, axis=2)
+            pred = to_one_hot(pred, p)
+        else:
+            pred = jax.nn.softmax(pred, axis=2)
+        return pred
+
+
+class ModelClusterCombined:
+    """Feature maker + k-means quantizer (reference
+    `feature_loader.py:118-147`)."""
+
+    def __init__(self, model, cluster, nk: int, out_format: str):
+        if out_format not in ['oneHot', 'int', 'softmax']:
+            raise ValueError(f'Invalid output format {out_format}')
+        self.model = model
+        self.cluster = cluster
+        self.nk = nk
+        self.outFormat = out_format
+
+    def get_downsampling_factor(self):
+        return self.model.get_downsampling_factor()
+
+    getDownsamplingFactor = get_downsampling_factor
+
+    def __call__(self, data):
+        c_feature = self.model(data)
+        pred = self.cluster(c_feature)
+        if self.outFormat == 'oneHot':
+            pred = jnp.argmin(pred, axis=2)
+            pred = to_one_hot(pred, self.nk)
+        elif self.outFormat == 'int':
+            pred = jnp.argmin(pred, axis=2)
+        else:
+            pred = jax.nn.softmax(-pred, axis=2)
+        return pred
