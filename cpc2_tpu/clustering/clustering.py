@@ -275,8 +275,8 @@ def fastDPMean(dataLoader, featureMaker, l, MAX_ITER=100, batchSize=1000,
             features = np.asarray(featureMaker(data)).reshape(-1, d)
             assign, dist = _dp_assign(jnp.asarray(features),
                                       jnp.asarray(_padded(mu, k)))
-            assign = np.asarray(assign)
-            dist = np.asarray(dist)
+            assign = np.array(assign)
+            dist = np.array(dist)
             max_dist = dist.max()
             if max_dist > l:
                 idx = int(dist.argmax())
