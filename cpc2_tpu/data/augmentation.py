@@ -50,11 +50,21 @@ def peak_normalization(wav: np.ndarray) -> np.ndarray:
 
 class BandrejectAugment:
     """Reject a random mel-spaced band (reference `:16-61`):
-    F = 27*scaler; band width ~ U(0, melfmax*F/256) mel, start ~ U."""
+    F = 27*scaler; band width ~ U(0, melfmax*F/256) mel, start ~ U.
 
-    def __init__(self, scaler: float = 1.0, numtaps: int = 255):
+    Filter length is sized from the band width like sox's `sinc` (Kaiser
+    formula for ~120 dB stop-band attenuation) unless `numtaps` is given."""
+
+    def __init__(self, scaler: float = 1.0, numtaps: Optional[int] = None):
         self.scaler = scaler
         self.numtaps = numtaps
+
+    @staticmethod
+    def _auto_numtaps(lo: float, hi: float, fs: float = SAMPLE_RATE) -> int:
+        transition = max(20.0, (hi - lo) * 0.25)
+        n = int((120.0 - 7.95) / (2.285 * 2 * np.pi * transition / fs))
+        n = min(max(n, 255), 4001)
+        return n | 1  # odd
 
     @staticmethod
     def freq2mel(f):
@@ -82,8 +92,9 @@ class BandrejectAugment:
         hi = min(high, nyq - 1.0)
         if hi - lo < 2.0:  # degenerate band: no-op
             return x.astype(np.float32)
+        numtaps = self.numtaps or self._auto_numtaps(lo, hi)
         # 120 dB attenuation like sox `sinc -a 120` -> Kaiser beta ~ 12.
-        taps = sps.firwin(self.numtaps, [lo, hi], fs=SAMPLE_RATE,
+        taps = sps.firwin(numtaps, [lo, hi], fs=SAMPLE_RATE,
                           window=('kaiser', 12.0), pass_zero='bandstop')
         y = sps.fftconvolve(x, taps[None, :], mode='same')
         return y.astype(np.float32)

@@ -1,0 +1,122 @@
+"""End-to-end training tests: the full CLI on a tiny corpus over a simulated
+2-device mesh — loss decreases, reference-format checkpoints, auto-resume,
+and reference-code readability of what we save. Coverage the reference never
+had (`SURVEY.md` §4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from cpc2_tpu import train
+from cpc2_tpu.io.torch_ckpt import load_torch_checkpoint
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory, mini_corpus_module):
+    ckpt = tmp_path_factory.mktemp("ckpt")
+    base = ['--pathDB', str(mini_corpus_module), '--file_extension', '.wav',
+            '--pathCheckpoint', str(ckpt),
+            '--hiddenEncoder', '32', '--hiddenGar', '32',
+            '--nPredicts', '4', '--negativeSamplingExt', '8',
+            '--sizeWindow', '4160', '--nGPU', '2', '--batchSizeGPU', '2',
+            '--rnnMode', 'linear', '--arMode', 'GRU',
+            '--samplingType', 'uniform', '--random_seed', '42',
+            '--logging_step', '50', '--save_step', '1']
+    train.main(base + ['--nEpoch', '2'])
+    return ckpt, base
+
+
+@pytest.fixture(scope="module")
+def mini_corpus_module(tmp_path_factory):
+    from cpc2_tpu.data.audio_io import save_wav
+    root = tmp_path_factory.mktemp("db")
+    rs = np.random.RandomState(0)
+    for s, spk in enumerate(['s1', 's2', 's3']):
+        d = root / spk / 'c1'
+        d.mkdir(parents=True)
+        for i in range(3):
+            n = 30000 + 1000 * i
+            t = np.arange(n) / 16000.0
+            x = (0.3 * np.sin(2 * np.pi * (100 + 50 * i + 70 * s) * t)
+                 + 0.05 * rs.randn(n)).astype(np.float32)
+            save_wav(str(d / f'{spk}-c1-{i:04d}.wav'), x, 16000)
+    return root
+
+
+class TestTrainE2E:
+
+    def test_checkpoint_layout(self, run_dir):
+        ckpt, _ = run_dir
+        files = sorted(os.listdir(ckpt))
+        assert 'checkpoint_0.pt' in files
+        assert 'checkpoint_1.pt' in files
+        assert 'checkpoint_args.json' in files
+        assert 'checkpoint_logs.json' in files
+
+    def test_loss_decreases(self, run_dir):
+        ckpt, _ = run_dir
+        with open(ckpt / 'checkpoint_logs.json') as f:
+            logs = json.load(f)
+        losses = [np.mean(x) for x in logs['locLoss_train']]
+        assert losses[-1] < losses[0]
+        accs = [np.mean(x) for x in logs['locAcc_train']]
+        assert accs[-1] > 1.0 / 9.0 * 0.5  # better than nothing
+
+    def test_checkpoint_reference_format(self, run_dir):
+        """The .pt must contain the reference's exact dict keys with torch
+        tensors under reference state-dict names."""
+        ckpt, _ = run_dir
+        state = load_torch_checkpoint(str(ckpt / 'checkpoint_1.pt'))
+        assert set(state.keys()) == {'gEncoder', 'cpcCriterion', 'optimizer',
+                                     'best'}
+        ge = state['gEncoder']
+        assert 'gEncoder.conv0.weight' in ge
+        assert ge['gEncoder.conv0.weight'].shape == (32, 1, 10)
+        assert 'gEncoder.batchNorm0.weight' in ge
+        assert tuple(ge['gEncoder.batchNorm0.weight'].shape) == (1, 32, 1)
+        assert 'gAR.baseNet.weight_ih_l0' in ge
+        crit = state['cpcCriterion']
+        assert 'wPrediction.predictors.0.weight' in crit
+
+    def test_checkpoint_loads_into_torch_modules(self, run_dir):
+        """Strict-load the saved encoder into real torch modules."""
+        torch = pytest.importorskip("torch")
+        ckpt, _ = run_dir
+        state = load_torch_checkpoint(str(ckpt / 'checkpoint_1.pt'))
+        from tests.test_parity_torch import build_torch_encoder
+        tenc = build_torch_encoder(32)
+        enc_sd = {k[len('gEncoder.'):]: v
+                  for k, v in state['gEncoder'].items()
+                  if k.startswith('gEncoder.')}
+        tenc.load_state_dict(enc_sd)
+        tgru = torch.nn.GRU(32, 32, batch_first=True)
+        gru_sd = {k[len('gAR.baseNet.'):]: v
+                  for k, v in state['gEncoder'].items()
+                  if k.startswith('gAR.baseNet.')}
+        tgru.load_state_dict(gru_sd)
+
+    def test_auto_resume(self, run_dir, capsys):
+        ckpt, base = run_dir
+        train.main(base + ['--nEpoch', '3'])
+        out = capsys.readouterr().out
+        assert 'Checkpoint detected' in out
+        assert 'Starting epoch 2' in out
+        assert 'checkpoint_2.pt' in os.listdir(ckpt)
+
+    def test_roundtrip_through_load_model(self, run_dir):
+        """Our own loadModel must rebuild the trained model from the
+        checkpoint and produce identical features."""
+        from cpc2_tpu import feature_loader as fl
+        import jax.numpy as jnp
+        ckpt, _ = run_dir
+        bundle, hg, he = fl.loadModel([str(ckpt / 'checkpoint_2.pt')])
+        assert (hg, he) == (32, 32)
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(1, 4160).astype(np.float32))
+        c, e, _, _ = bundle.apply(x)
+        assert c.shape == (1, 26, 32)
+        assert np.isfinite(np.asarray(c)).all()
