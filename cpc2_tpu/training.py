@@ -81,7 +81,13 @@ def build_steps(model: nn.Module, criterion: nn.Module,
 
     Batch layout: (B_local*n_dev, 2, 1, W) float32 on axis 0 of the mesh.
     """
-    has_bs = None  # resolved lazily from state
+    # The reference runs the AR over BOTH halves of the two-view batch and
+    # discards the future half's context (`train.py:99-104`). XLA cannot DCE
+    # half a `lax.scan` batch, so the forward is split explicitly: encoder on
+    # the combined batch, AR on the past half only — identical outputs for
+    # everything the loss consumes, half the recurrence cost. CPCBertModel
+    # keeps the reference's single forward (its mask label couples halves).
+    is_bert = model.__class__.__name__ == 'CPCBertModel'
 
     def forward(params, batch_stats, batch, labels, quality, rng, train,
                 mask_indices):
@@ -104,23 +110,50 @@ def build_steps(model: nn.Module, criterion: nn.Module,
         key = jax.random.fold_in(jax.random.fold_in(rng, dev), 0)
         k_drop, k_neg, k_drop2 = jax.random.split(key, 3)
 
-        kwargs = dict(train=train)
-        if uses_mask:
-            kwargs['mask_indices'] = mask_indices
-        if mutable:
-            (c, e, lab, _), updates = model.apply(
-                model_vars, combined, labels2, rngs={'dropout': k_drop},
-                mutable=mutable, **kwargs)
-            new_bs = {'model': updates['batch_stats']}
+        new_bs = batch_stats
+        if is_bert:
+            kwargs = dict(train=train)
+            if uses_mask:
+                kwargs['mask_indices'] = mask_indices
+            if mutable:
+                (c, e, lab, _), updates = model.apply(
+                    model_vars, combined, labels2,
+                    rngs={'dropout': k_drop}, mutable=mutable, **kwargs)
+                new_bs = {'model': updates['batch_stats']}
+            else:
+                c, e, lab, _ = model.apply(model_vars, combined, labels2,
+                                           rngs={'dropout': k_drop},
+                                           **kwargs)
+            c = c[:b]
+            e = e[b:]
+            lab = lab[:b] if (lab is not None and hasattr(lab, 'ndim')
+                              and lab.ndim >= 1) else lab
         else:
-            c, e, lab, _ = model.apply(model_vars, combined, labels2,
-                                       rngs={'dropout': k_drop}, **kwargs)
-            new_bs = batch_stats
+            def encode(m, x):
+                return m.gEncoder(x, train=train)
 
-        c = c[:b]
-        e = e[b:]
-        lab = lab[:b] if (lab is not None and hasattr(lab, 'ndim')
-                          and lab.ndim >= 1) else lab
+            if mutable:
+                encoded, updates = model.apply(
+                    model_vars, combined, method=encode, mutable=mutable,
+                    rngs={'dropout': k_drop})
+                new_bs = {'model': updates['batch_stats']}
+            else:
+                encoded = model.apply(model_vars, combined, method=encode,
+                                      rngs={'dropout': k_drop})
+            e = encoded[b:]
+            ar_input = encoded[:b]
+            if uses_mask and mask_indices is not None \
+                    and 'mask_emb' in params['model']:
+                mask_emb = params['model']['mask_emb']
+                ar_input = jnp.where(mask_indices[:b][..., None], mask_emb,
+                                     ar_input)
+
+            def context(m, z):
+                return m.gAR(z, hidden=None, train=train)[0]
+
+            c = model.apply(model_vars, ar_input, method=context,
+                            rngs={'dropout': k_drop})
+            lab = labels
 
         crit_vars = {'params': params['criterion']}
         losses, accs = criterion.apply(
