@@ -95,6 +95,23 @@ def _match_path(template: Mapping, path: Tuple[str, ...]
     return None
 
 
+_STACK_RE = re.compile(r'^predictors_(\d+)$')
+
+
+def _match_stacked(template: Mapping, path: Tuple[str, ...]
+                   ) -> Optional[Tuple[Tuple[str, ...], int]]:
+    """PredictionNetwork heads are vmap-stacked under a single `predictors`
+    scope (leading axis K); torch keys are per-head `predictors.{k}.*`.
+    Returns (stacked flax path, head index) when this is such a key."""
+    for i, comp in enumerate(path):
+        m = _STACK_RE.match(comp)
+        if m:
+            alt = path[:i] + ('predictors',) + path[i + 1:]
+            if _tree_lookup(template, alt) is not None:
+                return alt, int(m.group(1))
+    return None
+
+
 def params_from_torch_state_dict(state_dict: Mapping[str, Any],
                                  params_template: Mapping,
                                  strict: bool = False,
@@ -105,6 +122,7 @@ def params_from_torch_state_dict(state_dict: Mapping[str, Any],
     params: Dict = {}
     batch_stats: Dict = {}
     unmatched = []
+    pending_stacks: Dict[Tuple[str, ...], Dict[int, np.ndarray]] = {}
     for key, value in state_dict.items():
         arr = np.asarray(value.detach().cpu().numpy()
                          if hasattr(value, 'detach') else value)
@@ -130,6 +148,20 @@ def params_from_torch_state_dict(state_dict: Mapping[str, Any],
             continue
         match = _match_path(params_template, path)
         if match is None:
+            stacked = _match_stacked(params_template, path)
+            if stacked is not None:
+                alt, head = stacked
+                target = _tree_lookup(params_template, alt)
+                slice_shape = tuple(target.shape)[1:]
+                if arr.shape != slice_shape:
+                    if arr.size == int(np.prod(slice_shape)):
+                        arr = arr.reshape(slice_shape)
+                    else:
+                        raise ValueError(
+                            f"Shape mismatch for {key}: torch {arr.shape} "
+                            f"vs stacked slice {slice_shape}")
+                pending_stacks.setdefault(alt, {})[head] = arr
+                continue
             unmatched.append(key)
             continue
         target = _tree_lookup(params_template, match)
@@ -143,6 +175,16 @@ def params_from_torch_state_dict(state_dict: Mapping[str, Any],
                     f"flax {tshape}")
         _tree_set(params, match, arr.astype(target.dtype)
                   if hasattr(target, 'dtype') else arr)
+    for alt, slices in pending_stacks.items():
+        target = _tree_lookup(params_template, alt)
+        k = int(target.shape[0])
+        missing = [i for i in range(k) if i not in slices]
+        if missing:
+            raise KeyError(f"Missing predictor heads {missing} for "
+                           f"{'.'.join(alt)}")
+        stacked_arr = np.stack([slices[i] for i in range(k)], axis=0)
+        _tree_set(params, alt, stacked_arr.astype(target.dtype)
+                  if hasattr(target, 'dtype') else stacked_arr)
     if strict and unmatched:
         raise KeyError(f"Unmatched torch keys: {unmatched}")
     return params, batch_stats, unmatched
@@ -214,6 +256,15 @@ def params_to_torch_state_dict(params: Mapping,
     out: Dict[str, Any] = {}
     for path, value in _iter_leaves(params):
         arr = np.asarray(value)
+        # vmap-stacked prediction heads: unstack axis 0 back into the
+        # reference's per-head `predictors.{k}.*` keys.
+        if 'predictors' in path:
+            i = path.index('predictors')
+            for k in range(arr.shape[0]):
+                sub_path = (path[:i] + (f'predictors_{k}',) + path[i + 1:])
+                key = _torch_key_from_path(sub_path, hint)
+                out[key] = torch.from_numpy(np.ascontiguousarray(arr[k]))
+            continue
         # BatchNorm scale/bias live under .../bn/
         if len(path) >= 2 and path[-2] == 'bn':
             leaf = 'weight' if path[-1] == 'scale' else 'bias'

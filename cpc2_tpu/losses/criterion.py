@@ -101,6 +101,13 @@ def _linear_predictor_init(dim_ar: int, dim_enc: int, residual_std: float = 0.01
 class PredictionNetwork(nn.Module):
     """K independent prediction heads (`criterion.py:97-173`).
 
+    TPU-first: all K heads run as ONE `nn.vmap`-lifted module with stacked
+    parameters (leading axis K) — XLA batches the K heads' matmuls into
+    single kernels instead of emitting K sequential graphs. The per-head
+    parameter tensors live stacked under the `predictors` scope; the
+    checkpoint converter splits/stacks them to the reference's
+    `predictors.{k}.*` names.
+
     Returns the stacked predictions `(B, K, W, dim_enc)`; the score
     computation (reference `outK = (locC*candidates[k]).mean(dim=3)`)
     moves into the fused criterion.
@@ -115,42 +122,50 @@ class PredictionNetwork(nn.Module):
     @nn.compact
     def __call__(self, c: Array, train: bool = True) -> Array:
         det = not train
-        outs = []
-        for k in range(self.n_predicts):
-            name = f'predictors_{k}'
-            if self.rnn_mode == 'RNN':
-                # Reference quirk kept: nn.RNN without batch_first receives
-                # (B, W, C) and scans over axis 0 (treats batch as time).
-                net = _StackedRNN(self.dim_ar, self.dim_enc, 1, 'RNN',
-                                  name=name)
-                y, _ = net(jnp.swapaxes(c, 0, 1))
-                y = jnp.swapaxes(y, 0, 1)
-            elif self.rnn_mode == 'LSTM':
-                net = _StackedRNN(self.dim_ar, self.dim_enc, 1, 'LSTM',
-                                  name=name)
-                y, _ = net(c)
-            elif self.rnn_mode == 'ffd':
-                y = FFNetwork(self.dim_enc, self.dim_enc, 0.0, name=name)(
-                    c, det)
-            elif self.rnn_mode in ('conv4', 'conv8', 'conv12'):
-                ksize = int(self.rnn_mode[4:])
-                y = ShiftedConv(self.dim_enc, ksize, name=name)(c)
-            elif self.rnn_mode == 'transformer':
-                net = TransformerAR(dim_encoded=self.dim_enc,
-                                    dim_ar=self.dim_ar, n_layers=1,
-                                    size_seq=self.size_input_seq,
-                                    abspos=False, name=name)
-                y, _ = net(c, train=train)
-            else:  # 'linear' / None / False
-                y = TorchLinear(
-                    self.dim_enc, use_bias=False,
-                    kernel_init=_linear_predictor_init(self.dim_ar,
-                                                       self.dim_enc),
-                    name=name)(c)
-            if self.dropout:
-                y = Dropout(0.5, name=f'drop_{k}')(y, det)
-            outs.append(y)
-        return jnp.stack(outs, axis=1)  # (B, K, W, D)
+        vmap_kw = dict(variable_axes={'params': 0},
+                       split_rngs={'params': True, 'dropout': True},
+                       in_axes=None, out_axes=0,
+                       axis_size=self.n_predicts)
+
+        if self.rnn_mode == 'RNN':
+            # Reference quirk kept: nn.RNN without batch_first receives
+            # (B, W, C) and scans over axis 0 (treats batch as time).
+            net = nn.vmap(_StackedRNN, **vmap_kw)(
+                self.dim_ar, self.dim_enc, 1, 'RNN', name='predictors')
+            ys, _ = net(jnp.swapaxes(c, 0, 1))   # (K, W, B, D)
+            ys = jnp.transpose(ys, (2, 0, 1, 3))
+        elif self.rnn_mode == 'LSTM':
+            net = nn.vmap(_StackedRNN, **vmap_kw)(
+                self.dim_ar, self.dim_enc, 1, 'LSTM', name='predictors')
+            ys, _ = net(c)                        # (K, B, W, D)
+            ys = jnp.swapaxes(ys, 0, 1)
+        elif self.rnn_mode == 'ffd':
+            net = nn.vmap(FFNetwork, **vmap_kw)(
+                self.dim_enc, self.dim_enc, 0.0, name='predictors')
+            ys = jnp.swapaxes(net(c, det), 0, 1)
+        elif self.rnn_mode in ('conv4', 'conv8', 'conv12'):
+            ksize = int(self.rnn_mode[4:])
+            net = nn.vmap(ShiftedConv, **vmap_kw)(
+                self.dim_enc, ksize, name='predictors')
+            ys = jnp.swapaxes(net(c), 0, 1)
+        elif self.rnn_mode == 'transformer':
+            net = nn.vmap(TransformerAR, **vmap_kw)(
+                dim_encoded=self.dim_enc, dim_ar=self.dim_ar, n_layers=1,
+                size_seq=self.size_input_seq, abspos=False,
+                name='predictors')
+            ys, _ = net(c, train=train)           # (K, B, W, D)
+            ys = jnp.swapaxes(ys, 0, 1)
+        else:  # 'linear' / None / False
+            net = nn.vmap(TorchLinear, **vmap_kw)(
+                self.dim_enc, use_bias=False,
+                kernel_init=_linear_predictor_init(self.dim_ar,
+                                                   self.dim_enc),
+                name='predictors')
+            ys = jnp.swapaxes(net(c), 0, 1)
+        if self.dropout:
+            # reference: independent 0.5 dropout per head output
+            ys = Dropout(0.5, name='drop')(ys, det)
+        return ys  # (B, K, W, D)
 
 
 class MultiHeadPredictionNetwork(nn.Module):

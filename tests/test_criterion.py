@@ -62,12 +62,10 @@ class TestInfoNCE:
         losses, accs = crit.apply(params, jnp.asarray(c), jnp.asarray(z),
                                   None,
                                   negative_indices=jnp.asarray(neg_idx))
-        weight = np.asarray(
-            params['params']['wPrediction']['predictors_0']['weight'])
-        preds = np.stack([
-            c[:, :w] @ np.asarray(
-                params['params']['wPrediction'][f'predictors_{ki}']['weight']
-            ).T for ki in range(k)], axis=1)
+        stacked_w = np.asarray(
+            params['params']['wPrediction']['predictors']['weight'])
+        preds = np.stack([c[:, :w] @ stacked_w[ki].T for ki in range(k)],
+                         axis=1)
         ref_losses, ref_accs = dense_infonce(preds, z, neg_idx, k)
         np.testing.assert_allclose(np.asarray(losses)[0], ref_losses,
                                    atol=1e-5)
@@ -127,14 +125,13 @@ class TestInfoNCE:
 
         tcrit = refmod.CPCUnsupersivedCriterion(
             k, d, d, n, rnnMode=None, sizeInputSeq=s)
-        # install our linear predictor weights
+        # install our linear predictor weights (vmap-stacked, axis 0 = k)
+        stacked_w = np.asarray(
+            params['params']['wPrediction']['predictors']['weight'])
         with torch.no_grad():
             for ki in range(k):
-                wgt = np.asarray(
-                    params['params']['wPrediction'][f'predictors_{ki}']
-                    ['weight'])
                 tcrit.wPrediction.predictors[ki].weight.copy_(
-                    torch.from_numpy(wgt))
+                    torch.from_numpy(stacked_w[ki].copy()))
         # monkeypatch sampleClean to use OUR negative indices
 
         def sample_clean(encoded_data, window_size):
