@@ -112,7 +112,16 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
     it = 0
     dropped = 0
 
+    profile_dir = getattr(args, 'profile_dir', None)
     for step, full_data in enumerate(data_loader):
+        if profile_dir is not None:
+            # Trace a small window of steady-state steps with jax.profiler.
+            if step == 5:
+                jax.profiler.start_trace(profile_dir)
+            elif step == 15:
+                jax.profiler.stop_trace()
+                print(f"Profiler trace written to {profile_dir}")
+                profile_dir = None
         sequence, label, quality, mask = _stack_batch(full_data, frames,
                                                       args, True)
         if sequence.shape[0] != expected_batch:
@@ -254,7 +263,12 @@ def run(train_dataset, val_dataset, batch_size, sampling_mode, state,
 
 def _save_training_checkpoint(state, best_params, model_bundle, args, path):
     """Reference layout: {gEncoder, cpcCriterion, optimizer, best} torch
-    pickle; model/criterion state dicts readable by the reference code."""
+    pickle; model/criterion state dicts readable by the reference code.
+
+    With --ckpt_format orbax, the full TrainState additionally goes into a
+    native orbax checkpoint (`<path>.orbax/`) used preferentially on resume
+    (exact optimizer state, async-friendly, no host pickling of 100M+ params
+    runs); the torch pickle stays for reference interop."""
     batch_stats = (state.batch_stats.get('model')
                    if state.batch_stats else None)
     model_sd = params_to_torch_state_dict(
@@ -269,8 +283,18 @@ def _save_training_checkpoint(state, best_params, model_bundle, args, path):
     if best_params is not None:
         best_sd = params_to_torch_state_dict(best_params['model'],
                                              norm_mode=args.normMode)
-    opt_np = jax.tree.map(np.asarray, state.opt_state)
-    save_checkpoint(model_sd, crit_sd, opt_np, best_sd, path)
+    if getattr(args, 'ckpt_format', 'torch') == 'orbax':
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path) + '.orbax',
+                   {'params': jax.tree.map(np.asarray, state.params),
+                    'opt_state': jax.tree.map(np.asarray, state.opt_state),
+                    'step': np.asarray(state.step)},
+                   force=True)
+        save_checkpoint(model_sd, crit_sd, {}, best_sd, path)
+    else:
+        opt_np = jax.tree.map(np.asarray, state.opt_state)
+        save_checkpoint(model_sd, crit_sd, opt_np, best_sd, path)
 
 
 def main(argv):
@@ -451,15 +475,30 @@ def main(argv):
     state = create_train_state(model_bundle.variables, criterion_vars, tx)
 
     if load_optimizer and args.load is not None:
-        state_dict = load_torch_checkpoint(args.load[0])
-        if "optimizer" in state_dict and not isinstance(
-                state_dict["optimizer"], dict):
-            try:
-                state = state.replace(opt_state=jax.tree.map(
-                    jnp.asarray, state_dict["optimizer"]))
-                print("Restored optimizer state")
-            except Exception as e:
-                print(f"Could not restore optimizer state: {e}")
+        orbax_dir = args.load[0] + '.orbax'
+        if os.path.isdir(orbax_dir):
+            import orbax.checkpoint as ocp
+            ckptr = ocp.PyTreeCheckpointer()
+            restored = ckptr.restore(
+                orbax_dir,
+                item={'params': state.params,
+                      'opt_state': state.opt_state,
+                      'step': np.asarray(state.step)})
+            state = state.replace(
+                params=jax.tree.map(jnp.asarray, restored['params']),
+                opt_state=jax.tree.map(jnp.asarray, restored['opt_state']),
+                step=jnp.asarray(restored['step']))
+            print("Restored full train state from orbax")
+        else:
+            state_dict = load_torch_checkpoint(args.load[0])
+            if "optimizer" in state_dict and not isinstance(
+                    state_dict["optimizer"], dict):
+                try:
+                    state = state.replace(opt_state=jax.tree.map(
+                        jnp.asarray, state_dict["optimizer"]))
+                    print("Restored optimizer state")
+                except Exception as e:
+                    print(f"Could not restore optimizer state: {e}")
 
     # Checkpoint dir
     if args.pathCheckpoint is not None:
