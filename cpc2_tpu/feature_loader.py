@@ -473,3 +473,35 @@ class ModelClusterCombined:
         else:
             pred = jax.nn.softmax(-pred, axis=2)
         return pred
+
+
+class CPCModule:
+    """Expose CPC prediction scores / cosine distances as features
+    (reference `feature_loader.py:57-82`)."""
+
+    def __init__(self, bundle: ModelBundle, criterion_wrapper,
+                 main_distance_only: bool = False, n_pred: int = -1):
+        self.bundle = bundle
+        self.criterion = criterion_wrapper  # CriterionWrapper over
+        # CPCUnsupervisedCriterion
+        self.n_pred = n_pred
+        self.main_distance_only = main_distance_only
+
+    def get_downsampling_factor(self):
+        return DOWNSAMPLING
+
+    getDownsamplingFactor = get_downsampling_factor
+
+    def __call__(self, data):
+        batch_audio, label = data
+        batch_audio = jnp.asarray(batch_audio)
+        if batch_audio.ndim >= 3:
+            batch_audio = batch_audio.reshape(batch_audio.shape[0], -1)
+        c, e, _, _ = self.bundle.apply(batch_audio, label, train=False)
+        crit = self.criterion
+        distances = crit.module.apply(crit.variables, c, e,
+                                      method=crit.module.cosine_distances)
+        preds = distances[:, self.n_pred]     # (B, W)
+        if self.main_distance_only:
+            return preds
+        return jax.nn.softmax(preds, axis=1)

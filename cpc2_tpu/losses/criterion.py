@@ -474,3 +474,18 @@ class CTCPhoneCriterion(BaseCriterion):
         loss = optax.ctc_loss(logits, logit_paddings, labels, label_paddings,
                               blank_id=self.n_phones)
         return jnp.mean(loss).reshape(1, 1), jnp.zeros((1, 1))
+
+
+class ModelCriterionCombined(nn.Module):
+    """Single-module fusion of model+criterion (reference
+    `criterion.py:499-508`; defined but unused by train.py there too)."""
+    model: nn.Module
+    criterion: nn.Module
+
+    @nn.compact
+    def __call__(self, data, label, train: bool = True):
+        c_feature, encoded_data, label, _ = self.model(data, label,
+                                                       train=train)
+        loss, acc = self.criterion(c_feature, encoded_data, label,
+                                   train=train)
+        return loss, acc

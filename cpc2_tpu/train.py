@@ -47,6 +47,15 @@ def get_criterion(args, downsampling, n_speakers, n_phones):
     if not getattr(args, 'supervised', False):
         if args.cpc_mode == 'none':
             return NoneCriterion()
+        if args.cpc_mode == 'bert':
+            # The reference's CPCUnsupersivedCriterion rejects mode='bert'
+            # (`criterion.py:232-233`) so its train.py cannot actually run
+            # BERT mode; wire the intended masked-position criterion
+            # (`criterion/research/bert.py`) instead.
+            from .losses import CPCBertCriterion
+            return CPCBertCriterion(
+                dim_ar=args.hiddenGar, dim_enc=args.hiddenEncoder,
+                negative_sampling_ext=args.negativeSamplingExt)
         size_input_seq = args.sizeWindow // downsampling
         return CPCUnsupervisedCriterion(
             n_predicts=args.nPredicts, dim_ar=args.hiddenGar,
@@ -83,6 +92,8 @@ def init_criterion_vars(criterion, args, model_bundle, seed=1):
     if getattr(args, 'supervised', False) and \
             getattr(args, 'pathPhone', None) is not None:
         label = jnp.zeros((b, frames), jnp.int32)
+    elif args.cpc_mode == 'bert':
+        label = jnp.zeros((b, frames), jnp.int32)  # mask labels
     rngs = {'params': jax.random.PRNGKey(seed),
             'negatives': jax.random.PRNGKey(seed + 1),
             'dropout': jax.random.PRNGKey(seed + 2)}

@@ -1,0 +1,104 @@
+"""Compile-check the full model/criterion configuration matrix: every
+arMode x rnnMode x cpc_mode combination must build, train one step, and
+produce finite losses on a simulated 2-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cpc2_tpu import feature_loader as fl
+from cpc2_tpu.config import get_default_cpc_config
+from cpc2_tpu.models.cpc import compute_bert_mask, compute_mask_indices
+from cpc2_tpu.models.encoder import encoded_seq_len
+from cpc2_tpu.parallel.mesh import make_mesh, shard_batch
+from cpc2_tpu.train import get_criterion, init_criterion_vars
+from cpc2_tpu.training import build_steps, create_train_state, make_optimizer
+
+
+def run_one_step(**overrides):
+    args = get_default_cpc_config()
+    args.hiddenEncoder = 16
+    args.hiddenGar = 16
+    args.nPredicts = 2
+    args.negativeSamplingExt = 4
+    args.sizeWindow = 3200
+    for k, v in overrides.items():
+        setattr(args, k, v)
+
+    mesh = make_mesh(2)
+    bundle = fl.init_model(args, seed=0)
+    criterion = get_criterion(args, 160, n_speakers=4, n_phones=None)
+    crit_vars = init_criterion_vars(criterion, args, bundle)
+    tx = make_optimizer(args)
+    state = create_train_state(bundle.variables, crit_vars, tx)
+    uses_mask = args.cpc_mode == 'bert' or args.mask_prob > 0
+    train_step, val_step = build_steps(bundle.module, criterion, tx, mesh,
+                                       uses_mask=uses_mask)
+
+    b = 4
+    rng = np.random.RandomState(0)
+    batch = rng.randn(b, 2, 1, args.sizeWindow).astype(np.float32)
+    labels = np.zeros((b,), np.int32)
+    batch, labels = shard_batch(mesh, batch, labels)
+    mask = None
+    if uses_mask:
+        frames = encoded_seq_len(args.sizeWindow)
+        if args.cpc_mode == 'bert':
+            m = compute_bert_mask((2 * b, frames), 2, args.nPredicts)
+        else:
+            m = compute_mask_indices((2 * b, frames), args.mask_prob,
+                                     args.mask_length, min_masks=2)
+        mask = shard_batch(mesh, m)
+    state, losses, accs = train_step(state, batch, labels,
+                                     jax.random.PRNGKey(0),
+                                     mask_indices=mask)
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all(), losses
+    return losses
+
+
+class TestConfigMatrix:
+
+    @pytest.mark.parametrize("ar_mode", ["GRU", "LSTM", "RNN", "no_ar",
+                                         "transformer"])
+    def test_ar_modes(self, ar_mode):
+        run_one_step(arMode=ar_mode, rnnMode='linear')
+
+    @pytest.mark.parametrize("rnn_mode", ["transformer", "RNN", "LSTM",
+                                          "linear", "ffd", "conv4", "conv8",
+                                          "conv12"])
+    def test_predictor_modes(self, rnn_mode):
+        run_one_step(arMode='GRU', rnnMode=rnn_mode)
+
+    def test_multihead(self):
+        run_one_step(arMode='GRU', rnnMode='transformer', multihead_rnn=True)
+
+    def test_reverse_mode(self):
+        run_one_step(arMode='GRU', rnnMode='linear', cpc_mode='reverse')
+
+    def test_none_mode(self):
+        losses = run_one_step(arMode='GRU', rnnMode='linear',
+                              cpc_mode='none')
+        assert (losses == 0).all()
+
+    def test_bert_mode(self):
+        run_one_step(arMode='GRU', rnnMode='linear', cpc_mode='bert')
+
+    def test_wav2vec_masking(self):
+        run_one_step(arMode='GRU', rnnMode='linear', mask_prob=0.05)
+
+    def test_dropout_flag(self):
+        run_one_step(arMode='GRU', rnnMode='transformer', dropout=True)
+
+    def test_norm_modes(self):
+        for norm in ("instanceNorm", "ID", "batchNorm"):
+            run_one_step(arMode='GRU', rnnMode='linear', normMode=norm)
+
+    def test_encoder_types(self):
+        for enc in ("mfcc", "lfb"):
+            run_one_step(arMode='GRU', rnnMode='linear', encoder_type=enc)
+
+    def test_nlevels_gru(self):
+        run_one_step(arMode='GRU', rnnMode='linear', nLevelsGRU=2)
