@@ -59,24 +59,46 @@ def get_euclidian_distance_batch(a1, a2):
     return _euclid_dist(jnp.asarray(a1), jnp.asarray(a2))
 
 
+def _bucket_small(n: int) -> int:
+    """Bucket group counts to limit shape-triggered recompiles (ABX groups
+    have highly variable sizes; every distinct shape is a fresh XLA
+    compile)."""
+    for s in (1, 2, 4, 8, 16, 24, 32, 48, 64, 96, 128):
+        if n <= s:
+            return s
+    return int(np.ceil(n / 128) * 128)
+
+
 def get_distance_group_dtw(a1, a2, size1, size2, ignore_diag=False,
                            symmetric=False,
                            distance_function=get_cosine_distance_batch):
     """(N1,S1,D) x (N2,S2,D) -> (N1,N2) DTW-averaged distances
-    (reference `abx_group_computation.py:45-60`), fully on device."""
+    (reference `abx_group_computation.py:45-60`), fully on device.
+
+    All four shape dimensions are padded to buckets so the whole ABX run
+    compiles a handful of kernels instead of one per distinct group shape;
+    padded pairs get length-1 DTWs and are sliced away."""
     n1_, s1, d = a1.shape
     n2_, s2, _ = a2.shape
     assert size1.shape[0] == n1_ and size2.shape[0] == n2_
 
-    dist_mat = distance_function(a1, a2)                 # (N1,N2,S1,S2)
+    bn1, bn2 = _bucket_small(n1_), _bucket_small(n2_)
     p1, p2 = _bucket(s1), _bucket(s2)
-    if (p1, p2) != (s1, s2):
-        dist_mat = jnp.pad(dist_mat, ((0, 0), (0, 0), (0, p1 - s1),
-                                      (0, p2 - s2)))
-    flat = dist_mat.reshape(n1_ * n2_, p1, p2)
-    len1 = jnp.repeat(jnp.asarray(size1, jnp.int32), n2_)
-    len2 = jnp.tile(jnp.asarray(size2, jnp.int32), n1_)
-    out = np.array(dtw_normalized(flat, len1, len2)).reshape(n1_, n2_)
+    a1p = np.zeros((bn1, p1, d), np.float32)
+    a1p[:n1_, :s1] = np.asarray(a1)
+    a2p = np.zeros((bn2, p2, d), np.float32)
+    a2p[:n2_, :s2] = np.asarray(a2)
+    len1 = np.ones(bn1, np.int32)
+    len1[:n1_] = np.asarray(size1)
+    len2 = np.ones(bn2, np.int32)
+    len2[:n2_] = np.asarray(size2)
+
+    dist_mat = distance_function(jnp.asarray(a1p), jnp.asarray(a2p))
+    flat = dist_mat.reshape(bn1 * bn2, p1, p2)
+    l1 = jnp.repeat(jnp.asarray(len1), bn2)
+    l2 = jnp.tile(jnp.asarray(len2), bn1)
+    out = np.array(dtw_normalized(flat, l1, l2)).reshape(bn1, bn2)
+    out = out[:n1_, :n2_]
     if ignore_diag:
         np.fill_diagonal(out, 0.0)
     return out

@@ -31,6 +31,8 @@ def reduce_sparse_data(quotient, divisor):
 def _scatter_dense(coords, values, board_size):
     dense = np.zeros(board_size, dtype=np.float64)
     counts = np.zeros(board_size, dtype=np.float64)
+    if len(values) == 0:
+        return dense, counts
     np.add.at(dense, tuple(coords.T), values)
     np.add.at(counts, tuple(coords.T), 1.0)
     return dense, counts
