@@ -122,6 +122,11 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
     logs, last_logs = {}, None
     it = 0
     dropped = 0
+    keep_hidden = getattr(args, '_keep_hidden', False)
+    hidden = None
+    if keep_hidden:
+        from .training import init_hidden
+        hidden = init_hidden(None, args, expected_batch)
 
     profile_dir = getattr(args, 'profile_dir', None)
     for step, full_data in enumerate(data_loader):
@@ -145,9 +150,14 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         if mask is not None:
             mask = shard_batch(mesh, mask)
         n_examples += sequence.shape[0]
-        state, all_losses, all_acc = train_step(state, batch, label, rng,
-                                                quality=quality,
-                                                mask_indices=mask)
+        if keep_hidden:
+            state, all_losses, all_acc, hidden = train_step(
+                state, batch, label, rng, quality=quality,
+                mask_indices=mask, hidden=hidden)
+        else:
+            state, all_losses, all_acc = train_step(state, batch, label,
+                                                    rng, quality=quality,
+                                                    mask_indices=mask)
         if all_losses.size > 0:
             if "locLoss_train" not in logs:
                 logs["locLoss_train"] = np.zeros(all_losses.shape[1])
@@ -182,6 +192,11 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
               expected_batch):
     logs = {}
     it = 0
+    keep_hidden = getattr(args, '_keep_hidden', False)
+    hidden = None
+    if keep_hidden:
+        from .training import init_hidden
+        hidden = init_hidden(None, args, expected_batch)
     for step, full_data in enumerate(data_loader):
         sequence, label, quality, mask = _stack_batch(full_data, frames,
                                                       args, False)
@@ -191,8 +206,12 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
                                    np.asarray(label))
         if mask is not None:
             mask = shard_batch(mesh, mask)
-        all_losses, all_acc = val_step(state, batch, label, rng,
-                                       mask_indices=mask)
+        if keep_hidden:
+            all_losses, all_acc, hidden = val_step(
+                state, batch, label, rng, mask_indices=mask, hidden=hidden)
+        else:
+            all_losses, all_acc = val_step(state, batch, label, rng,
+                                           mask_indices=mask)
         if "locLoss_val" not in logs:
             logs["locLoss_val"] = np.zeros(all_losses.shape[1])
             logs["locAcc_val"] = np.zeros(all_losses.shape[1])
@@ -524,10 +543,14 @@ def main(argv):
                                    args.schedulerRamp)
 
     uses_mask = args.cpc_mode == 'bert' or args.mask_prob > 0
+    keep_hidden = (args.samplingType == 'sequential'
+                   and args.arMode in ('GRU', 'LSTM', 'RNN')
+                   and args.cpc_mode != 'bert')
+    args._keep_hidden = keep_hidden
     train_step, val_step = build_steps(
         model_bundle.module, criterion, tx, mesh,
         has_quality=args.signal_quality_path is not None,
-        uses_mask=uses_mask)
+        uses_mask=uses_mask, keep_hidden=keep_hidden)
 
     run(train_dataset, val_dataset, batch_size, args.samplingType, state,
         train_step, val_step, mesh, args, args.nEpoch,

@@ -29,10 +29,12 @@ import optax
 from flax import linen as nn
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+import functools as _functools
 try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+    shard_map = _functools.partial(jax.shard_map, check_vma=False)
+except AttributeError:  # older jax
+    from jax.experimental.shard_map import shard_map as _sm
+    shard_map = _functools.partial(_sm, check_rep=False)
 
 Array = jax.Array
 
@@ -77,12 +79,28 @@ def create_train_state(model_vars: Dict, criterion_vars: Dict,
                       batch_stats=batch_stats, step=jnp.zeros((), jnp.int32))
 
 
+def init_hidden(model, args, batch_size: int):
+    """Zero AR hidden state for the stateful (`keepHidden`) training mode:
+    (nLevelsGRU, B, H) arrays — a (h, c) tuple for LSTM."""
+    shape = (args.nLevelsGRU, batch_size, args.hiddenGar)
+    h = jnp.zeros(shape, jnp.float32)
+    if args.arMode == 'LSTM':
+        return (h, jnp.zeros(shape, jnp.float32))
+    return h
+
+
 def build_steps(model: nn.Module, criterion: nn.Module,
                 tx: optax.GradientTransformation, mesh: Mesh,
-                has_quality: bool = False, uses_mask: bool = False):
+                has_quality: bool = False, uses_mask: bool = False,
+                keep_hidden: bool = False):
     """Returns (train_step, val_step), jitted over `mesh`.
 
     Batch layout: (B_local*n_dev, 2, 1, W) float32 on axis 0 of the mesh.
+
+    keep_hidden: thread the AR hidden state across steps (the reference's
+    `keepHidden=True` under `--samplingType sequential`,
+    `feature_loader.py:230-232`); the carry is stop-gradiented like the
+    reference's `.detach()` (`cpc/model.py:196-201`).
     """
     # The reference runs the AR over BOTH halves of the two-view batch and
     # discards the future half's context (`train.py:99-104`). XLA cannot DCE
@@ -93,7 +111,7 @@ def build_steps(model: nn.Module, criterion: nn.Module,
     is_bert = model.__class__.__name__ == 'CPCBertModel'
 
     def forward(params, batch_stats, batch, labels, quality, rng, train,
-                mask_indices):
+                mask_indices, hidden=None):
         b = batch.shape[0]
         past, future = batch[:, 0, 0, :], batch[:, 1, 0, :]
         combined = jnp.concatenate([past, future], axis=0)
@@ -152,27 +170,33 @@ def build_steps(model: nn.Module, criterion: nn.Module,
                                      ar_input)
 
             def context(m, z):
-                return m.gAR(z, hidden=None, train=train)[0]
+                return m.gAR(z, hidden=hidden, train=train)
 
-            c = model.apply(model_vars, ar_input, method=context,
-                            rngs={'dropout': k_drop})
+            c, new_hidden = model.apply(model_vars, ar_input, method=context,
+                                        rngs={'dropout': k_drop})
             lab = labels
 
         crit_vars = {'params': params['criterion']}
         losses, accs = criterion.apply(
             crit_vars, c, e, lab, quality, train=train,
             rngs={'negatives': k_neg, 'dropout': k_drop2})
-        return losses, accs, new_bs
+        if is_bert or not keep_hidden:
+            new_hidden = None
+        elif new_hidden is not None:
+            # reference detaches the carried hidden (`model.py:196-201`)
+            new_hidden = jax.lax.stop_gradient(new_hidden)
+        return losses, accs, new_bs, new_hidden
 
     def train_body(state: TrainState, batch, labels, quality, rng,
-                   mask_indices):
+                   mask_indices, hidden):
         def loss_fn(params):
-            losses, accs, new_bs = forward(
+            losses, accs, new_bs, new_hidden = forward(
                 params, state.batch_stats, batch, labels, quality,
-                jax.random.fold_in(rng, state.step), True, mask_indices)
-            return jnp.sum(losses), (losses, accs, new_bs)
+                jax.random.fold_in(rng, state.step), True, mask_indices,
+                hidden)
+            return jnp.sum(losses), (losses, accs, new_bs, new_hidden)
 
-        grads, (losses, accs, new_bs) = jax.grad(
+        grads, (losses, accs, new_bs, new_hidden) = jax.grad(
             loss_fn, has_aux=True)(state.params)
         grads = jax.lax.pmean(grads, 'data')
         losses = jax.lax.pmean(losses, 'data')
@@ -183,36 +207,54 @@ def build_steps(model: nn.Module, criterion: nn.Module,
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=new_params, opt_state=new_opt,
                                batch_stats=new_bs, step=state.step + 1)
-        return new_state, losses, accs
+        return new_state, losses, accs, new_hidden
 
     def val_body(state: TrainState, batch, labels, quality, rng,
-                 mask_indices):
-        losses, accs, _ = forward(state.params, state.batch_stats, batch,
-                                  labels, quality,
-                                  jax.random.fold_in(rng, state.step),
-                                  False, mask_indices)
-        return jax.lax.pmean(losses, 'data'), jax.lax.pmean(accs, 'data')
+                 mask_indices, hidden):
+        losses, accs, _, new_hidden = forward(
+            state.params, state.batch_stats, batch, labels, quality,
+            jax.random.fold_in(rng, state.step), False, mask_indices,
+            hidden)
+        return (jax.lax.pmean(losses, 'data'), jax.lax.pmean(accs, 'data'),
+                new_hidden)
 
     data_spec = P('data')
     rep = P()
+    hid_spec = P(None, 'data') if keep_hidden else rep
 
     n_in = (rep, data_spec, data_spec,
             data_spec if has_quality else rep, rep,
-            data_spec if uses_mask else rep)
+            data_spec if uses_mask else rep, hid_spec)
 
     train_sm = shard_map(train_body, mesh=mesh, in_specs=n_in,
-                         out_specs=(rep, rep, rep), check_rep=False)
+                         out_specs=(rep, rep, rep, hid_spec))
     val_sm = shard_map(val_body, mesh=mesh, in_specs=n_in,
-                       out_specs=(rep, rep), check_rep=False)
+                       out_specs=(rep, rep, hid_spec))
 
     train_jit = jax.jit(train_sm, donate_argnums=(0,))
     val_jit = jax.jit(val_sm)
 
-    def train_step(state, batch, labels, rng, quality=None,
-                   mask_indices=None):
-        return train_jit(state, batch, labels, quality, rng, mask_indices)
+    if keep_hidden:
+        def train_step(state, batch, labels, rng, quality=None,
+                       mask_indices=None, hidden=None):
+            return train_jit(state, batch, labels, quality, rng,
+                             mask_indices, hidden)
 
-    def val_step(state, batch, labels, rng, quality=None, mask_indices=None):
-        return val_jit(state, batch, labels, quality, rng, mask_indices)
+        def val_step(state, batch, labels, rng, quality=None,
+                     mask_indices=None, hidden=None):
+            return val_jit(state, batch, labels, quality, rng, mask_indices,
+                           hidden)
+    else:
+        def train_step(state, batch, labels, rng, quality=None,
+                       mask_indices=None):
+            out = train_jit(state, batch, labels, quality, rng,
+                            mask_indices, None)
+            return out[:3]
+
+        def val_step(state, batch, labels, rng, quality=None,
+                     mask_indices=None):
+            out = val_jit(state, batch, labels, quality, rng, mask_indices,
+                          None)
+            return out[:2]
 
     return train_step, val_step

@@ -102,3 +102,33 @@ class TestConfigMatrix:
 
     def test_nlevels_gru(self):
         run_one_step(arMode='GRU', rnnMode='linear', nLevelsGRU=2)
+
+
+class TestStatefulSequential:
+
+    def test_sequential_keep_hidden(self, tmp_path):
+        """samplingType=sequential threads the AR hidden state across steps
+        (reference keepHidden, `feature_loader.py:230-232`)."""
+        import tempfile
+        from cpc2_tpu import train as train_cli
+        from cpc2_tpu.data.audio_io import save_wav
+        root = tmp_path / "db"
+        rs = np.random.RandomState(0)
+        for spk in ['a', 'b']:
+            d = root / spk / 'c'
+            d.mkdir(parents=True)
+            for i in range(2):
+                x = (0.2 * np.sin(np.arange(26000) * 0.03)
+                     + 0.05 * rs.randn(26000)).astype(np.float32)
+                save_wav(str(d / f'{spk}-{i}.wav'), x, 16000)
+        ckpt = tmp_path / "ck"
+        train_cli.main(['--pathDB', str(root), '--file_extension', '.wav',
+                        '--pathCheckpoint', str(ckpt),
+                        '--hiddenEncoder', '16', '--hiddenGar', '16',
+                        '--nPredicts', '2', '--negativeSamplingExt', '4',
+                        '--sizeWindow', '3200', '--nEpoch', '1',
+                        '--nGPU', '1', '--batchSizeGPU', '2',
+                        '--rnnMode', 'linear', '--arMode', 'GRU',
+                        '--samplingType', 'sequential',
+                        '--random_seed', '5', '--save_step', '1'])
+        assert (ckpt / 'checkpoint_0.pt').exists()
