@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.dtw import dtw_normalized, _bucket
+from ...ops.dtw import dtw_normalized_auto as dtw_normalized, _bucket
 
 
 def get_distance_function_from_name(name_str: str):

@@ -22,8 +22,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data_axis_size: int = -1, devices=None) -> Mesh:
-    """1-D data-parallel mesh. data_axis_size == -1 uses all devices."""
-    devices = devices if devices is not None else jax.devices()
+    """1-D data-parallel mesh. data_axis_size == -1 uses all devices.
+
+    On multi-slice pods, devices are ordered slice-major so the gradient
+    psum's reduction tree keeps intra-slice hops on ICI and crosses DCN once
+    per slice (the multi-slice analogue of the reference's NCCL ring)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if len({getattr(d, 'slice_index', 0) for d in devices}) > 1:
+        devices.sort(key=lambda d: (getattr(d, 'slice_index', 0), d.id))
     if data_axis_size > 0:
         devices = devices[:data_axis_size]
     return Mesh(np.asarray(devices), ('data',))

@@ -245,3 +245,34 @@ class TestABXFeatureLoader:
         assert b_01[0].tolist() == [[[1.]]]
         assert next(it, False) is False
         assert iterator.get_board_size() == (2, 3, 3, 4)
+
+
+class TestPallasDTW:
+
+    def test_pallas_matches_scan(self):
+        """The Pallas TPU kernel (interpret mode on CPU) must match the
+        lax.scan wavefront exactly."""
+        from cpc2_tpu.ops.dtw_pallas import dtw_normalized_pallas
+        import jax.numpy as jnp
+        rng = np.random.RandomState(3)
+        b, s1, s2 = 9, 16, 24
+        dist = rng.rand(b, s1, s2).astype(np.float32)
+        n1 = rng.randint(2, s1 + 1, b).astype(np.int32)
+        n2 = rng.randint(2, s2 + 1, b).astype(np.int32)
+        ref = np.asarray(dtw_normalized(jnp.asarray(dist), jnp.asarray(n1),
+                                        jnp.asarray(n2)))
+        got = np.asarray(dtw_normalized_pallas(
+            jnp.asarray(dist), jnp.asarray(n1), jnp.asarray(n2),
+            interpret=True))
+        np.testing.assert_allclose(ref, got, atol=1e-6)
+
+    def test_skew_layout(self):
+        from cpc2_tpu.ops.dtw_pallas import _skew
+        import jax.numpy as jnp
+        rng = np.random.RandomState(0)
+        d = rng.rand(2, 3, 5).astype(np.float32)
+        sk = np.asarray(_skew(jnp.asarray(d)))
+        for b in range(2):
+            for i in range(3):
+                for j in range(5):
+                    assert sk[i + j, b, i] == d[b, i, j]
