@@ -132,3 +132,11 @@ class TestStatefulSequential:
                         '--samplingType', 'sequential',
                         '--random_seed', '5', '--save_step', '1'])
         assert (ckpt / 'checkpoint_0.pt').exists()
+
+
+class TestDeterminism:
+
+    def test_step_deterministic(self):
+        l1 = run_one_step(arMode='GRU', rnnMode='linear')
+        l2 = run_one_step(arMode='GRU', rnnMode='linear')
+        np.testing.assert_array_equal(l1, l2)
