@@ -700,5 +700,9 @@ def parse_args(argv):
 parseArgs = parse_args
 
 
-if __name__ == "__main__":
+def cli():
     main(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    cli()
