@@ -526,3 +526,53 @@ class AudioLoader:
                 yield x
             if i < self.nLoop - 1:
                 self.updateCall()
+
+
+# ---------------------------------------------------------------------------
+# Debug helpers (reference `dataset.py:537-600`)
+# ---------------------------------------------------------------------------
+
+def _find_audio_name(seq_labels, seq_names, beg_seq, window_size):
+    for i in range(1, len(seq_labels)):
+        if seq_labels[i - 1] <= beg_seq < seq_labels[i]:
+            artefact_created = beg_seq + window_size > seq_labels[i]
+            return seq_names[i - 1], artefact_created
+    raise ValueError("I got beg_seq = %s but my seqLabels is %s"
+                     % (beg_seq, seq_labels))
+
+
+def iter_verbose(loader: AudioLoader):
+    """Debug iterator (reference `dataset.py:583-600`): yields
+    (batch, sequence_names, has_artefact_flags) and raises on overlapping
+    temporal windows — the framework's 'race detector' for the sampler
+    logic."""
+    ds = loader.dataset
+    for loop in range(loader.nLoop):
+        sampler = loader.samplerCall()
+        if loader.remove_artefacts:
+            sampler = loader._remove_artefacts(sampler)
+        seq_labels = ds.seqLabel
+        seq_names = ds.getSeqNames()
+        window = ds.sizeWindow
+        batches = getattr(sampler, 'batches', None)
+        if batches is None:
+            batches = list(iter(sampler))
+        for batch_idx in batches:
+            if len(batch_idx) == 0:
+                continue
+            names, artefacts = [], []
+            prev = -window
+            for beg_seq in batch_idx:
+                if prev + window > beg_seq and isinstance(
+                        sampler, TemporalSameSpeakerSampler):
+                    raise ValueError(
+                        "Overlap detected [%d,%d] with [%d,%d]"
+                        % (prev, prev + window, beg_seq, beg_seq + window))
+                name, created = _find_audio_name(seq_labels, seq_names,
+                                                 beg_seq, window)
+                names.append(name)
+                artefacts.append(created)
+                prev = beg_seq
+            yield ds.get_batch(batch_idx), names, artefacts
+        if loop < loader.nLoop - 1:
+            loader.updateCall()

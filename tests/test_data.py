@@ -176,3 +176,21 @@ class TestAudioBatchData:
             item, label = ds[j]
             np.testing.assert_array_equal(batch[i], item)
             assert labels[i] == label
+
+
+class TestVerboseLoader:
+
+    def test_iter_verbose_flags_artefacts(self, mini_corpus):
+        from cpc2_tpu.data.dataset import iter_verbose
+        from cpc2_tpu.data.corpus import find_all_seqs
+        seqs, speakers = find_all_seqs(str(mini_corpus), extension='.wav',
+                                       loadCache=False)
+        ds = AudioBatchData(str(mini_corpus), 4000, seqs, None,
+                            len(speakers), nProcessLoader=1)
+        loader = ds.getDataLoader(2, 'uniform', False, numWorkers=0)
+        n = 0
+        for (batch, labels), names, artefacts in iter_verbose(loader):
+            assert len(names) == batch.shape[0] == len(artefacts)
+            assert all(str(mini_corpus) in nm for nm in names)
+            n += 1
+        assert n > 0
