@@ -25,7 +25,7 @@ import logging
 from os import remove
 from pathlib import Path
 from time import time
-from typing import Callable, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

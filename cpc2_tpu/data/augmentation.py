@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Callable, List, Optional, Sequence
+from typing import Optional
 
 import numpy as np
 from scipy import signal as sps

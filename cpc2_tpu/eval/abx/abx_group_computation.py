@@ -10,8 +10,6 @@ device<->host round-trip between distances and DTW.
 from __future__ import annotations
 
 import math
-from typing import Callable, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,6 @@ import argparse
 import json
 import sys
 import time
-from copy import deepcopy
 from pathlib import Path
 
 import jax

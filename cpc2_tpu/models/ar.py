@@ -27,7 +27,7 @@ Behaviour parity notes
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

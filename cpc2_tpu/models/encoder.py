@@ -27,7 +27,7 @@ Behaviour parity notes
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -25,8 +25,6 @@ Behaviour parity notes
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

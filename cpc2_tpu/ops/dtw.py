@@ -22,8 +22,6 @@ All shapes static: callers pad (S1, S2) to buckets and pass true lengths.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

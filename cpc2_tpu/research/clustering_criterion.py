@@ -7,8 +7,6 @@ Deferred cluster updates run through the TPU k-means/DP-means loops in
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

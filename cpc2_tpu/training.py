@@ -20,15 +20,14 @@ The returned functions are pure: `(state, batch, labels, rng[, quality])
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import linen as nn
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 import functools as _functools
 try:
     shard_map = _functools.partial(jax.shard_map, check_vma=False)
