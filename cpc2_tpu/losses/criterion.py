@@ -142,6 +142,7 @@ class PredictionNetwork(nn.Module):
         elif self.rnn_mode == 'ffd':
             net = nn.vmap(FFNetwork, **vmap_kw)(
                 self.dim_enc, self.dim_enc, 0.0, name='predictors')
+            # NOTE: args must be positional — nn.vmap does not forward kwargs
             ys = jnp.swapaxes(net(c, det), 0, 1)
         elif self.rnn_mode in ('conv4', 'conv8', 'conv12'):
             ksize = int(self.rnn_mode[4:])
@@ -153,7 +154,8 @@ class PredictionNetwork(nn.Module):
                 dim_encoded=self.dim_enc, dim_ar=self.dim_ar, n_layers=1,
                 size_seq=self.size_input_seq, abspos=False,
                 name='predictors')
-            ys, _ = net(c, train=train)           # (K, B, W, D)
+            # positional args: nn.vmap does not forward kwargs to the target
+            ys, _ = net(c, None, train)           # (K, B, W, D)
             ys = jnp.swapaxes(ys, 0, 1)
         else:  # 'linear' / None / False
             net = nn.vmap(TorchLinear, **vmap_kw)(

@@ -128,3 +128,44 @@ class TestCheckpointInterop:
             ref = torch.cat(outs, dim=1).numpy()
         assert feats.shape == ref.shape
         np.testing.assert_allclose(feats[0], ref[0], atol=TOL)
+
+
+class TestTransformerPredictorInterop:
+
+    def test_stacked_transformer_heads_parity(self):
+        """Default-recipe criterion: K torch transformer heads (built by the
+        reference's buildTransformerAR) -> stacked vmap params -> identical
+        predictions per head."""
+        from tests.test_parity_torch import load_reference_transformers
+        from cpc2_tpu.io.torch_ckpt import params_from_torch_state_dict
+        from cpc2_tpu.losses.criterion import PredictionNetwork
+        ref = load_reference_transformers()
+
+        k_heads, dim, w = 3, 16, 10
+        torch.manual_seed(1)
+        theads = [ref.buildTransformerAR(dim, dim, 1, w, False)
+                  for _ in range(k_heads)]
+        for t in theads:
+            t.eval()
+        sd = {}
+        for k, t in enumerate(theads):
+            for name, v in t.state_dict().items():
+                sd[f'wPrediction.predictors.{k}.{name}'] = v
+
+        net = PredictionNetwork(n_predicts=k_heads, dim_ar=dim, dim_enc=dim,
+                                rnn_mode='transformer', size_input_seq=w)
+        c = np.random.RandomState(0).randn(2, w, dim).astype(np.float32)
+        template = net.init({'params': jax.random.PRNGKey(0)},
+                            jnp.asarray(c), train=False)
+        # strip the wPrediction prefix: PredictionNetwork IS wPrediction here
+        sd_stripped = {kk[len('wPrediction.'):]: v for kk, v in sd.items()}
+        params, _, unmatched = params_from_torch_state_dict(
+            sd_stripped, template['params'])
+        assert not unmatched
+        preds = net.apply({'params': params}, jnp.asarray(c), train=False)
+        assert preds.shape == (2, k_heads, w, dim)
+        for k, t in enumerate(theads):
+            with torch.no_grad():
+                ref_out = t(torch.from_numpy(c)).numpy()
+            np.testing.assert_allclose(np.asarray(preds[:, k]), ref_out,
+                                       atol=3e-4)
