@@ -109,14 +109,25 @@ class ModelBundle:
 
 def init_model(args: argparse.Namespace, seed: int = 0,
                batch_size: int = 2) -> ModelBundle:
-    """Initialize a fresh model from config."""
+    """Initialize a fresh model from config.
+
+    Init runs on the CPU backend: parameter initialization is a one-off
+    host-side task, and compiling the full forward on the accelerator just
+    to draw init values wastes a (potentially slow, remote) TPU compile per
+    CLI start. Params transfer to the device lazily on first use."""
     module = build_model(args)
-    dummy = jnp.zeros((batch_size, args.sizeWindow), jnp.float32)
-    rngs = {'params': jax.random.PRNGKey(seed)}
-    variables = module.init(rngs, dummy, None, train=False)
+    import contextlib
+    cpu_devs = jax.devices('cpu')
+    ctx = (jax.default_device(cpu_devs[0]) if cpu_devs
+           else contextlib.nullcontext())
+    with ctx:
+        dummy = jnp.zeros((batch_size, args.sizeWindow), jnp.float32)
+        rngs = {'params': jax.random.PRNGKey(seed)}
+        variables = module.init(rngs, dummy, None, train=False)
     return ModelBundle(module=module, variables=unfreeze(variables),
                        args=args, hidden_gar=args.hiddenGar,
                        hidden_encoder=args.hiddenEncoder)
+
 
 
 def load_model(path_checkpoints: Sequence[str], loadStateDict: bool = True,

@@ -83,7 +83,16 @@ getCriterion = get_criterion
 
 
 def init_criterion_vars(criterion, args, model_bundle, seed=1):
-    """Initialize criterion params with correctly-shaped dummies."""
+    """Initialize criterion params with correctly-shaped dummies (on the
+    CPU backend — see `feature_loader.init_model`)."""
+    cpu_devs = jax.devices('cpu')
+    if cpu_devs:
+        with jax.default_device(cpu_devs[0]):
+            return _init_criterion_vars_impl(criterion, args, seed)
+    return _init_criterion_vars_impl(criterion, args, seed)
+
+
+def _init_criterion_vars_impl(criterion, args, seed):
     frames = encoded_seq_len(args.sizeWindow)
     b = 2
     c = jnp.zeros((b, frames, args.hiddenGar), jnp.float32)
