@@ -37,6 +37,8 @@ def main():
     parser.add_argument('--warmup', type=int, default=5)
     args_cli = parser.parse_args()
 
+    from cpc2_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from cpc2_tpu.config import get_default_cpc_config
     from cpc2_tpu import feature_loader as fl
     from cpc2_tpu.parallel.mesh import make_mesh, shard_batch

@@ -153,7 +153,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
             dropped += 1
             continue
         batch, label = shard_batch(mesh, sequence.astype(np.float32),
-                                   np.asarray(label))
+                                   np.asarray(label).astype(np.int32))
         if quality is not None:
             quality = shard_batch(mesh, quality.astype(np.float32))
         if mask is not None:
@@ -212,7 +212,7 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
         if sequence.shape[0] != expected_batch:
             continue
         batch, label = shard_batch(mesh, sequence.astype(np.float32),
-                                   np.asarray(label))
+                                   np.asarray(label).astype(np.int32))
         if mask is not None:
             mask = shard_batch(mesh, mask)
         if keep_hidden:
@@ -337,6 +337,8 @@ def _save_training_checkpoint(state, best_params, model_bundle, args, path):
 
 
 def main(argv):
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = parse_args(argv)
 
     logs = {"epoch": [], "iter": [], "saveStep": args.save_step}
