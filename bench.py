@@ -23,7 +23,6 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 TORCH_GPU_BASELINE_AH_PER_H = 390.0

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
-from flax.core import freeze, unfreeze
+from flax.core import unfreeze
 
 from .io.checkpoint import get_checkpoint_data, load_args
 from .io.torch_ckpt import (load_torch_checkpoint,
@@ -27,7 +27,7 @@ from .io.torch_ckpt import (load_torch_checkpoint,
 from .models import (BiDIRARTangled, CPCAR, CPCBertModel, CPCEncoder,
                      CPCModel, ConcatenatedModel, LFBEncoder, MFCCEncoder,
                      NoAr, build_transformer_ar)
-from .models.encoder import DOWNSAMPLING, encoded_seq_len
+from .models.encoder import DOWNSAMPLING
 
 Array = jax.Array
 

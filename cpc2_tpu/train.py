@@ -26,7 +26,7 @@ from .config import set_default_cpc_config, set_tpu_config
 from .data.augmentation import augmentation_factory
 from .data.corpus import filterSeqs, findAllSeqs, parseSeqLabels
 from .data.dataset import AudioBatchData, PeakNorm
-from .io.checkpoint import get_checkpoint_data, load_args, save_logs
+from .io.checkpoint import get_checkpoint_data, load_args
 from .io.torch_ckpt import (load_torch_checkpoint,
                             params_from_torch_state_dict,
                             params_to_torch_state_dict, save_checkpoint)
@@ -36,7 +36,7 @@ from .models.cpc import compute_bert_mask, compute_mask_indices
 from .models.encoder import encoded_seq_len
 from .parallel.distributed import init_distributed_mode
 from .parallel.mesh import make_mesh, shard_batch
-from .training import (TrainState, build_steps, create_train_state,
+from .training import (build_steps, create_train_state,
                        make_optimizer, set_learning_rate)
 from .utils import misc as utils
 

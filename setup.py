@@ -7,7 +7,6 @@ TPU kernel and needs no host build step.
 """
 
 import subprocess
-import sys
 from pathlib import Path
 
 from setuptools import setup, find_packages

@@ -3,7 +3,6 @@
 Data fixtures are read from the read-only reference checkout when present."""
 
 import math
-import os
 from pathlib import Path
 
 import numpy as np

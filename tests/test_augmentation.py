@@ -2,7 +2,6 @@
 implementations."""
 
 import numpy as np
-import pytest
 
 from cpc2_tpu.data.augmentation import (BandrejectAugment, PitchAugment,
                                         RandomAdditiveNoiseAugment,

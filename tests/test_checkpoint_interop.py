@@ -4,7 +4,6 @@ through `cpc2_tpu.feature_loader.loadModel` and produces bit-matched features
 — the foundation of the ABX-parity target (`SURVEY.md` §7 hard parts)."""
 
 import json
-import types
 
 import numpy as np
 import pytest

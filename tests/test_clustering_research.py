@@ -3,7 +3,6 @@
 streaming PCA; adds convergence tests for the TPU Lloyd/DP-means loops)."""
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -2,8 +2,6 @@
 `cpc/eval/common_voices_eval.py`): train the CTC head on whole utterances,
 then compute PER via beam search."""
 
-import json
-import os
 
 import numpy as np
 import pytest

@@ -6,7 +6,6 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
 from cpc2_tpu import feature_loader as fl
 from cpc2_tpu.config import get_default_cpc_config
@@ -109,7 +108,6 @@ class TestStatefulSequential:
     def test_sequential_keep_hidden(self, tmp_path):
         """samplingType=sequential threads the AR hidden state across steps
         (reference keepHidden, `feature_loader.py:230-232`)."""
-        import tempfile
         from cpc2_tpu import train as train_cli
         from cpc2_tpu.data.audio_io import save_wav
         root = tmp_path / "db"

@@ -3,10 +3,8 @@ corpus discovery/ordering, filtering, window loading, pack splitting, and
 same-speaker batch homogeneity — on a generated mini corpus."""
 
 import os
-from pathlib import Path
 
 import numpy as np
-import pytest
 
 from cpc2_tpu.data.audio_io import audio_info, load_wav, save_wav
 from cpc2_tpu.data.corpus import (filter_seqs, find_all_seqs,

@@ -5,7 +5,6 @@ fixed-order-1 Rice-coded subframes; mono and stereo; 16-bit) so the C++
 decoder (`csrc/flacdec.cc`) can be validated against known waveforms without
 any external flac binary."""
 
-import os
 import subprocess
 from pathlib import Path
 

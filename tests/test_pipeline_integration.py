@@ -3,14 +3,10 @@ then run every downstream CLI against its checkpoint — linear separability,
 k-means clustering, quantization, ABX from_checkpoint, ZeroSpeech export.
 This is the coverage the reference never had (`SURVEY.md` §4)."""
 
-import json
-import os
-from pathlib import Path
 
 import numpy as np
 import pytest
 
-import jax
 
 
 @pytest.fixture(scope="module")

@@ -2,7 +2,6 @@
 `criterion.py:334-351`): per-file (SNR, C50) .pt tensors, min-max
 normalization from min_max.csv, sigmoid loss weighting."""
 
-import os
 
 import numpy as np
 import pytest
