@@ -1,0 +1,178 @@
+"""Direct coverage for the feature-extraction API surface that was only
+covered indirectly: multi-checkpoint `loadModel` -> ConcatenatedModel,
+CPCModule, buildFeature_batch, toOneHot, loadSupervisedCriterion
+(reference `cpc/feature_loader.py`)."""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from cpc2_tpu import feature_loader as fl
+from cpc2_tpu.config import get_default_cpc_config
+from cpc2_tpu.io.torch_ckpt import (params_to_torch_state_dict,
+                                    save_checkpoint)
+
+
+def _write_ckpt(d, hidden, seed, extra_args=None):
+    """Init a fresh tiny model and save it in the reference torch layout."""
+    args = get_default_cpc_config()
+    args.hiddenEncoder = args.hiddenGar = hidden
+    args.nPredicts, args.negativeSamplingExt = 2, 4
+    args.sizeWindow, args.load, args.supervised = 4160, None, False
+    for k, v in (extra_args or {}).items():
+        setattr(args, k, v)
+    bundle = fl.init_model(args, seed=seed)
+    sd = params_to_torch_state_dict(bundle.variables['params'],
+                                    rnn_mode=args.arMode)
+    save_checkpoint(sd, {}, {}, None, str(d / "checkpoint_3.pt"))
+    with open(d / "checkpoint_args.json", 'w') as f:
+        json.dump(vars(args), f)
+    with open(d / "checkpoint_logs.json", 'w') as f:
+        json.dump({"epoch": [0]}, f)
+    return bundle, args
+
+
+class TestConcatenatedLoad:
+
+    def test_two_checkpoints_concat(self, tmp_path):
+        """loadModel([ckpt_a, ckpt_b]) concatenates features channel-wise
+        (reference `feature_loader.py:238-283`, `model.py:449-465`)."""
+        da, db = tmp_path / "a", tmp_path / "b"
+        da.mkdir(), db.mkdir()
+        ba, _ = _write_ckpt(da, 20, seed=0)
+        bb, _ = _write_ckpt(db, 28, seed=1)
+
+        bundle, hg, he = fl.loadModel([str(da / "checkpoint_3.pt"),
+                                       str(db / "checkpoint_3.pt")])
+        assert (hg, he) == (48, 48)
+
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(2, 4160).astype(np.float32) * 0.1)
+        c, e, _, _ = bundle.apply(x)
+        assert c.shape == (2, 26, 48) and e.shape == (2, 26, 48)
+        ca, ea, _, _ = ba.apply(x)
+        cb, eb, _, _ = bb.apply(x)
+        np.testing.assert_allclose(np.asarray(c[..., :20]), np.asarray(ca),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c[..., 20:]), np.asarray(cb),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(e[..., 20:]), np.asarray(eb),
+                                   atol=1e-5)
+
+    def test_feature_module_over_concat(self, tmp_path):
+        da, db = tmp_path / "a", tmp_path / "b"
+        da.mkdir(), db.mkdir()
+        _write_ckpt(da, 20, seed=0)
+        _write_ckpt(db, 20, seed=1)
+        bundle, _, _ = fl.loadModel([str(da / "checkpoint_3.pt"),
+                                     str(db / "checkpoint_3.pt")])
+        maker = fl.FeatureModule(bundle, get_encoded=False)
+        out = maker((np.zeros((1, 4160), np.float32), None))
+        assert out.shape == (1, 26, 40)
+
+
+class TestCPCModule:
+
+    def test_prediction_scores(self):
+        """CPCModule returns per-step positive cosine scores as a feature map
+        (reference `feature_loader.py:57-82`)."""
+        from cpc2_tpu.losses import CPCUnsupervisedCriterion
+        args = get_default_cpc_config()
+        args.hiddenEncoder = args.hiddenGar = 20
+        args.nPredicts, args.negativeSamplingExt = 2, 4
+        args.sizeWindow = 4160
+        bundle = fl.init_model(args, seed=0)
+        crit = CPCUnsupervisedCriterion(
+            n_predicts=2, dim_ar=20, dim_enc=20, negative_sampling_ext=4,
+            rnn_mode='linear', size_input_seq=26)
+        dummy = jnp.zeros((1, 26, 20))
+        variables = crit.init(
+            {'params': jax.random.PRNGKey(0),
+             'negatives': jax.random.PRNGKey(1)}, dummy, dummy, None,
+            train=False)
+        wrapper = fl.CriterionWrapper(crit, variables)
+
+        x = np.random.RandomState(0).randn(3, 4160).astype(np.float32) * 0.1
+        mod = fl.CPCModule(bundle, wrapper, n_pred=-1)
+        out = np.asarray(mod((x, None)))
+        # softmax over the window axis
+        assert out.shape == (3, 26 - 2)
+        np.testing.assert_allclose(out.sum(1), np.ones(3), atol=1e-5)
+
+        raw = np.asarray(fl.CPCModule(bundle, wrapper, n_pred=-1,
+                                      main_distance_only=True)((x, None)))
+        np.testing.assert_allclose(
+            jax.nn.softmax(jnp.asarray(raw), axis=1), out, atol=1e-5)
+
+
+class TestBuildFeatureBatch:
+
+    def test_batch_equals_chunked(self, tmp_path):
+        """buildFeature_batch == buildFeature when there is no hidden
+        carry-over (reference `feature_loader.py:370-433`)."""
+        from cpc2_tpu.data.audio_io import save_wav
+        args = get_default_cpc_config()
+        args.hiddenEncoder = args.hiddenGar = 20
+        args.sizeWindow = 4160
+        bundle = fl.init_model(args, seed=0)
+        maker = fl.FeatureModule(bundle, get_encoded=False,
+                                 keep_hidden=False)
+        rs = np.random.RandomState(2)
+        wav = (0.3 * np.sin(np.arange(10240) * 0.01)
+               + 0.01 * rs.randn(10240)).astype(np.float32)
+        p = str(tmp_path / "x.wav")
+        save_wav(p, wav, 16000)
+
+        a = np.asarray(fl.buildFeature(maker, p, maxSizeSeq=3200))
+        b = np.asarray(fl.buildFeature_batch(maker, p, maxSizeSeq=3200,
+                                             batch_size=2))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestSupervisedCriterionLoad:
+
+    def test_load_supervised_criterion(self, tmp_path):
+        """loadSupervisedCriterion builds a PhoneCriterion from checkpoint
+        args + phone labels (reference `feature_loader.py:159-173`)."""
+        from cpc2_tpu.losses import PhoneCriterion
+        pl = tmp_path / "phones.txt"
+        with open(pl, 'w') as f:
+            for i in range(3):
+                f.write(f"f{i} 0 1 2 1\n")
+
+        d = tmp_path / "ck"
+        d.mkdir()
+        _, args = _write_ckpt(d, 20, seed=0,
+                              extra_args={"pathPhone": str(pl),
+                                          "onEncoder": False})
+        # write a criterion state into the checkpoint
+        crit = PhoneCriterion(dim_encoder=20, n_phones=3, on_encoder=False)
+        dummy = jnp.zeros((1, 8, 20))
+        cv = crit.init(jax.random.PRNGKey(0), dummy, dummy,
+                       jnp.zeros((1, 8), jnp.int32), train=False)
+        csd = params_to_torch_state_dict(cv['params'])
+        from cpc2_tpu.io.torch_ckpt import load_torch_checkpoint
+        full = load_torch_checkpoint(str(d / "checkpoint_3.pt"))
+        save_checkpoint(full["gEncoder"], csd, {}, None,
+                        str(d / "checkpoint_3.pt"))
+
+        wrapper, n_phones = fl.loadSupervisedCriterion(
+            str(d / "checkpoint_3.pt"))
+        assert n_phones == 3
+        pred = wrapper.get_prediction(jnp.zeros((2, 8, 20)))
+        assert pred.shape == (2, 8, 3)
+
+
+def test_to_one_hot():
+    v = jnp.asarray([[0, 2], [1, 1]])
+    out = fl.toOneHot(v, 3)
+    assert out.shape == (2, 2, 3)
+    assert out.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(out[0, 1]), [0, 0, 1])
