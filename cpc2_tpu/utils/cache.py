@@ -19,9 +19,12 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', path)
-        # cache everything, however small/fast to compile
+        # Cache only expensive programs (the jitted train/val bodies take
+        # minutes on remote-compile backends). Caching every tiny op bloats
+        # the dir and, on the CPU backend, each entry whose AOT machine
+        # features mismatch the host logs a large load-failure warning.
         jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
         return path
     except Exception as e:  # unsupported backend/config: stay functional
         print(f"(compilation cache disabled: {e})")
