@@ -216,4 +216,8 @@ def set_tpu_config(parser):
     group.add_argument('--profile_dir', type=str, default=None,
                        help='If set, dump a jax.profiler trace of a few '
                        'training steps to this directory.')
+    group.add_argument('--remat', action='store_true',
+                       help='Rematerialize the forward pass in the backward '
+                       'pass (jax.checkpoint): trades FLOPs for HBM, for '
+                       'large models/windows that would not otherwise fit.')
     return parser

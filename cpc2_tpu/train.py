@@ -561,7 +561,8 @@ def main(argv):
     train_step, val_step = build_steps(
         model_bundle.module, criterion, tx, mesh,
         has_quality=args.signal_quality_path is not None,
-        uses_mask=uses_mask, keep_hidden=keep_hidden)
+        uses_mask=uses_mask, keep_hidden=keep_hidden,
+        remat=getattr(args, 'remat', False))
 
     run(train_dataset, val_dataset, batch_size, args.samplingType, state,
         train_step, val_step, mesh, args, args.nEpoch,

@@ -91,7 +91,7 @@ def init_hidden(model, args, batch_size: int):
 def build_steps(model: nn.Module, criterion: nn.Module,
                 tx: optax.GradientTransformation, mesh: Mesh,
                 has_quality: bool = False, uses_mask: bool = False,
-                keep_hidden: bool = False):
+                keep_hidden: bool = False, remat: bool = False):
     """Returns (train_step, val_step), jitted over `mesh`.
 
     Batch layout: (B_local*n_dev, 2, 1, W) float32 on axis 0 of the mesh.
@@ -100,6 +100,11 @@ def build_steps(model: nn.Module, criterion: nn.Module,
     `keepHidden=True` under `--samplingType sequential`,
     `feature_loader.py:230-232`); the carry is stop-gradiented like the
     reference's `.detach()` (`cpc/model.py:196-201`).
+
+    remat: rematerialize the forward in the backward (`jax.checkpoint`) —
+    activations are recomputed instead of stored, trading FLOPs for HBM on
+    configs that would not otherwise fit. Identical results, smaller peak
+    memory.
     """
     # The reference runs the AR over BOTH halves of the two-view batch and
     # discards the future half's context (`train.py:99-104`). XLA cannot DCE
@@ -186,10 +191,16 @@ def build_steps(model: nn.Module, criterion: nn.Module,
             new_hidden = jax.lax.stop_gradient(new_hidden)
         return losses, accs, new_bs, new_hidden
 
+    if remat:
+        # `train` (arg 6) is a Python bool, everything else is traced.
+        fwd_train = jax.checkpoint(forward, static_argnums=(6,))
+    else:
+        fwd_train = forward
+
     def train_body(state: TrainState, batch, labels, quality, rng,
                    mask_indices, hidden):
         def loss_fn(params):
-            losses, accs, new_bs, new_hidden = forward(
+            losses, accs, new_bs, new_hidden = fwd_train(
                 params, state.batch_stats, batch, labels, quality,
                 jax.random.fold_in(rng, state.step), True, mask_indices,
                 hidden)
