@@ -91,7 +91,8 @@ def init_hidden(model, args, batch_size: int):
 def build_steps(model: nn.Module, criterion: nn.Module,
                 tx: optax.GradientTransformation, mesh: Mesh,
                 has_quality: bool = False, uses_mask: bool = False,
-                keep_hidden: bool = False, remat: bool = False):
+                keep_hidden: bool = False, remat: bool = False,
+                _return_bodies: bool = False):
     """Returns (train_step, val_step), jitted over `mesh`.
 
     Batch layout: (B_local*n_dev, 2, 1, W) float32 on axis 0 of the mesh.
@@ -228,6 +229,9 @@ def build_steps(model: nn.Module, criterion: nn.Module,
         return (jax.lax.pmean(losses, 'data'), jax.lax.pmean(accs, 'data'),
                 new_hidden)
 
+    if _return_bodies:
+        return train_body, val_body
+
     data_spec = P('data')
     rep = P()
     hid_spec = P(None, 'data') if keep_hidden else rep
@@ -268,3 +272,79 @@ def build_steps(model: nn.Module, criterion: nn.Module,
             return out[:2]
 
     return train_step, val_step
+
+
+def build_multi_step(model: nn.Module, criterion: nn.Module,
+                     tx: optax.GradientTransformation, mesh: Mesh,
+                     n_inner: int, has_quality: bool = False,
+                     uses_mask: bool = False, remat: bool = False):
+    """One host dispatch = `n_inner` optimizer steps (`lax.scan` over the
+    per-step body inside a single jitted shard_map program).
+
+    On backends where each dispatch pays a host<->device (or tunnel)
+    round-trip, the per-step launch overhead disappears: the device chews
+    through a stack of batches without talking to the host. Trajectories are
+    bit-identical to `n_inner` calls of the `build_steps` train step with the
+    same rng (the per-step key folds in `state.step`, which the scan
+    advances exactly like the single-step path).
+
+    Returns `multi_step(state, batches, labels, rng, quality=None,
+    mask_indices=None) -> (state, losses, accs)` where `batches` is
+    (n_inner, B, 2, 1, W) and losses/accs carry a leading n_inner axis.
+    Stateful AR carry (keep_hidden) is not supported here — sequential
+    sampling needs per-step host batches anyway.
+    """
+    train_body, _ = build_steps(model, criterion, tx, mesh,
+                                has_quality=has_quality, uses_mask=uses_mask,
+                                keep_hidden=False, remat=remat,
+                                _return_bodies=True)
+
+    def multi_body(state: TrainState, batches, labels, quality, rng,
+                   mask_indices):
+        # lax.scan needs uniform pytrees: scan over the stacked operands
+        # that exist, close over the Nones.
+        xs = {'batch': batches, 'labels': labels}
+        if quality is not None:
+            xs['quality'] = quality
+        if mask_indices is not None:
+            xs['mask'] = mask_indices
+
+        def scan_fn(st, x):
+            new_st, losses, accs, _ = train_body(
+                st, x['batch'], x['labels'], x.get('quality'), rng,
+                x.get('mask'), None)
+            return new_st, (losses, accs)
+
+        state, (losses, accs) = jax.lax.scan(scan_fn, state, xs)
+        return state, losses, accs
+
+    rep = P()
+    stacked = P(None, 'data')
+    n_in = (rep, stacked, stacked,
+            stacked if has_quality else rep, rep,
+            stacked if uses_mask else rep)
+    multi_sm = shard_map(multi_body, mesh=mesh, in_specs=n_in,
+                         out_specs=(rep, rep, rep))
+    multi_jit = jax.jit(multi_sm, donate_argnums=(0,))
+
+    def multi_step(state, batches, labels, rng, quality=None,
+                   mask_indices=None):
+        assert batches.shape[0] == n_inner, (batches.shape, n_inner)
+        return multi_jit(state, batches, labels, quality, rng, mask_indices)
+
+    return multi_step
+
+
+def shard_stacked_batch(mesh: Mesh, *arrays):
+    """Place (n_inner, B, ...) host arrays on the mesh, sharded over axis 1
+    (the per-step batch axis used by `build_multi_step`)."""
+    from jax.sharding import NamedSharding
+    import numpy as _np
+    out = []
+    for a in arrays:
+        if a is None:
+            out.append(None)
+            continue
+        spec = P(None, 'data', *([None] * (_np.ndim(a) - 2)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return out if len(out) != 1 else out[0]
