@@ -340,6 +340,7 @@ def main(argv):
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()
     args = parse_args(argv)
+    utils.apply_precision(args.precision)
 
     logs = {"epoch": [], "iter": [], "saveStep": args.save_step}
     logs["logging_step"] = args.logging_step

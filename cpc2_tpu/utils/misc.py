@@ -169,3 +169,22 @@ def make_lr_schedule(learning_rate: float, scheduler_step: int,
         return learning_rate
 
     return lr_fn
+
+
+def apply_precision(precision: str) -> None:
+    """Wire the --precision flag to XLA's matmul precision.
+
+    - 'bf16mix' (default): the TPU backend's native mode — bf16 MXU compute
+      with fp32 accumulation and fp32 parameters. No config change.
+    - 'fp32': force full-precision matmuls (multi-pass on the MXU); use for
+      numerics debugging or strict parity runs. ~3x slower matmuls.
+    - 'bf16': lowest-precision matmuls (single-pass bf16); on current TPUs
+      this is the same MXU mode as bf16mix.
+    """
+    import jax
+    if precision == 'fp32':
+        jax.config.update('jax_default_matmul_precision', 'highest')
+    elif precision == 'bf16':
+        jax.config.update('jax_default_matmul_precision', 'bfloat16')
+    elif precision != 'bf16mix':
+        raise ValueError(f"unknown precision {precision!r}")

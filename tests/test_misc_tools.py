@@ -203,3 +203,22 @@ class TestCCATraining:
         proj = cca.transform(np.zeros((5, 20)))
         assert proj.shape == (5, 4)
         assert (out / "CCA_info_args.json").exists()
+
+
+class TestPrecisionFlag:
+
+    def test_apply_precision(self):
+        import jax
+        from cpc2_tpu.utils.misc import apply_precision
+        before = jax.config.jax_default_matmul_precision
+        try:
+            apply_precision('fp32')
+            assert jax.config.jax_default_matmul_precision == 'highest'
+            apply_precision('bf16')
+            assert jax.config.jax_default_matmul_precision == 'bfloat16'
+            apply_precision('bf16mix')  # no-op: backend default
+            assert jax.config.jax_default_matmul_precision == 'bfloat16'
+            with pytest.raises(ValueError):
+                apply_precision('fp8')
+        finally:
+            jax.config.update('jax_default_matmul_precision', before)
