@@ -308,7 +308,8 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         pos_z = jnp.stack([encoded_data[:, k:k + w]
                            for k in range(1, k_p + 1)], axis=1)  # (B,K,W,D)
         z_flat = encoded_data.reshape(b * s, d)
-        neg_z = jnp.take(z_flat, neg_idx.reshape(-1), axis=0).reshape(
+        neg_z = z_flat.at[neg_idx.reshape(-1)].get(
+            mode='promise_in_bounds').reshape(
             b, self.negative_sampling_ext, w, d)             # (B, N, W, D)
         # Two dot_generals (batch (b,w), contract d) instead of one over a
         # concatenated (B, K+N, W, D) tensor — the concat's backward
