@@ -131,6 +131,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
     logs, last_logs = {}, None
     it = 0
     dropped = 0
+    pending_losses, pending_accs = [], []
     keep_hidden = getattr(args, '_keep_hidden', False)
     hidden = None
     if keep_hidden:
@@ -172,10 +173,19 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 logs["locLoss_train"] = np.zeros(all_losses.shape[1])
                 logs["locAcc_train"] = np.zeros(all_losses.shape[1])
             it += 1
-            logs["locLoss_train"] += np.asarray(all_losses).mean(0)
-            logs["locAcc_train"] += np.asarray(all_acc).mean(0)
+            # keep metrics on device between logging points: materializing
+            # them every step would force a device sync per step and stall
+            # the dispatch pipeline
+            pending_losses.append(all_losses)
+            pending_accs.append(all_acc)
 
             if (step + 1) % logging_step == 0:
+                logs["locLoss_train"] += np.asarray(
+                    jnp.concatenate(pending_losses)).mean(0) * len(
+                    pending_losses)
+                logs["locAcc_train"] += np.asarray(
+                    jnp.concatenate(pending_accs)).mean(0) * len(pending_accs)
+                pending_losses, pending_accs = [], []
                 jax.block_until_ready(state.params)
                 new_time = time.perf_counter()
                 elapsed = new_time - start_time
@@ -189,6 +199,11 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 utils.show_logs("Training loss", loc_logs)
                 start_time, n_examples = new_time, 0
 
+    if pending_losses:
+        logs["locLoss_train"] += np.asarray(
+            jnp.concatenate(pending_losses)).mean(0) * len(pending_losses)
+        logs["locAcc_train"] += np.asarray(
+            jnp.concatenate(pending_accs)).mean(0) * len(pending_accs)
     if dropped:
         print(f"(dropped {dropped} ragged batches to keep shapes static)")
     logs = utils.update_logs(logs, max(it, 1))
