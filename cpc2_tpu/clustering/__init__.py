@@ -1,7 +1,8 @@
-from .clustering import (kMeanCluster, kMeanGPU, fastDPMean, KMean,
-                         distanceEstimation, save_clustering_checkpoint,
+from .clustering import (kMeanCluster, kMeanClusterStep, kMeanGPU,
+                         fastDPMean, KMean, distanceEstimation,
+                         save_clustering_checkpoint,
                          load_clustering_checkpoint)
 
-__all__ = ["kMeanCluster", "kMeanGPU", "fastDPMean", "KMean",
-           "distanceEstimation", "save_clustering_checkpoint",
+__all__ = ["kMeanCluster", "kMeanClusterStep", "kMeanGPU", "fastDPMean",
+           "KMean", "distanceEstimation", "save_clustering_checkpoint",
            "load_clustering_checkpoint"]

@@ -75,6 +75,23 @@ class kMeanCluster:
         return dist.reshape(b, s, self.k)
 
 
+class kMeanClusterStep:
+    """One Lloyd assignment+accumulate step over a feature batch, returning
+    (per-cluster sums (k, D), per-cluster counts (k,)) — the reference wraps
+    this in an nn.Module purely so DataParallel can split the batch
+    (`clustering.py:37-53`); here the jitted accumulate runs on whatever
+    mesh the caller shards over."""
+
+    def __init__(self, k_mean_cluster: kMeanCluster):
+        self.module = k_mean_cluster
+        self.k = k_mean_cluster.k
+
+    def __call__(self, features: Array) -> Tuple[Array, Array]:
+        b, s, d = features.shape
+        flat = jnp.asarray(features).reshape(b * s, d)
+        return _lloyd_accumulate(flat, self.module.Ck[0])
+
+
 def save_clustering_checkpoint(Ck, path_out, mode=None, iter=None,
                                last_diff=None):
     """Reference format (`clustering.py:58-72`), torch pickle."""

@@ -201,6 +201,24 @@ def load_model(path_checkpoints: Sequence[str], loadStateDict: bool = True,
 loadModel = load_model
 
 
+def get_module(wrapped):
+    """Unwrap a feature maker to its ModelBundle (reference `getModule`,
+    `feature_loader.py:286-293`, which peels DataParallel/DDP/FeatureModule
+    wrappers — here there are no DP wrappers, only FeatureModule-style
+    objects carrying a `bundle`)."""
+    while True:
+        if hasattr(wrapped, 'bundle'):
+            wrapped = wrapped.bundle
+        elif hasattr(wrapped, 'model'):
+            wrapped = wrapped.model
+        else:
+            return wrapped
+
+
+# Reference-spelled alias
+getModule = get_module
+
+
 def _merge_trees(base: Dict, override: Dict) -> Dict:
     out = dict(base)
     for k, v in override.items():

@@ -176,3 +176,32 @@ def test_to_one_hot():
     assert out.shape == (2, 2, 3)
     assert out.dtype == jnp.int32
     np.testing.assert_array_equal(np.asarray(out[0, 1]), [0, 0, 1])
+
+
+def test_get_module_unwraps():
+    """getModule peels FeatureModule/combined wrappers down to the
+    ModelBundle (reference `feature_loader.py:286-293`)."""
+    args = get_default_cpc_config()
+    args.hiddenEncoder = args.hiddenGar = 16
+    args.sizeWindow = 4160
+    bundle = fl.init_model(args, seed=0)
+    maker = fl.FeatureModule(bundle, get_encoded=False)
+    assert fl.getModule(maker) is bundle
+    assert fl.get_module(bundle) is bundle
+
+    class _Phone:   # ModelPhoneCombined-shaped wrapper
+        model = maker
+    assert fl.getModule(_Phone()) is bundle
+
+
+def test_kmean_cluster_step():
+    """kMeanClusterStep returns per-cluster (sums, counts) for a Lloyd
+    iteration (reference `clustering.py:37-53`)."""
+    from cpc2_tpu.clustering import kMeanCluster, kMeanClusterStep
+    centers = np.asarray([[[0.0, 0.0], [10.0, 10.0]]], np.float32)
+    step = kMeanClusterStep(kMeanCluster(centers))
+    feats = jnp.asarray([[[0.5, 0.0], [9.0, 10.0], [0.0, 1.0]]])
+    sums, counts = step(feats)
+    np.testing.assert_allclose(np.asarray(counts), [2.0, 1.0])
+    np.testing.assert_allclose(np.asarray(sums),
+                               [[0.5, 1.0], [9.0, 10.0]], atol=1e-6)
