@@ -5,17 +5,23 @@ TPU-first design of the InfoNCE loss
 The reference materializes per-step candidate tensors
 `[positive_k ‖ 128 negatives]` of shape (B, 1+N, W, D) and runs 12 separate
 CrossEntropy calls (`criterion.py:237-363`). Here the whole loss is a single
-fused XLA program:
+fused XLA program, shaped by profiling on real TPU hardware:
 
 1. all K prediction heads produce one tensor `preds (B, K, W, D)`;
-2. **one large MXU matmul** scores every prediction against every encoded
-   frame in the batch: `all_scores = preds @ z_flat.T / D`, shape
-   (B, K, W, B*S) — `(B*K*W, D) @ (D, B*S)` maps perfectly onto the
-   128x128 systolic array;
-3. positives and negatives are then **scalar gathers** from `all_scores`
-   (the reference gathers D-dim vectors — ~100x more HBM traffic);
-4. softmax-CE over the (1+N) candidates reduces to
-   `logsumexp([pos ‖ negs]) - pos`, fused by XLA with the gathers.
+2. the K positive candidates are **shifted slices** of z (no gather at
+   all); the N negatives are **whole D-dim rows** gathered from
+   z.reshape(B*S, D) — contiguous, DMA-friendly reads;
+3. two MXU dot_generals score predictions against positives and negatives
+   (batch dims (b, w), contracting D). An earlier formulation computed one
+   (B*K*W, B*S) all-scores matmul and selected pos/neg with element-wise
+   gathers — same FLOPs, but the 1.4M-element gather (fwd) and its
+   scatter (bwd) profiled ~33 of 41 ms/step on TPU; row-gather + matmul
+   runs the same step in ~10 ms;
+4. a negative that samples the positive frame is patched with the
+   positive's score so the reference's single-bmm tie-break
+   (`pos >= max(neg)` counts as correct) is preserved bit-exactly;
+5. softmax-CE over the (1+N) candidates reduces to
+   `logsumexp([pos ‖ negs]) - pos`.
 
 Negative-sampling *semantics* are preserved exactly
 (`criterion.py:237-286`): for every (batch, window, sample) draw
@@ -358,6 +364,9 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         preds, w = self._predictions(c_feature, train=False)
         return self._positive_scores(preds, encoded_data, w)
 
+    # reference-spelled alias (`criterion.py:304`)
+    getCosineDistances = cosine_distances
+
 
 # Reference-spelled alias (the reference class is `CPCUnsupersivedCriterion`).
 CPCUnsupersivedCriterion = CPCUnsupervisedCriterion
@@ -444,6 +453,9 @@ class PhoneCriterion(BaseCriterion):
         for layer in self.classifiers[1:]:
             x = layer(nn.relu(x))
         return x
+
+    # reference-spelled alias (`criterion.py:456,475`)
+    getPrediction = get_prediction
 
     def __call__(self, c_feature: Array, other_encoded: Array, label: Array,
                  signal_quality=None, train: bool = True):

@@ -142,3 +142,7 @@ def getPER(data_loader, feature_maker, blank_label: int,
             out += get_seq_PER(seq_labels, preds)
         n_items += n
     return out / n_items
+
+
+# reference-spelled alias (`seq_alignment.py:89`)
+NeedlemanWunschAlignScore = needleman_wunsch_align_score
