@@ -3,7 +3,9 @@
 Keeps the exact public flag names, defaults and choices of the reference
 (`/root/reference/cpc/cpc_default_config.py:13-162` and the train-only flag
 groups of `/root/reference/cpc/train.py:550-632`) so that existing recipes,
-sweep grids and `checkpoint_args.json` files work unchanged.
+sweep grids and `checkpoint_args.json` files work unchanged. Help texts are
+our own; only the machine-readable surface (names, types, defaults,
+choices) mirrors the reference.
 
 The registry is a plain argparse parser; `get_default_cpc_config()` returns a
 Namespace with every architecture/augmentation default populated, which is the
@@ -22,81 +24,81 @@ def get_default_cpc_config():
 def set_default_cpc_config(parser):
     group = parser.add_argument_group(
         'Architecture configuration',
-        description="The arguments defining the model's architecture.")
+        description='Model architecture flags.')
     group.add_argument('--hiddenEncoder', type=int, default=256,
-                       help='Hidden dimension of the encoder network.')
+                       help='Channel width of the convolutional encoder.')
     group.add_argument('--hiddenGar', type=int, default=256,
-                       help='Hidden dimension of the auto-regressive network')
+                       help='State size of the context (AR) network.')
     group.add_argument('--nPredicts', type=int, default=12,
-                       help='Number of steps to predict.')
+                       help='How many future frames the CPC loss predicts.')
     group.add_argument('--negativeSamplingExt', type=int, default=128,
-                       help='Number of negative samples to take.')
+                       help='InfoNCE negatives drawn per window position.')
     group.add_argument('--optimizer', type=str, default='adam',
                        choices=['adam', 'sgd'],
-                       help='Optimizer to use (default to adam).')
+                       help='Which optimizer drives training.')
     group.add_argument('--learningRate', type=float, default=2e-4)
     group.add_argument('--schedulerStep', type=int, default=-1,
-                       help='Step of the learning rate scheduler: at each '
-                       'step the learning rate is divided by 2. Default: '
-                       'no scheduler.')
+                       help='Halve the learning rate every this many '
+                       'epochs; negative disables the schedule.')
     group.add_argument('--schedulerRamp', type=int, default=None,
-                       help='Enable a warm up phase for the learning rate: '
-                       'adds a linear ramp of the given size.')
+                       help='Length (in updates) of a linear LR warm-up '
+                       'prepended to training.')
     group.add_argument('--beta1', type=float, default=0.9,
-                       help='Value of beta1 for the Adam optimizer')
+                       help='Adam first-moment decay.')
     group.add_argument('--beta2', type=float, default=0.999,
-                       help='Value of beta2 for the Adam optimizer')
+                       help='Adam second-moment decay.')
     group.add_argument('--epsilon', type=float, default=1e-08,
-                       help='Value of epsilon for the Adam optimizer')
+                       help='Adam denominator fuzz term.')
     group.add_argument('--sizeWindow', type=int, default=20480,
-                       help='Number of frames to consider at each batch.')
+                       help='Samples per training window (1.28 s at 16 kHz).')
     group.add_argument('--nEpoch', type=int, default=200,
-                       help='Number of epoch to run')
+                       help='Total training epochs.')
     group.add_argument('--samplingType', type=str, default='samespeaker',
                        choices=['samespeaker', 'uniform', 'samesequence',
                                 'sequential', 'temporalsamespeaker'],
-                       help='How to sample the negative examples in the '
-                       'CPC loss.')
+                       help='Batch construction policy, which also shapes '
+                       'the in-batch negative pool of the CPC loss.')
     group.add_argument('--nLevelsPhone', type=int, default=1,
-                       help='(Supervised mode only). Number of layers in '
-                       'the phone classification network.')
+                       help='Depth of the phone-classifier head '
+                       '(supervised mode).')
     group.add_argument('--cpc_mode', type=str, default=None,
                        choices=['reverse', 'bert', 'none'],
-                       help='Some variations on CPC.')
+                       help='CPC task variant: time-reversed prediction, '
+                       'masked (BERT-style) prediction, or no loss.')
     group.add_argument('--encoder_type', type=str,
                        choices=['cpc', 'mfcc', 'lfb'], default='cpc',
-                       help='Replace the encoder network by mfcc features '
-                       'or learned filter banks')
+                       help='Front-end: learned conv stack, MFCC features, '
+                       'or learnable filter banks.')
     group.add_argument('--normMode', type=str, default='layerNorm',
                        choices=['instanceNorm', 'ID', 'layerNorm',
                                 'batchNorm'],
-                       help="Type of normalization to use in the encoder "
-                       "network (default is layerNorm).")
+                       help='Normalization inserted after each encoder '
+                       'convolution.')
     group.add_argument('--onEncoder', action='store_true',
-                       help="(Supervised mode only) Perform the "
-                       "classification on the encoder's output.")
+                       help='Probe the encoder output instead of the '
+                       'context output (supervised mode).')
     group.add_argument('--random_seed', type=int, default=None,
-                       help="Set a specific random seed.")
+                       help='Seed for all RNG streams; random if unset.')
     group.add_argument('--arMode', default='LSTM',
                        choices=['GRU', 'LSTM', 'RNN', 'no_ar', 'transformer'],
-                       help="Architecture to use for the auto-regressive "
-                       "network (default is lstm).")
+                       help='Context-network family.')
     group.add_argument('--nLevelsGRU', type=int, default=1,
-                       help='Number of layers in the autoregressive network.')
+                       help='Stacked recurrent layers in the context '
+                       'network.')
     group.add_argument('--rnnMode', type=str, default='transformer',
                        choices=['transformer', 'RNN', 'LSTM', 'linear',
                                 'ffd', 'conv4', 'conv8', 'conv12',
                                 'transformer_adaptive_span'],
-                       help="Architecture to use for the prediction network")
+                       help='Per-step prediction-head family for the CPC '
+                       'loss.')
     group.add_argument('--dropout', action='store_true',
-                       help="Add a dropout layer at the output of the "
-                       "prediction network.")
+                       help='Apply dropout to the prediction-head outputs.')
     group.add_argument('--abspos', action='store_true',
-                       help='If the prediction network is a transformer, '
-                       'active to use absolute coordinates.')
+                       help='Transformer heads: sinusoidal absolute '
+                       'positions instead of relative ones.')
     group.add_argument('--multihead_rnn', action='store_true',
-                       help="Use one rnn network with k classifiers on top "
-                       "of it instead of k independant rnn networks")
+                       help='Share one prediction trunk with K classifier '
+                       'heads rather than K independent networks.')
     group.add_argument('--adapt_span_loss', type=float, default=2e-6)
     group.add_argument('--transformer_pruning', type=int, default=0)
     group.add_argument('--naming_convention', type=str, default=None,
@@ -106,44 +108,36 @@ def set_default_cpc_config(parser):
                                 'id_spkr_onset_offset_spkr_onset_offset',
                                 'spkr_id_nb'])
     group.add_argument('--no_artefacts', action='store_true',
-                       help="Avoid creating artefacts when building batches. "
-                       "If this option is activated, it will check for each "
-                       "sequence that the latter remains in one single "
-                       "recording. If not, it will shift the sequence to "
-                       "avoid creating artefacts.")
+                       help='Shift windows that would straddle a recording '
+                       'boundary so no batch mixes two recordings.')
     group.add_argument('--mask_prob', type=float, default=0.0,
-                       help="Probability of creating a mask on the encoded "
-                       "features (only supported for CPC models for now).")
+                       help='Per-frame probability of starting a wav2vec2 '
+                       'span mask over the encoded features.')
     group.add_argument('--mask_length', type=int, default=10,
-                       help="Number of frames a mask will cover "
-                       "(only supported for CPC models for now).")
+                       help='Frames covered by each span mask.')
     group.add_argument('--signal_quality_path', type=str, default=None,
-                       help='Path to the folder containing estimated signal '
-                       'quality .pt files (signal-quality aware loss)')
+                       help='Directory of per-file signal-quality tensors '
+                       '(.pt); enables quality-weighted loss.')
     group.add_argument('--signal_quality_step', type=int, default=1600,
-                       help="Step used for the signal quality estimations in "
-                       "number of frames. Default to 1600 frames = 100 ms "
-                       "(only used if --signal_quality_path is not None.)")
+                       help='Frame stride between consecutive quality '
+                       'estimates (1600 frames = 100 ms).')
     group.add_argument('--signal_quality_mode', type=str,
                        choices=['snr', 'c50', 'snr_c50'], default='snr')
     group.add_argument('--growth_rate', type=float, default=10,
-                       help="Growth rate to consider in the sigmoid weighting "
-                       "function (100: very sharp, won't learn on noisy "
-                       "segments; 10: will learn a bit on noisy segments).")
+                       help='Sigmoid steepness for quality weighting: high '
+                       'values gate noisy windows out almost entirely.')
     group.add_argument('--inflection_point_x', type=float, default=0.5,
-                       help="X coordinate of the inflection point to consider "
-                       "in the sigmoid weighting function (0.5: will center "
-                       "the sigmoid function at x=0.5).")
+                       help='Quality value at which the sigmoid weight '
+                       'crosses one half.')
     group.add_argument('--n_skipped', type=int, default=0,
-                       help="Number of time steps that will be skipped in the "
-                       "prediction task.")
+                       help='Drop this many leading prediction steps from '
+                       'the loss and accuracy tables.')
     group.add_argument('--no_speaker', action='store_true',
-                       help="Will collapse every speakers into one speaker "
-                       "if activated")
+                       help='Treat the whole corpus as a single speaker.')
 
     group_augment = parser.add_argument_group(
         'Data augmentation configuration',
-        description="The arguments defining the data augmentation.")
+        description='Waveform augmentation flags.')
     group_augment.add_argument('--noise_extension', type=str, default='.wav')
     group_augment.add_argument('--augment_future', action='store_true')
     group_augment.add_argument('--augment_past', action='store_true')
@@ -159,8 +153,8 @@ def set_default_cpc_config(parser):
     group_augment.add_argument('--pathDBNoise', type=str, default=None)
     group_augment.add_argument('--pathSeqNoise', type=str, default=None)
     group_augment.add_argument('--past_equal_future', action='store_true',
-                               help="If activated, will apply the same data "
-                               "augmentation to past and future sequences")
+                               help='Give the past and future views the '
+                               'identical augmentation draw.')
     group_augment.add_argument('--pathImpulseResponses', type=str,
                                default=None)
     group_augment.add_argument('--impulse_response_prob', type=float,
@@ -169,29 +163,26 @@ def set_default_cpc_config(parser):
     group_augment.add_argument('--min_snr_in_db', type=float, default=5.0)
     group_augment.add_argument('--max_snr_in_db', type=float, default=20.0)
     group_augment.add_argument('--ir_sample_rate', type=int, default=16000,
-                               help="Sample rate of the impulse responses. "
-                               "(Default to 32000)")
+                               help='Sample rate the impulse-response files '
+                               'were recorded at.')
     group_augment.add_argument('--temporal_additive_noise',
                                action='store_true',
-                               help="If activated, will sample noise "
-                               "sequences in temporal order.")
+                               help='Draw additive-noise windows in temporal '
+                               'order instead of uniformly.')
     group_augment.add_argument('--meta_aug', action='store_true',
-                               help="If activated, will augment noise "
-                               "sequences.")
+                               help='Also augment the noise corpus itself '
+                               'before mixing it in.')
     group_augment.add_argument('--meta_aug_type', type=str,
                                choices=['none', 'natural_reverb'], nargs='+',
-                               help="Indicates which types of data augmented "
-                               "need to be applied on noise sequences "
-                               "(from MUSAN or custom databases")
+                               help='Augmentations applied to the noise '
+                               'sequences when --meta_aug is set.')
     group_augment.add_argument('--ir_batch_wise', action='store_true',
-                               help="If activated, will apply the natural "
-                               "reverb at the batch level (same impulse "
-                               "response for the whole batch)")
+                               help='Convolve the whole batch with one '
+                               'impulse response instead of one per '
+                               'sequence.')
     group_augment.add_argument('--meta_ir_batch_wise', action='store_true',
-                               help="If activated, will apply the natural "
-                               "reverb on the noise sequences at the batch "
-                               "level (same impulse response for the whole "
-                               "batch)")
+                               help='Batch-level impulse response for the '
+                               'noise sequences (with --meta_aug).')
     return parser
 
 
