@@ -26,95 +26,82 @@ def normalize_with_singularity(x: np.ndarray) -> np.ndarray:
     (`ABX/unit_tests.py:58-82`). We implement the intended behaviour (zero
     detection on the raw norm), which reproduces those expectations."""
     x = np.array(x, dtype=np.float32, copy=True)
-    if x.ndim == 3:
-        n, s, h = x.shape
-        raw_norm = (x ** 2).sum(axis=2, keepdims=True)
-        zero_vals = (raw_norm == 0).reshape(n, s)
-        x /= np.sqrt(raw_norm + 1e-12)
-        x[zero_vals] = 1 / math.sqrt(h)
-        border = np.zeros((n, s, 1), dtype=x.dtype) + 1e-12
-        border[zero_vals] = -2 * 1e12
-        return np.concatenate([x, border], axis=2)
-    s, h = x.shape
-    raw_norm = (x ** 2).sum(axis=1, keepdims=True)
-    zero_vals = (raw_norm == 0).reshape(s)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    n, s, h = x.shape
+    raw_norm = (x ** 2).sum(axis=2, keepdims=True)
+    null_frames = (raw_norm == 0).reshape(n, s)
     x /= np.sqrt(raw_norm + 1e-12)
-    x[zero_vals] = 1 / math.sqrt(h)
-    border = np.zeros((s, 1), dtype=x.dtype) + 1e-12
-    border[zero_vals] = -2 * 1e12
-    return np.concatenate([x, border], axis=1)
+    x[null_frames] = 1 / math.sqrt(h)
+    extra_dim = np.full((n, s, 1), 1e-12, dtype=x.dtype)
+    extra_dim[null_frames] = -2 * 1e12
+    out = np.concatenate([x, extra_dim], axis=2)
+    return out[0] if squeeze else out
 
 
 def load_item_file(path_item_file):
     """Parse a .item triplet file (reference `abx_iterators.py:44-92`).
     Line format: `#file_ID onset offset #phone prev-phone next-phone
-    speaker`."""
-    with open(path_item_file, 'r') as f:
-        data = f.readlines()[1:]
-    data = [x.replace('\n', '') for x in data]
+    speaker`. Returns per-file interval rows plus the three
+    string->dense-id vocabularies (context = prev+next)."""
+    def intern(vocab, token):
+        if token not in vocab:
+            vocab[token] = len(vocab)
+        return vocab[token]
 
     out: Dict[str, List] = {}
     phone_match: Dict[str, int] = {}
     speaker_match: Dict[str, int] = {}
     context_match: Dict[str, int] = {}
 
-    for line in data:
-        items = line.split()
-        assert len(items) == 7
-        file_id = items[0]
-        if file_id not in out:
-            out[file_id] = []
-        onset, offset = float(items[1]), float(items[2])
-        context = '+'.join([items[4], items[5]])
-        phone = items[3]
-        speaker = items[6]
-        if phone not in phone_match:
-            phone_match[phone] = len(phone_match)
-        phone_id = phone_match[phone]
-        if context not in context_match:
-            context_match[context] = len(context_match)
-        context_id = context_match[context]
-        if speaker not in speaker_match:
-            speaker_match[speaker] = len(speaker_match)
-        speaker_id = speaker_match[speaker]
-        out[file_id].append([onset, offset, context_id, phone_id, speaker_id])
+    with open(path_item_file, 'r') as f:
+        rows = [line.strip('\n') for line in f.readlines()[1:]]
+
+    for row in rows:
+        fields = row.split()
+        assert len(fields) == 7
+        file_id, onset, offset, phone, prev_ph, next_ph, speaker = fields
+        out.setdefault(file_id, []).append([
+            float(onset), float(offset),
+            intern(context_match, prev_ph + '+' + next_ph),
+            intern(phone_match, phone),
+            intern(speaker_match, speaker)])
 
     return out, context_match, phone_match, speaker_match
 
 
+def _split_spans(rows, sorted_idx, key, lo, hi):
+    """Boundary spans [lo, hi) partitioned by rows[·][key] (rows already
+    sorted): yields (span_lo, span_hi) pairs."""
+    spans = []
+    span_lo = lo
+    for i in range(lo + 1, hi):
+        if rows[sorted_idx[i]][key] != rows[sorted_idx[span_lo]][key]:
+            spans.append((span_lo, i))
+            span_lo = i
+    spans.append((span_lo, hi))
+    return spans
+
+
 def get_features_group(in_data, index_order):
     """Nested grouping by the given key order
-    (reference `abx_iterators.py:95-126`)."""
-    in_index = list(range(len(in_data)))
-    in_index.sort(key=lambda x: [in_data[x][i] for i in index_order])
-    out_groups = []
-    last_values = [in_data[in_index[0]][i] for i in index_order]
-    i_s = 0
-    curr_group = [[] for _ in index_order]
-    n_orders = len(index_order) - 1
-    tmp = [in_data[i] for i in in_index]
+    (reference `abx_iterators.py:95-126`).
 
-    for index, item in enumerate(tmp):
-        for order_index, order in enumerate(index_order):
-            if item[order] != last_values[order_index]:
-                curr_group[-1].append((i_s, index))
-                for i in range(n_orders, order_index, -1):
-                    curr_group[i - 1].append(curr_group[i])
-                    curr_group[i] = []
-                if order_index == 0:
-                    out_groups += curr_group[0]
-                    curr_group[0] = []
-                last_values = [item[i] for i in index_order]
-                i_s = index
-                break
+    Returns (sorted index list, nested span lists): sorting is
+    lexicographic over `index_order`; the outermost list has one entry per
+    distinct first key, each a list per distinct second key, ..., the
+    innermost entries being (start, end) spans into the sorted order."""
+    sorted_idx = sorted(range(len(in_data)),
+                        key=lambda i: [in_data[i][k] for k in index_order])
 
-    if i_s < len(in_data):
-        curr_group[-1].append((i_s, len(in_data)))
-        for i in range(n_orders, 0, -1):
-            curr_group[i - 1].append(curr_group[i])
-        out_groups += curr_group[0]
+    def nest(lo, hi, depth):
+        spans = _split_spans(in_data, sorted_idx, index_order[depth], lo, hi)
+        if depth == len(index_order) - 1:
+            return spans
+        return [nest(a, b, depth + 1) for a, b in spans]
 
-    return in_index, out_groups
+    return sorted_idx, nest(0, len(in_data), 0)
 
 
 class ABXFeatureLoader:
@@ -135,53 +122,49 @@ class ABXFeatureLoader:
         self.INDEX_CONTEXT = 2
         self.INDEX_PHONE = 3
         self.INDEX_SPEAKER = 4
-        data = []
-        tot_size = 0
+        slices = []
+        cursor = 0
 
         print("Building the input features...")
-        for index, vals in enumerate(seqList):
-            file_id, file_path = vals
+        for file_id, file_path in seqList:
             if file_id not in files_data:
                 continue
-            features = np.asarray(feature_maker(file_path))
+            feats = np.asarray(feature_maker(file_path))
             if normalize:
-                features = normalize_with_singularity(features)
-            if features.ndim > 2:
-                features = features.reshape(features.shape[1],
-                                            features.shape[2])
-            phone_data = files_data[file_id]
-            for phone_start, phone_end, context_id, phone_id, speaker_id \
-                    in phone_data:
-                index_start = max(
-                    0, int(math.ceil(self.stepFeature * phone_start - 0.5)))
-                index_end = min(
-                    features.shape[0],
-                    int(math.floor(self.stepFeature * phone_end - 0.5)))
-                if index_start >= features.shape[0] \
-                        or index_end <= index_start:
+                feats = normalize_with_singularity(feats)
+            if feats.ndim > 2:
+                feats = feats.reshape(feats.shape[1], feats.shape[2])
+            for onset, offset, context_id, phone_id, speaker_id \
+                    in files_data[file_id]:
+                # time -> frame: round interval edges inward by half a frame
+                frame_lo = max(0,
+                               int(math.ceil(self.stepFeature * onset - 0.5)))
+                frame_hi = min(feats.shape[0],
+                               int(math.floor(self.stepFeature * offset
+                                              - 0.5)))
+                if frame_lo >= feats.shape[0] or frame_hi <= frame_lo:
                     continue
-                loc_size = index_end - index_start
-                self.features.append([tot_size, loc_size, context_id,
+                n_frames = frame_hi - frame_lo
+                self.features.append([cursor, n_frames, context_id,
                                       phone_id, speaker_id])
-                data.append(features[index_start:index_end])
-                tot_size += loc_size
+                slices.append(feats[frame_lo:frame_hi])
+                cursor += n_frames
         print("...done")
 
-        self.data = np.concatenate(data, axis=0).astype(np.float32)
+        self.data = np.concatenate(slices, axis=0).astype(np.float32)
         self.feature_dim = self.data.shape[1]
 
     def get_max_group_size(self, i_group, i_sub_group):
-        id_start, id_end = self.group_index[i_group][i_sub_group]
-        return max(self.features[i][1] for i in range(id_start, id_end))
+        lo, hi = self.group_index[i_group][i_sub_group]
+        return max(self.features[i][1] for i in range(lo, hi))
 
     def get_ids(self, index):
         context_id, phone_id, speaker_id = self.features[index][2:]
         return context_id, phone_id, speaker_id
 
     def __getitem__(self, index):
-        i_data, out_size, context_id, phone_id, speaker_id = \
-            self.features[index]
-        return (self.data[i_data:i_data + out_size], out_size,
+        start, size, context_id, phone_id, speaker_id = self.features[index]
+        return (self.data[start:start + size], size,
                 (context_id, phone_id, speaker_id))
 
     def __len__(self):
@@ -218,26 +201,23 @@ class ABXIterator:
              abxDataset.INDEX_PHONE])
 
     def get_group(self, i_start, i_end):
-        data = []
-        max_size = 0
-        to_take = list(range(i_start, i_end))
-        if i_end - i_start > self.max_size_group:
-            to_take = random.sample(to_take, k=self.max_size_group)
-        loc_id = None
-        for i in to_take:
-            loc_data, loc_size, loc_id = self.dataset[self.index_csp[i]]
-            max_size = max(loc_size, max_size)
-            data.append(loc_data)
+        """Materialize span [i_start, i_end) as a zero-padded (n, S_max, D)
+        block + true lengths; spans larger than max_size_group are
+        subsampled uniformly at random."""
+        chosen = list(range(i_start, i_end))
+        if len(chosen) > self.max_size_group:
+            chosen = random.sample(chosen, k=self.max_size_group)
+        rows = [self.dataset[self.index_csp[i]] for i in chosen]
+        group_id = rows[-1][2]
+        longest = max(size for _, size, _ in rows)
 
-        n = len(to_take)
-        out_data = np.zeros((n, max_size, self.dataset.feature_dim),
-                            dtype=np.float32)
-        out_size = np.zeros(n, dtype=np.int64)
-        for i in range(n):
-            size = data[i].shape[0]
-            out_data[i, :size] = data[i]
-            out_size[i] = size
-        return out_data, out_size, loc_id
+        block = np.zeros((len(rows), longest, self.dataset.feature_dim),
+                         dtype=np.float32)
+        lengths = np.zeros(len(rows), dtype=np.int64)
+        for j, (slice_, size, _) in enumerate(rows):
+            block[j, :size] = slice_
+            lengths[j] = size
+        return block, lengths, group_id
 
     def __len__(self):
         return self.len
@@ -247,39 +227,37 @@ class ABXIterator:
 
 
 class ABXWithinGroupIterator(ABXIterator):
-    """Within-speaker triplets (reference `abx_iterators.py:315-364`)."""
+    """Within-speaker triplets (reference `abx_iterators.py:315-364`):
+    for each (context, speaker) cell with >1 phone, every ordered phone
+    pair (A != B) where A has >= 2 tokens yields one symmetric A/B/X item
+    (X drawn from A's own group)."""
 
     def __init__(self, abxDataset, max_size_group):
         super().__init__(abxDataset, max_size_group)
         self.symmetric = True
-        for context_group in self.groups_csp:
-            for speaker_group in context_group:
-                if len(speaker_group) > 1:
-                    for i_start, i_end in speaker_group:
-                        if i_end - i_start > 1:
-                            self.len += len(speaker_group) - 1
+        for by_speaker in self.groups_csp:
+            for phones in by_speaker:
+                if len(phones) > 1:
+                    for lo, hi in phones:
+                        if hi - lo > 1:
+                            self.len += len(phones) - 1
 
     def __iter__(self):
-        for i_c, context_group in enumerate(self.groups_csp):
-            for i_s, speaker_group in enumerate(context_group):
-                n_phones = len(speaker_group)
-                if n_phones == 1:
+        for by_speaker in self.groups_csp:
+            for phones in by_speaker:
+                if len(phones) == 1:
                     continue
-                for i_a in range(n_phones):
-                    i_start_a, i_end_a = self.groups_csp[i_c][i_s][i_a]
-                    if i_end_a - i_start_a == 1:
+                for a, (lo_a, hi_a) in enumerate(phones):
+                    if hi_a - lo_a == 1:
                         continue
-                    for i_b in range(n_phones):
-                        if i_b == i_a:
+                    for b, (lo_b, hi_b) in enumerate(phones):
+                        if b == a:
                             continue
-                        i_start_b, i_end_b = self.groups_csp[i_c][i_s][i_b]
-                        data_b, size_b, id_b = self.get_group(i_start_b,
-                                                              i_end_b)
-                        data_a, size_a, id_a = self.get_group(i_start_a,
-                                                              i_end_a)
-                        out_coords = id_a[2], id_a[1], id_b[1], id_a[0]
-                        yield out_coords, (data_a, size_a), \
-                            (data_b, size_b), (data_a, size_a)
+                        data_b, size_b, id_b = self.get_group(lo_b, hi_b)
+                        data_a, size_a, id_a = self.get_group(lo_a, hi_a)
+                        coords = id_a[2], id_a[1], id_b[1], id_a[0]
+                        yield coords, (data_a, size_a), (data_b, size_b), \
+                            (data_a, size_a)
 
     def get_board_size(self):
         return (self.dataset.get_n_speakers(), self.dataset.get_n_phone(),
@@ -287,7 +265,9 @@ class ABXWithinGroupIterator(ABXIterator):
 
 
 class ABXAcrossGroupIterator(ABXIterator):
-    """Across-speaker triplets (reference `abx_iterators.py:367-448`)."""
+    """Across-speaker triplets (reference `abx_iterators.py:367-448`):
+    X comes from up to `max_x_across` other speakers with the same
+    (context, phone) as A."""
 
     def __init__(self, abxDataset, max_size_group, max_x_across):
         super().__init__(abxDataset, max_size_group)
@@ -295,64 +275,54 @@ class ABXAcrossGroupIterator(ABXIterator):
         self.get_speakers_from_cp = {}
         self.max_x = max_x_across
 
-        for context_group in self.groups_csp:
-            for speaker_group in context_group:
-                for i_start, i_end in speaker_group:
+        for by_speaker in self.groups_csp:
+            for phones in by_speaker:
+                for lo, hi in phones:
                     c_id, p_id, s_id = self.dataset.get_ids(
-                        self.index_csp[i_start])
+                        self.index_csp[lo])
                     self.get_speakers_from_cp.setdefault(c_id, {}) \
-                        .setdefault(p_id, {})[s_id] = (i_start, i_end)
+                        .setdefault(p_id, {})[s_id] = (lo, hi)
 
-        for context_group in self.groups_csp:
-            for speaker_group in context_group:
-                if len(speaker_group) > 1:
-                    for i_start, i_end in speaker_group:
+        for by_speaker in self.groups_csp:
+            for phones in by_speaker:
+                if len(phones) > 1:
+                    for lo, hi in phones:
                         c_id, p_id, s_id = self.dataset.get_ids(
-                            self.index_csp[i_start])
-                        self.len += (len(speaker_group) - 1) * (
-                            min(self.max_x,
-                                len(self.get_speakers_from_cp[c_id][p_id])
-                                - 1))
+                            self.index_csp[lo])
+                        n_other = len(
+                            self.get_speakers_from_cp[c_id][p_id]) - 1
+                        self.len += (len(phones) - 1) * min(self.max_x,
+                                                            n_other)
 
     def get_other_speakers_in_group(self, i_start_group):
         c_id, p_id, s_id = self.dataset.get_ids(
             self.index_csp[i_start_group])
-        return [v for k, v in self.get_speakers_from_cp[c_id][p_id].items()
-                if k != s_id]
+        return [span for spk, span
+                in self.get_speakers_from_cp[c_id][p_id].items()
+                if spk != s_id]
 
-    def get_abx_triplet(self, i_a, i_b, i_x):
-        i_start_a, i_end_a = i_a
-        data_a, size_a, id_a = self.get_group(i_start_a, i_end_a)
-        i_start_b, i_end_b = i_b
-        data_b, size_b, id_b = self.get_group(i_start_b, i_end_b)
-        i_start_x, i_end_x = i_x
-        data_x, size_x, id_x = self.get_group(i_start_x, i_end_x)
-        out_coords = id_a[2], id_a[1], id_b[1], id_a[0], id_x[2]
-        return out_coords, (data_a, size_a), (data_b, size_b), \
-            (data_x, size_x)
+    def get_abx_triplet(self, span_a, span_b, span_x):
+        data_a, size_a, id_a = self.get_group(*span_a)
+        data_b, size_b, id_b = self.get_group(*span_b)
+        data_x, size_x, id_x = self.get_group(*span_x)
+        coords = id_a[2], id_a[1], id_b[1], id_a[0], id_x[2]
+        return coords, (data_a, size_a), (data_b, size_b), (data_x, size_x)
 
     def __iter__(self):
-        for i_c, context_group in enumerate(self.groups_csp):
-            for i_s, speaker_group in enumerate(context_group):
-                n_phones = len(speaker_group)
-                if n_phones == 1:
+        for by_speaker in self.groups_csp:
+            for phones in by_speaker:
+                if len(phones) == 1:
                     continue
-                for i_a in range(n_phones):
-                    i_start_a, i_end_a = self.groups_csp[i_c][i_s][i_a]
-                    ref = self.get_other_speakers_in_group(i_start_a)
-                    if len(ref) > self.max_x:
-                        speakers_a = random.sample(ref, k=self.max_x)
-                    else:
-                        speakers_a = ref
-                    for i_start_x, i_end_x in speakers_a:
-                        for i_b in range(n_phones):
-                            if i_b == i_a:
+                for a, span_a in enumerate(phones):
+                    others = self.get_other_speakers_in_group(span_a[0])
+                    if len(others) > self.max_x:
+                        others = random.sample(others, k=self.max_x)
+                    for span_x in others:
+                        for b, span_b in enumerate(phones):
+                            if b == a:
                                 continue
-                            i_start_b, i_end_b = \
-                                self.groups_csp[i_c][i_s][i_b]
-                            yield self.get_abx_triplet(
-                                (i_start_a, i_end_a), (i_start_b, i_end_b),
-                                (i_start_x, i_end_x))
+                            yield self.get_abx_triplet(span_a, span_b,
+                                                       span_x)
 
     def get_board_size(self):
         return (self.dataset.get_n_speakers(), self.dataset.get_n_phone(),

@@ -1,8 +1,11 @@
 """Power-of-two curriculum training sets
 (reference `data/build_power_two_training.py`).
 
-N packets of base duration merged pairwise into 2x, 4x, ... training sets via
-symlinks.
+Splits a corpus into N mutually-exclusive packets of at least `duration`
+seconds each, then merges packets pairwise into 2x, 4x, ... tiers. Every
+tier is a directory of symlinks (`<hours>h/<packet>/<original subpath>`),
+so no audio is copied and a curriculum of nested training sets costs no
+disk.
 
 Run: `python -m cpc2_tpu.tools.build_power_two_training --audio_path ...
 --nb_packets 16 --output_path ... --duration 28800`
@@ -26,67 +29,65 @@ def get_audio_duration(audio_path: str) -> float:
     return n_frames / sr
 
 
+def _tier_dir(output_path: str, seconds: float) -> str:
+    return os.path.join(output_path, f'{int(seconds / 3600)}h')
+
+
+def _link_into(packet_dir: str, src: str, subpath: str) -> None:
+    dst = os.path.join(packet_dir, subpath)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.symlink(src, dst)
+
+
 def create_min_dur_packets(audio_path, output_path, target_dur, nb_packets):
-    """(reference `build_power_two_training.py:32-47`)."""
+    """Fill `nb_packets` disjoint packets with >= target_dur seconds each
+    (reference `build_power_two_training.py:32-47`). Files are consumed in
+    glob order; a packet stops filling once within 1% of the target."""
     print("Start creating small packets of audio")
-    audio_files = glob.glob(os.path.join(audio_path, '**/*.wav'),
-                            recursive=True)
-    i = 0
-    for packet_idx in range(0, nb_packets):
-        curr_dur = 0
-        packet_path = os.path.join(output_path,
-                                   str(int(target_dur / 3600)) + 'h',
-                                   '%d' % packet_idx)
-        while i < len(audio_files) and \
-                curr_dur < target_dur - 0.01 * target_dur:
-            audio = audio_files[i]
-            base_path = audio.replace(audio_path, '')[1:]
-            dest = os.path.join(packet_path, base_path)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            os.symlink(audio, dest)
-            i += 1
-            curr_dur += get_audio_duration(audio)
+    files = glob.glob(os.path.join(audio_path, '**/*.wav'), recursive=True)
+    queue = iter(files)
+    tier = _tier_dir(output_path, target_dur)
+    for packet_idx in range(nb_packets):
+        packet_dir = os.path.join(tier, str(packet_idx))
+        filled = 0.0
+        for src in queue:
+            _link_into(packet_dir, src, os.path.relpath(src, audio_path))
+            filled += get_audio_duration(src)
+            if filled >= 0.99 * target_dur:
+                break
     print("Done creating %d packets of %d hours"
           % (nb_packets, target_dur // 3600))
 
 
 def gather_small_packets(output_path, target_dur, nb_packets):
-    """(reference `build_power_two_training.py:50-68`)."""
+    """Merge packet pairs into a doubled-duration tier, repeatedly, until a
+    single packet remains (reference `build_power_two_training.py:50-68`)."""
     print("Start gathering small packets to create bigger packets")
     while nb_packets > 1:
-        for i in range(0, nb_packets, 2):
-            path1 = os.path.join(output_path,
-                                 str(int(target_dur / 3600)) + 'h', str(i))
-            path2 = os.path.join(output_path,
-                                 str(int(target_dur / 3600)) + 'h',
-                                 str(i + 1))
-            files1 = glob.glob(os.path.join(path1, '**/*.wav'),
-                               recursive=True)
-            files2 = glob.glob(os.path.join(path2, '**/*.wav'),
-                               recursive=True)
-            packet_path = os.path.join(
-                output_path, str(int(2 * target_dur / 3600)) + 'h',
-                str(i // 2))
-            for file in files1 + files2:
-                base_path = file.replace(path1, '').replace(path2, '')[1:]
-                dest = os.path.join(packet_path, base_path)
-                os.makedirs(os.path.dirname(dest), exist_ok=True)
-                os.symlink(file, dest)
-        nb_packets = nb_packets // 2
-        target_dur = target_dur * 2
+        src_tier = _tier_dir(output_path, target_dur)
+        dst_tier = _tier_dir(output_path, 2 * target_dur)
+        for pair in range(nb_packets // 2):
+            dst_dir = os.path.join(dst_tier, str(pair))
+            for half in (2 * pair, 2 * pair + 1):
+                src_dir = os.path.join(src_tier, str(half))
+                for f in glob.glob(os.path.join(src_dir, '**/*.wav'),
+                                   recursive=True):
+                    _link_into(dst_dir, f, os.path.relpath(f, src_dir))
+        nb_packets //= 2
+        target_dur *= 2
         print("Done creating %d packets of %d hours"
               % (nb_packets, target_dur // 3600))
 
 
 def main(argv):
     parser = argparse.ArgumentParser(
-        description='This scripts build smaller mutually exclusive '
-                    'training sets.')
+        description='Build nested power-of-two training subsets out of '
+                    'mutually exclusive audio packets.')
     parser.add_argument('--audio_path', type=str, required=True)
     parser.add_argument("--duration", type=int, required=True,
                         default=8 * 3600,
-                        help='Minimal duration to considered '
-                             '(default to 8 hours)')
+                        help='Seconds of audio per base packet '
+                             '(default 8 hours).')
     parser.add_argument("--nb_packets", type=int, required=True)
     parser.add_argument('--output_path', type=str, required=True)
     args = parser.parse_args(argv)

@@ -26,29 +26,29 @@ from ..data.audio_io import load_audio, save_wav
 def load_all_rttm(rttm_path, classes, regex, min_dur, path_audios):
     """Load all segments whose speaker label is in `classes`
     (reference `extract_segments.py:10-38`)."""
-    print("Loading rttm files.")
-    t0 = time.time()
+    started = time.time()
     all_segments = []
-    nb_files = 0
+    n_annotated = 0
+    print("Loading rttm files.")
     for rttm_file in glob.glob(os.path.join(rttm_path,
                                             '*' + regex + '*.rttm')):
         audio_path = os.path.join(
             path_audios,
             os.path.basename(rttm_file).replace(".rttm", ".wav"))
-        if os.path.isfile(audio_path):
-            nb_files += 1
-            with open(rttm_file, 'r') as csv_file:
-                for line in csv_file:
-                    splitted = line.split(' ')
-                    onset = float(splitted[3])
-                    duration = float(splitted[4])
-                    spkr = splitted[7]
-                    if spkr in classes and duration >= min_dur:
-                        all_segments.append([audio_path, onset, duration,
-                                             spkr])
-    print("Found %d .rttm files" % nb_files)
+        if not os.path.isfile(audio_path):
+            continue
+        n_annotated += 1
+        with open(rttm_file, 'r') as fin:
+            for line in fin:
+                cols = line.split(' ')
+                onset, duration, spkr = (float(cols[3]), float(cols[4]),
+                                         cols[7])
+                if spkr in classes and duration >= min_dur:
+                    all_segments.append([audio_path, onset, duration,
+                                         spkr])
+    print("Found %d .rttm files" % n_annotated)
     print("Loaded %d segments in %.2f sec" % (len(all_segments),
-                                              time.time() - t0))
+                                              time.time() - started))
     return all_segments
 
 

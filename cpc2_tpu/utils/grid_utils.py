@@ -1,10 +1,11 @@
 """SLURM sweep / preemption-requeue helpers
 (reference `cpc/utils/grid_utils.py`).
 
-The framework's checkpoint auto-resume (`train.py`) makes requeue-on-
-preemption elastic recovery: `SlurmWrapper.checkpoint` resubmits the same
-callable via submitit; on restart the trainer resumes from the newest
-checkpoint.
+A sweep is a JSON object mapping flag names to a value or a list of values;
+every combination becomes one command line. `SlurmWrapper` makes a training
+callable requeue itself on preemption via submitit — combined with the
+trainer's per-epoch checkpoint auto-resume (`train.py`), preemptions are
+lossless (elastic recovery).
 """
 
 from __future__ import annotations
@@ -15,7 +16,9 @@ import json
 
 class SlurmWrapper:
     """Requeue-on-preemption wrapper (reference `grid_utils.py:9-29`).
-    Checkpointing is done within the trainer each epoch."""
+
+    The trainer checkpoints every epoch, so on requeue the fresh submission
+    simply resumes from the newest checkpoint."""
 
     def __init__(self, runnable, verbose=False):
         self.runnable = runnable
@@ -30,37 +33,40 @@ class SlurmWrapper:
 
     def checkpoint(self, _):
         import submitit
-        training_callable = SlurmWrapper(self.runnable)
-        return submitit.helpers.DelayedSubmission(training_callable,
-                                                  self.args)
+        return submitit.helpers.DelayedSubmission(
+            SlurmWrapper(self.runnable), self.args)
+
+
+def _format_flag(name, value):
+    """One swept value -> one CLI token (reference `grid_utils.py:36-46`):
+    numbers and strings render as --name=value (strings may not contain
+    double quotes), booleans render as a bare --name or an empty token."""
+    if isinstance(value, bool):
+        # bool first: bool is a subclass of int
+        return f"--{name}" if value else ""
+    if isinstance(value, (int, float)):
+        return f"--{name}={value}"
+    if isinstance(value, str):
+        assert '"' not in value, (
+            f"Key {name} has string value {value} which contains forbidden "
+            f"quotes.")
+        return f'--{name}={value}'
+    raise Exception(
+        f"Key {name} has value {value} of unsupported type {type(value)}.")
 
 
 def parse_json_sweep(config):
-    """JSON grid -> flag permutations (reference `grid_utils.py:32-58`)."""
-    config = {k: v if type(v) is list else [v] for k, v in config.items()}
-    perms = list(itertools.product(*config.values()))
-
-    def to_arg(k, v):
-        if type(v) in (int, float):
-            return f"--{k}={v}"
-        elif type(v) is bool:
-            return f"--{k}" if v else ""
-        elif type(v) is str:
-            assert '"' not in v, (f"Key {k} has string value {v} which "
-                                  f"contains forbidden quotes.")
-            return f'--{k}={v}'
-        else:
-            raise Exception(f"Key {k} has value {v} of unsupported type "
-                            f"{type(v)}.")
-
-    commands = []
-    for p in perms:
-        args = [to_arg(k, p[i]) for i, k in enumerate(config.keys())]
-        commands.append(args)
-    return commands
+    """JSON grid -> list of flag-token lists, one per combination
+    (reference `grid_utils.py:32-58`). Scalar values act as 1-element
+    axes."""
+    axes = {name: vals if isinstance(vals, list) else [vals]
+            for name, vals in config.items()}
+    names = list(axes.keys())
+    return [[_format_flag(name, choice)
+             for name, choice in zip(names, combo)]
+            for combo in itertools.product(*axes.values())]
 
 
 def sweep(fname):
     with open(fname, 'r') as config_file:
-        config = json.loads(config_file.read())
-    return parse_json_sweep(config)
+        return parse_json_sweep(json.load(config_file))
