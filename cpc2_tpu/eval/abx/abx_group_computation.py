@@ -102,10 +102,92 @@ def get_distance_group_dtw(a1, a2, size1, size2, ignore_diag=False,
     return out
 
 
+def _make_fused_theta(dist_name: str, symmetric: bool):
+    dist_fn = _cosine_dist if dist_name == 'cosine' else _euclid_dist
+
+    def dtw_pairs(q, r, lq, lr):
+        """(NQ,SQ,D) x (NR,SR,D) on-device distances + DTW -> (NQ, NR)."""
+        dist = dist_fn(q, r)
+        nq, nr, sq, sr = dist.shape
+        flat = dist.reshape(nq * nr, sq, sr)
+        l1 = jnp.repeat(lq, nr)
+        l2 = jnp.tile(lr, nq)
+        return dtw_normalized(flat, l1, l2).reshape(nq, nr)
+
+    def fused(a, b, x, la, lb, lx, va, vb, vx):
+        dxb = dtw_pairs(x, b, lx, lb)                     # (NX, NB)
+        dxa = dtw_pairs(x, a, lx, la)                     # (NX, NA)
+        w_xb = vx[:, None] & vb[None, :]
+        w_xa = vx[:, None] & va[None, :]
+        if symmetric:
+            # reference: positives exclude the x==a pair; filling the
+            # diagonal with (max over dxb) + 1 makes every diagonal
+            # comparison lose (`abx_group_computation.py:74-78`)
+            max_val = jnp.max(jnp.where(w_xb, dxb, -jnp.inf))
+            eye = jnp.eye(dxa.shape[0], dxa.shape[1], dtype=bool)
+            dxa = jnp.where(eye, max_val + 1, dxa)
+        w = (w_xa[:, :, None] & w_xb[:, None, :]).astype(jnp.float32)
+        dxa_e = dxa[:, :, None]
+        dxb_e = dxb[:, None, :]
+        wins = (dxa_e < dxb_e).astype(jnp.float32) \
+            + 0.5 * (dxa_e == dxb_e).astype(jnp.float32)
+        return jnp.sum(wins * w)
+    return jax.jit(fused)
+
+
+_FUSED_CACHE = {}
+
+
+def _fused_theta(dist_name: str, symmetric: bool):
+    key = (dist_name, symmetric)
+    if key not in _FUSED_CACHE:
+        _FUSED_CACHE[key] = _make_fused_theta(dist_name, symmetric)
+    return _FUSED_CACHE[key]
+
+
+def _pad_group(g, sizes):
+    n, s, d = g.shape
+    bn, ps = _bucket_small(n), _bucket(s)
+    gp = np.zeros((bn, ps, d), np.float32)
+    gp[:n, :s] = np.asarray(g)
+    lp = np.ones(bn, np.int32)
+    lp[:n] = np.asarray(sizes)
+    valid = np.zeros(bn, bool)
+    valid[:n] = True
+    return gp, lp, valid
+
+
 def get_theta_group_dtw(a, b, x, sa, sb, sx, distance_function, symmetric):
     """Asymmetric ABX score θ for one triplet group
-    (reference `abx_group_computation.py:63-90`)."""
+    (reference `abx_group_computation.py:63-90`).
+
+    The whole triplet — both distance matrices, both batched DTWs, and the
+    win/tie count — runs as ONE jitted program returning a scalar: on
+    remote-dispatch backends the per-group cost is a single round-trip
+    instead of four dispatches plus two matrix fetches."""
     check_dtw_group_validity(a, b, x)
+    if distance_function is get_cosine_distance_batch:
+        dist_name = 'cosine'
+    elif distance_function is get_euclidian_distance_batch:
+        dist_name = 'euclidian'
+    else:
+        return _theta_group_dtw_host(a, b, x, sa, sb, sx, distance_function,
+                                     symmetric)
+
+    ap, la, va = _pad_group(a, sa)
+    bp, lb, vb = _pad_group(b, sb)
+    xp, lx, vx = _pad_group(x, sx)
+    numerator = float(_fused_theta(dist_name, symmetric)(
+        ap, bp, xp, jnp.asarray(la), jnp.asarray(lb), jnp.asarray(lx),
+        jnp.asarray(va), jnp.asarray(vb), jnp.asarray(vx)))
+
+    na, nb, nx = a.shape[0], b.shape[0], x.shape[0]
+    n_pos = na * (na - 1) if symmetric else na * nx
+    return numerator / (n_pos * nb)
+
+
+def _theta_group_dtw_host(a, b, x, sa, sb, sx, distance_function, symmetric):
+    """Generic-callable fallback: per-matrix dispatches + host-side count."""
     dxb = get_distance_group_dtw(x, b, sx, sb,
                                  distance_function=distance_function)
     dxa = get_distance_group_dtw(x, a, sx, sa, ignore_diag=symmetric,
