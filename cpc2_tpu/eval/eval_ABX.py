@@ -152,8 +152,25 @@ def main(argv):
                            updateConfig=updateConfig)[0]
         feature_maker = FeatureModule(bundle, args.get_encoded,
                                       keep_hidden=True)
+        # Extract the whole corpus up front, batched across same-length
+        # files (one dispatch per length-group chunk instead of per file
+        # chunk); per-file features match buildFeature to float precision.
+        from ..feature_loader import build_feature_files
+        _cache = {}
 
         def feature_function(x):
+            if not _cache:
+                _seqs, _ = findAllSeqs(args.path_dataset,
+                                       extension=args.file_extension)
+                paths = [str(Path(args.path_dataset) / p)
+                         for (_, p) in _seqs]
+                if args.debug:
+                    paths = paths[:1000]
+                _cache.update(build_feature_files(
+                    feature_maker, paths, seqNorm=args.seq_norm,
+                    strict=args.strict, maxSizeSeq=args.max_size_seq))
+            if str(x) in _cache:
+                return _cache[str(x)]
             return buildFeature(feature_maker, x, seqNorm=args.seq_norm,
                                 strict=args.strict,
                                 maxSizeSeq=args.max_size_seq)

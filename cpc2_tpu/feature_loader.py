@@ -409,6 +409,71 @@ buildFeature = build_feature
 buildFeature_batch = build_feature_batch
 
 
+def build_feature_files(feature_maker: Callable, seq_paths,
+                        maxSizeSeq: int = 64000, seqNorm: bool = False,
+                        strict: bool = False, max_batch: int = 16):
+    """Whole-corpus feature extraction, batched ACROSS files.
+
+    `buildFeature` dispatches one device call per (file, chunk) — on
+    remote-dispatch backends a corpus pass is round-trip bound. Files with
+    identical sample counts have identical chunk structure, so they are
+    grouped and run as one batch per chunk: dispatch count drops from
+    n_files * n_chunks to n_length_groups * n_chunks, with per-file hidden
+    carry preserved (the batch axis of the RNN state is the file axis).
+    Per-file results match `buildFeature` to float precision (only the
+    batch dimension of the same program changes).
+
+    Returns {path: (1, T_frames, D) array}, one entry per input path.
+    """
+    from collections import defaultdict
+
+    from .data.audio_io import load_audio
+
+    by_length = defaultdict(list)
+    lengths = {}
+    for p in seq_paths:
+        seq, _sr = load_audio(p)
+        seq = np.asarray(seq, dtype=np.float32)
+        by_length[seq.shape[-1]].append((p, seq))
+        lengths[p] = seq.shape[-1]
+
+    out = {}
+    for size_seq, items in by_length.items():
+        for lo in range(0, len(items), max_batch):
+            batch_items = items[lo:lo + max_batch]
+            stack = np.stack([seq for _, seq in batch_items])   # (B, T)
+            if hasattr(feature_maker, 'reset_hidden'):
+                feature_maker.reset_hidden()
+            chunks = []
+            start = 0
+            while start < size_seq:
+                if strict and start + maxSizeSeq > size_seq:
+                    break
+                end = min(size_seq, start + maxSizeSeq)
+                feats = feature_maker((stack[:, start:end], None))
+                if seqNorm:
+                    feats = seqNormalization(feats)
+                chunks.append(np.asarray(feats))
+                start += maxSizeSeq
+            if strict and start < size_seq:
+                feats = feature_maker((stack[:, -maxSizeSeq:], None))
+                if seqNorm:
+                    feats = seqNormalization(feats)
+                ds = (feature_maker.get_downsampling_factor()
+                      if hasattr(feature_maker, 'get_downsampling_factor')
+                      else DOWNSAMPLING)
+                delta = (size_seq - start) // ds
+                chunks.append(np.asarray(feats)[:, -delta:])
+            whole = np.concatenate(chunks, axis=1)              # (B, T', D)
+            for j, (p, _) in enumerate(batch_items):
+                out[p] = whole[j:j + 1]
+    return out
+
+
+# Reference-style alias
+buildFeature_files = build_feature_files
+
+
 # ---------------------------------------------------------------------------
 # Combined feature makers (reference `feature_loader.py:85-147,159-173`)
 # ---------------------------------------------------------------------------

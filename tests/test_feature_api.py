@@ -205,3 +205,50 @@ def test_kmean_cluster_step():
     np.testing.assert_allclose(np.asarray(counts), [2.0, 1.0])
     np.testing.assert_allclose(np.asarray(sums),
                                [[0.5, 1.0], [9.0, 10.0]], atol=1e-6)
+
+
+class TestBuildFeatureFiles:
+
+    def test_matches_per_file(self, tmp_path):
+        """build_feature_files == buildFeature per file, incl. the per-file
+        LSTM hidden carry (files batched by identical length)."""
+        from cpc2_tpu.data.audio_io import save_wav
+        args = get_default_cpc_config()
+        args.hiddenEncoder = args.hiddenGar = 20
+        args.arMode, args.sizeWindow = 'LSTM', 4160
+        bundle = fl.init_model(args, seed=0)
+
+        rs = np.random.RandomState(3)
+        paths = []
+        for i, n in enumerate([9600, 9600, 6400, 9600]):  # two length groups
+            wav = (0.3 * np.sin(np.arange(n) * (0.01 + 0.002 * i))
+                   + 0.01 * rs.randn(n)).astype(np.float32)
+            p = str(tmp_path / f"f{i}.wav")
+            save_wav(p, wav, 16000)
+            paths.append(p)
+
+        maker = fl.FeatureModule(bundle, get_encoded=False, keep_hidden=True)
+        feats = fl.build_feature_files(maker, paths, maxSizeSeq=3200,
+                                       max_batch=2)
+        assert set(feats) == set(paths)
+        for p in paths:
+            ref = np.asarray(fl.buildFeature(maker, p, maxSizeSeq=3200))
+            got = np.asarray(feats[p])
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(got, ref, atol=2e-6)
+
+    def test_strict_mode(self, tmp_path):
+        from cpc2_tpu.data.audio_io import save_wav
+        args = get_default_cpc_config()
+        args.hiddenEncoder = args.hiddenGar = 20
+        args.sizeWindow = 4160
+        bundle = fl.init_model(args, seed=0)
+        wav = np.sin(np.arange(8000) * 0.01).astype(np.float32)
+        p = str(tmp_path / "s.wav")
+        save_wav(p, wav, 16000)
+        maker = fl.FeatureModule(bundle, get_encoded=False, keep_hidden=True)
+        feats = fl.build_feature_files(maker, [p], maxSizeSeq=3200,
+                                       strict=True)
+        ref = np.asarray(fl.buildFeature(maker, p, maxSizeSeq=3200,
+                                         strict=True))
+        np.testing.assert_allclose(np.asarray(feats[p]), ref, atol=2e-6)
