@@ -1,173 +1,201 @@
-"""RTTM voice-type segments -> trimmed wav chunks
-(reference `data/extract_segments.py`).
+"""RTTM voice-type annotations -> trimmed wav segment corpora.
 
-Naming convention `base_spkr_onset_offset.wav`; duration-proportional random
-or longest-first sampling into nested duration tiers; symlink inclusion of
-smaller tiers into bigger. The reference shells out to sox for trimming —
-here the trim is done with the bundled wav IO (no external binaries).
+Behavioral spec (reference ``data/extract_segments.py``): read RTTM files,
+keep segments whose speaker class is requested and long enough, and cut
+them out of the source recordings into nested duration tiers
+(``<output>/<N>h/<class>/``). Segments are drawn either at random with
+probability proportional to their duration, or longest-first. Each cut is
+named ``<recording>_<class>_<onset>_<offset>.wav``; after sampling, every
+smaller tier is included into every bigger tier via symlinks.
 
-Run: `python -m cpc2_tpu.tools.extract_segments --audio_path ... --rttm_path
-... --classes KCHI FEM --durations 100 200 --sampling random --output_path ..`
+The reference shells out to sox for trimming; here the trim uses the
+bundled wav IO (no external binaries).
+
+Run: ``python -m cpc2_tpu.tools.extract_segments --audio_path ...
+--rttm_path ... --classes KCHI FEM --durations 100 200 --sampling random
+--output_path ...``
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
 import glob
 import os
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
 from ..data.audio_io import load_audio, save_wav
 
+# RTTM is a 9-column space-separated format:
+# SPEAKER <uri> <chan> <onset> <duration> <NA> <NA> <speaker> <NA> <NA>
+_RTTM_ONSET, _RTTM_DURATION, _RTTM_SPEAKER = 3, 4, 7
+
+
+def _tier_name(target_seconds: float) -> str:
+    return f"{int(target_seconds) // 3600}h"
+
 
 def load_all_rttm(rttm_path, classes, regex, min_dur, path_audios):
-    """Load all segments whose speaker label is in `classes`
-    (reference `extract_segments.py:10-38`)."""
-    started = time.time()
-    all_segments = []
-    n_annotated = 0
+    """Collect ``[audio_path, onset, duration, speaker]`` records for every
+    annotated segment with a wanted class, lasting at least ``min_dur``
+    seconds, whose source recording exists under ``path_audios``."""
+    t0 = time.time()
     print("Loading rttm files.")
-    for rttm_file in glob.glob(os.path.join(rttm_path,
-                                            '*' + regex + '*.rttm')):
-        audio_path = os.path.join(
-            path_audios,
-            os.path.basename(rttm_file).replace(".rttm", ".wav"))
-        if not os.path.isfile(audio_path):
+    segments = []
+    n_annotated = 0
+    # NB: stdlib glob, not pathlib — an empty regex yields the pattern
+    # "**.rttm", which pathlib rejects but glob treats as "*.rttm".
+    pattern = os.path.join(str(rttm_path), f"*{regex}*.rttm")
+    for rttm_file in sorted(Path(p) for p in glob.glob(pattern)):
+        recording = Path(path_audios) / (rttm_file.stem + ".wav")
+        if not recording.is_file():
             continue
         n_annotated += 1
-        with open(rttm_file, 'r') as fin:
-            for line in fin:
-                cols = line.split(' ')
-                onset, duration, spkr = (float(cols[3]), float(cols[4]),
-                                         cols[7])
-                if spkr in classes and duration >= min_dur:
-                    all_segments.append([audio_path, onset, duration,
-                                         spkr])
+        for line in rttm_file.read_text().splitlines():
+            fields = line.split(' ')
+            if len(fields) <= _RTTM_SPEAKER:
+                continue
+            onset = float(fields[_RTTM_ONSET])
+            duration = float(fields[_RTTM_DURATION])
+            speaker = fields[_RTTM_SPEAKER]
+            if speaker in classes and duration >= min_dur:
+                segments.append([str(recording), onset, duration, speaker])
     print("Found %d .rttm files" % n_annotated)
-    print("Loaded %d segments in %.2f sec" % (len(all_segments),
-                                              time.time() - started))
-    return all_segments
+    print("Loaded %d segments in %.2f sec" % (len(segments),
+                                              time.time() - t0))
+    return segments
 
 
-_audio_cache = {}
+@functools.lru_cache(maxsize=4)
+def _cached_recording(audio_file):
+    """Whole-recording decode, cached because consecutive cuts usually hit
+    the same source file."""
+    return load_audio(audio_file)
 
 
 def cut_wave_file(audio_file, onset, duration, spkr, output_path):
-    """Trim `audio_file` [onset, onset+duration] to
-    `output_path/spkr/base_spkr_onset_offset.wav`
-    (reference `extract_segments.py:41-53`, sox-free)."""
-    basename = os.path.basename(audio_file).replace(".wav", "")
-    basename = basename + "_%s_%.2f_%.2f.wav" % (
-        spkr, float(onset), float(onset) + float(duration))
-    out = os.path.join(output_path, spkr, basename)
+    """Write the ``[onset, onset+duration)`` slice of ``audio_file`` to
+    ``<output_path>/<spkr>/<base>_<spkr>_<onset>_<offset>.wav``."""
+    onset, duration = float(onset), float(duration)
+    stem = Path(audio_file).stem
+    name = "%s_%s_%.2f_%.2f.wav" % (stem, spkr, onset, onset + duration)
+    samples, sr = _cached_recording(audio_file)
+    lo = int(onset * sr)
+    hi = lo + int(duration * sr)
+    save_wav(os.path.join(output_path, spkr, name), samples[lo:hi], sr)
 
-    if audio_file not in _audio_cache:
-        if len(_audio_cache) > 4:
-            _audio_cache.clear()
-        _audio_cache[audio_file] = load_audio(audio_file)
-    wav, sr = _audio_cache[audio_file]
-    start = int(float(onset) * sr)
-    end = start + int(float(duration) * sr)
-    save_wav(out, wav[start:end], sr)
+
+class _TierWriter:
+    """Routes cuts into nested duration tiers.
+
+    Every cut lands in the smallest tier still being filled; once the
+    cumulative duration reaches that tier's target, writing moves on to the
+    next bigger tier (``create_symlink`` later nests the finished tiers
+    into the bigger ones). Once every target is met, further cuts keep
+    landing in the largest tier.
+    """
+
+    def __init__(self, output_path, targets_seconds):
+        self._root = output_path
+        self._targets = sorted(float(t) for t in targets_seconds)
+        self._tier = 0
+        self._total = 0.0
+
+    @property
+    def satisfied(self) -> bool:
+        return self._tier >= len(self._targets)
+
+    def add(self, segment) -> None:
+        audio_file, onset, duration, speaker = segment[:4]
+        tier = min(self._tier, len(self._targets) - 1)
+        out_dir = os.path.join(self._root, _tier_name(self._targets[tier]))
+        cut_wave_file(audio_file, onset, duration, speaker, out_dir)
+        self._total += float(duration)
+        while (self._tier < len(self._targets) - 1
+               and self._total >= self._targets[self._tier]):
+            print("Done creating the %s tier"
+                  % _tier_name(self._targets[self._tier]))
+            self._tier += 1
+        if (self._tier == len(self._targets) - 1
+                and self._total >= self._targets[self._tier]):
+            self._tier += 1
+
+
+def uniform_segment_sampler(all_segments, durations, output_path):
+    """Sample without replacement, probability proportional to duration,
+    until every tier target is met (or segments run out)."""
+    writer = _TierWriter(output_path, durations)
+    remaining = list(all_segments)
+    weights = np.asarray([seg[2] for seg in remaining], dtype=np.float64)
+    while not writer.satisfied and remaining:
+        pick = int(np.random.choice(len(remaining),
+                                    p=weights / weights.sum()))
+        writer.add(remaining.pop(pick))
+        weights = np.delete(weights, pick)
+
+
+def longest_segment_sampler(all_segments, durations, output_path):
+    """Deterministic longest-first pass over every segment."""
+    writer = _TierWriter(output_path, durations)
+    for segment in sorted(all_segments, key=lambda seg: -seg[2]):
+        writer.add(segment)
 
 
 def segment_sampler(all_segments, durations, type, output_path):
-    """(reference `extract_segments.py:56-82`)."""
-    max_dur = max(durations)
-    tot_dur_seg = sum(seg[2] for seg in all_segments)
-    if tot_dur_seg < max_dur:
+    """Validate the request, lay out the tier directories, and dispatch to
+    the chosen sampling strategy."""
+    available = sum(seg[2] for seg in all_segments)
+    biggest = max(durations)
+    if available < biggest:
         raise ValueError(
-            "You've asked to extract segments whose cumulated duration "
-            "would be %d hours.\nBut all the segments found have a "
-            "cumulated duration of %s hours."
-            % (max_dur // 3600, tot_dur_seg // 3600))
+            "Requested %d h of segments but the annotations only cover "
+            "%.2f h." % (biggest // 3600, available / 3600))
 
-    spkrs = np.unique([seg[3] for seg in all_segments])
-    for duration in durations:
-        for spkr in spkrs:
-            os.makedirs(os.path.join(output_path,
-                                     str(duration // 3600) + "h", spkr))
+    speakers = sorted({seg[3] for seg in all_segments})
+    for target in durations:
+        for speaker in speakers:
+            os.makedirs(os.path.join(output_path, _tier_name(target),
+                                     speaker))
 
     if type == 'random':
         uniform_segment_sampler(all_segments, durations, output_path)
     elif type == 'longest':
         longest_segment_sampler(all_segments, durations, output_path)
     else:
-        raise ValueError("Only 'uniform' or 'longest' type of sampler is "
+        raise ValueError("Only 'random' or 'longest' type of sampler is "
                          "accepted.")
 
 
-def uniform_segment_sampler(all_segments, durations, output_path):
-    """Duration-proportional sampling
-    (reference `extract_segments.py:85-121`)."""
-    cum_dur = 0
-    output_dir = os.path.join(output_path,
-                              str(min(durations) // 3600) + "h")
-    probabilities = np.asarray([seg[2] for seg in all_segments], np.float64)
-    probabilities = probabilities / probabilities.sum()
-    all_segments = list(all_segments)
-
-    while cum_dur < min(durations) and len(all_segments) != 0:
-        index_choice = np.random.choice(len(all_segments), size=1,
-                                        p=probabilities)[0]
-        chosen = all_segments[index_choice]
-        cut_wave_file(audio_file=chosen[0], onset=float(chosen[1]),
-                      duration=float(chosen[2]), spkr=chosen[3],
-                      output_path=output_dir)
-        cum_dur += float(chosen[2])
-        del all_segments[index_choice]
-        probabilities = np.delete(probabilities, index_choice)
-        if probabilities.sum() > 0:
-            probabilities = probabilities / probabilities.sum()
-
-        if cum_dur >= min(durations) and len(durations) != 1:
-            print("Done creating %s h version" % min(durations))
-            durations = np.delete(durations,
-                                  np.where(durations == min(durations)))
-            output_dir = os.path.join(output_path,
-                                      str(min(durations) // 3600) + "h")
-
-
-def longest_segment_sampler(all_segments, durations, output_path):
-    """Longest-first deterministic sampling
-    (reference `extract_segments.py:124-149`)."""
-    all_segments = sorted(all_segments, key=lambda x: -x[2])
-    output_dir = os.path.join(output_path,
-                              str(min(durations) // 3600) + "h")
-    cum_dur = 0
-    for chosen in all_segments:
-        cut_wave_file(audio_file=chosen[0], onset=float(chosen[1]),
-                      duration=float(chosen[2]), spkr=chosen[3],
-                      output_path=output_dir)
-        cum_dur += float(chosen[2])
-        if cum_dur >= min(durations) and len(durations) != 1:
-            print("Done creating %s h version" % min(durations))
-            durations = np.delete(durations,
-                                  np.where(durations == min(durations)))
-            output_dir = os.path.join(output_path,
-                                      str(min(durations) // 3600) + "h")
-
-
 def create_symlink(output_path, durations, classes):
-    """Include smaller tiers into bigger ones via symlinks
-    (reference `extract_segments.py:152-174`)."""
-    for duration in np.flip(durations):
-        greater = [dur for dur in durations if dur > duration]
-        for greater_dur in greater:
-            for spkr in classes:
-                input_folder = os.path.join(
-                    output_path, str(duration // 3600) + "h", spkr)
-                output_folder = os.path.join(
-                    output_path, str(greater_dur // 3600) + "h", spkr)
-                for input_file in glob.glob(
-                        os.path.join(input_folder, "*.wav")):
-                    output_file = os.path.join(
-                        output_folder, os.path.basename(input_file))
-                    os.symlink(os.path.abspath(input_file),
-                               os.path.abspath(output_file))
+    """Nest every smaller tier into every bigger tier via symlinks.
+
+    Tier contents are snapshotted before any link is created, so a tier
+    never re-exports links it received from an even smaller tier.
+    """
+    targets = sorted(float(d) for d in durations)
+    snapshot = {}
+    for target in targets:
+        for speaker in classes:
+            folder = os.path.join(output_path, _tier_name(target), speaker)
+            snapshot[(target, speaker)] = sorted(
+                Path(folder).glob("*.wav")) if os.path.isdir(folder) else []
+
+    for i, small in enumerate(targets):
+        for big in targets[i + 1:]:
+            for speaker in classes:
+                dest_dir = os.path.join(output_path, _tier_name(big),
+                                        speaker)
+                for src in snapshot[(small, speaker)]:
+                    os.symlink(src.resolve(),
+                               os.path.join(dest_dir, src.name))
+
+
+def _class_hours(segments, speaker):
+    return sum(seg[2] for seg in segments if seg[3] == speaker) / 3600.0
 
 
 def main(argv):
@@ -201,15 +229,16 @@ def main(argv):
                                  classes=args.classes, regex=args.regex,
                                  min_dur=args.min_dur,
                                  path_audios=args.audio_path)
-    fem_dur = np.sum([seg[2] for seg in all_segments if seg[3] == 'FEM'])
-    mal_dur = np.sum([seg[2] for seg in all_segments if seg[3] == 'MAL'])
-    print("FEM_dur : %.2f" % (fem_dur / 3600))
-    print("MAL_dur : %.2f" % (mal_dur / 3600))
-    print("TOT_dur : %.2f" % ((fem_dur + mal_dur) / 3600))
-    durations = np.asarray([dur * 3600 for dur in args.durations])
-    segment_sampler(all_segments=all_segments, durations=durations,
+    fem_h = _class_hours(all_segments, 'FEM')
+    mal_h = _class_hours(all_segments, 'MAL')
+    print("FEM_dur : %.2f" % fem_h)
+    print("MAL_dur : %.2f" % mal_h)
+    print("TOT_dur : %.2f" % (fem_h + mal_h))
+
+    targets = np.asarray([hours * 3600 for hours in args.durations])
+    segment_sampler(all_segments=all_segments, durations=targets,
                     type=args.sampling, output_path=args.output_path)
-    create_symlink(output_path=args.output_path, durations=durations,
+    create_symlink(output_path=args.output_path, durations=targets,
                    classes=args.classes)
 
 

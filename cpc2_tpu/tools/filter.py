@@ -1,78 +1,108 @@
-"""SNR/C50-based dataset filtering (reference `data/filter.py`).
+"""SNR/C50-based dataset filtering.
 
-Creates symlink subsets of the top-p% segments by Brouhaha SNR/C50 scores
-(criteria: snr, c50, snr_c50, random).
+Behavioral spec (reference ``data/filter.py``): given Brouhaha per-segment
+SNR and C50 predictions, build a joint score table over the wav segments in
+``<segments_dir>/no_filter``, then materialize the top-p% subsets (by snr,
+c50, their normalized mean, or a random draw) as symlink trees under
+``<segments_dir>/<criterion>/<percentage>/``.
 
-Run: `python -m cpc2_tpu.tools.filter <segments_dir> --table scores.csv`
+Run: ``python -m cpc2_tpu.tools.filter <segments_dir> --table scores.csv``
+or ``--create_pred_table <brouhaha_predictions_dir>``.
 """
 
 from __future__ import annotations
 
 import argparse
 import logging
-import os
 import sys
 from pathlib import Path
 
 import pandas as pd
 
-
-def create_snr_c50_table(segment_dir, pred_dir):
-    """(reference `filter.py:25-54`)."""
-    segment_dir = Path(segment_dir) / 'no_filter'
-    pred_dir = Path(pred_dir)
-
-    snr_df = pd.read_csv(pred_dir / 'mean_snr_labels.txt', sep=" ",
-                         header=None, names=['uri', 'snr'])
-    c50_df = pd.read_csv(pred_dir / 'reverb_labels.txt', sep=" ",
-                         header=None, names=['uri', 'c50'])
-    scores_df = pd.merge(snr_df, c50_df, on='uri')
-    wav_df = pd.DataFrame({'path': list(segment_dir.glob('**/*.wav'))})
-    wav_df['uri'] = wav_df['path'].map(lambda x: x.stem)
-    wav_df['subpath'] = wav_df['path'].map(
-        lambda x: x.relative_to(segment_dir))
-
-    if len(wav_df) != len(scores_df):
-        raise ValueError(f"Number of predictions (= {len(scores_df)}) "
-                         f"should be equal to number of wav files "
-                         f"(= {len(wav_df)}).")
-
-    scores_df = pd.merge(scores_df, wav_df, on='uri')
-    # min-max normalization (sklearn MinMaxScaler equivalent)
-    for col, norm_col in (("snr", "snr_normalized"),
-                          ("c50", "c50_normalized")):
-        mn, mx = scores_df[col].min(), scores_df[col].max()
-        scores_df[norm_col] = (scores_df[col] - mn) / max(mx - mn, 1e-12)
-    scores_df["snr_c50"] = (scores_df["snr_normalized"]
-                            + scores_df["c50_normalized"]) / 2
-    scores_df.to_csv(os.path.join(segment_dir,
-                                  'brouhaha_snr_c50_scores.csv'),
-                     sep=',', index=False)
-    return scores_df
+RAW_SUBSET = 'no_filter'
+TABLE_NAME = 'brouhaha_snr_c50_scores.csv'
+CRITERIA = ('snr', 'c50', 'snr_c50', 'random')
 
 
-def filter_data(table, criterion, percentage):
-    """Top percentage by criterion (reference `filter.py:57-65`)."""
-    table_sorted = table.sort_values([criterion], ascending=False)
-    number_of_data = int(percentage * table.shape[0] / 100)
-    return table_sorted[["uri", "path", "subpath"]][:number_of_data]
+def _read_brouhaha_scores(pred_dir: Path) -> pd.DataFrame:
+    """One row per uri with raw `snr` and `c50` columns.
+
+    Brouhaha emits two space-separated two-column files:
+    ``mean_snr_labels.txt`` and ``reverb_labels.txt``.
+    """
+    def one(fname, value_col):
+        return pd.read_csv(pred_dir / fname, sep=' ', header=None,
+                           names=['uri', value_col])
+
+    return one('mean_snr_labels.txt', 'snr').merge(
+        one('reverb_labels.txt', 'c50'), on='uri')
 
 
-def randomly_filter_data(table, criterion, percentage):
-    """(reference `filter.py:68-72`)."""
-    return table.sample(frac=percentage / 100)[["uri", "path", "subpath"]]
+def _index_wavs(raw_dir: Path) -> pd.DataFrame:
+    """One row per segment wav: uri (stem), absolute path, and the path
+    relative to the raw subset root (preserved in the symlink trees)."""
+    records = [{'uri': p.stem, 'path': p, 'subpath': p.relative_to(raw_dir)}
+               for p in sorted(raw_dir.glob('**/*.wav'))]
+    return pd.DataFrame.from_records(records,
+                                     columns=['uri', 'path', 'subpath'])
 
 
-def create_symlinks(files, segments_dir, criterion, percentage):
-    """(reference `filter.py:75-89`)."""
-    segments_dir = Path(segments_dir)
-    link_repo = segments_dir / criterion / str(percentage)
-    for row in files.iterrows():
-        subpath = row[1]['subpath']
-        src_path = row[1]['path']
-        link_path = link_repo / subpath
-        os.makedirs(link_path.parent, exist_ok=True)
-        os.symlink(src_path, link_path)
+def _unit_scale(values: pd.Series) -> pd.Series:
+    """Min-max rescale to [0, 1] (constant input maps to 0)."""
+    lo, hi = values.min(), values.max()
+    span = hi - lo
+    if span <= 0:
+        span = 1e-12
+    return (values - lo) / span
+
+
+def create_snr_c50_table(segment_dir, pred_dir) -> pd.DataFrame:
+    """Join Brouhaha scores with the on-disk segments and add normalized
+    columns; persists the table as CSV next to the raw segments."""
+    raw_dir = Path(segment_dir) / RAW_SUBSET
+    scores = _read_brouhaha_scores(Path(pred_dir))
+    wavs = _index_wavs(raw_dir)
+    if len(wavs) != len(scores):
+        raise ValueError(
+            f"Number of predictions (= {len(scores)}) should be equal to "
+            f"number of wav files (= {len(wavs)}).")
+
+    table = scores.merge(wavs, on='uri')
+    table['snr_normalized'] = _unit_scale(table['snr'])
+    table['c50_normalized'] = _unit_scale(table['c50'])
+    table['snr_c50'] = (table['snr_normalized'] + table['c50_normalized']) / 2
+    table.to_csv(raw_dir / TABLE_NAME, sep=',', index=False)
+    return table
+
+
+def filter_data(table: pd.DataFrame, criterion: str,
+                percentage: int) -> pd.DataFrame:
+    """The top ``percentage``% rows ranked by ``criterion`` (descending)."""
+    keep = int(len(table) * percentage / 100)
+    ranked = table.sort_values(criterion, ascending=False)
+    return ranked.head(keep)[['uri', 'path', 'subpath']]
+
+
+def randomly_filter_data(table: pd.DataFrame, criterion: str,
+                         percentage: int) -> pd.DataFrame:
+    """A uniform random ``percentage``% of the rows (criterion unused)."""
+    del criterion
+    return table.sample(frac=percentage / 100)[['uri', 'path', 'subpath']]
+
+
+def create_symlinks(files: pd.DataFrame, segments_dir, criterion: str,
+                    percentage: int) -> None:
+    """Mirror the selected segments as symlinks under
+    ``<segments_dir>/<criterion>/<percentage>/<subpath>``."""
+    subset_root = Path(segments_dir) / criterion / str(percentage)
+    for rec in files.itertuples(index=False):
+        link = subset_root / rec.subpath
+        link.parent.mkdir(parents=True, exist_ok=True)
+        link.symlink_to(rec.path)
+
+
+def _selector(criterion: str):
+    return randomly_filter_data if criterion == 'random' else filter_data
 
 
 def parse_args(argv):
@@ -105,26 +135,17 @@ def main(argv):
     else:
         table = pd.read_csv(args.table)
 
-    if args.criterion == "all":
+    criteria = CRITERIA if args.criterion == 'all' else (args.criterion,)
+    if args.criterion == 'all':
         logging.info(f"### Creating subsets for {args.percentage} "
                      f"regarding to snr, c50, both and random ###")
-        for crit in ["snr", "c50", "snr_c50", "random"]:
-            for percentage in args.percentage:
-                flt = randomly_filter_data if crit == "random" \
-                    else filter_data
-                files = flt(table, crit, percentage)
-                create_symlinks(files, args.segments_dir, crit, percentage)
-                logging.info(f"Subset of the {percentage} percents top of "
-                             f"{crit} done.")
-    else:
-        flt = randomly_filter_data if args.criterion == "random" \
-            else filter_data
+    for criterion in criteria:
+        select = _selector(criterion)
         for percentage in args.percentage:
-            files = flt(table, args.criterion, percentage)
-            create_symlinks(files, args.segments_dir, args.criterion,
-                            percentage)
+            create_symlinks(select(table, criterion, percentage),
+                            args.segments_dir, criterion, percentage)
             logging.info(f"Subset of the {percentage} percents top of "
-                         f"{args.criterion} done.")
+                         f"{criterion} done.")
 
 
 if __name__ == "__main__":
