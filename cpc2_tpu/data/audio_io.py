@@ -120,6 +120,25 @@ _flac_lib = None
 _flac_checked = False
 
 
+def _maybe_build_flac_lib(lib_path: str) -> None:
+    """(Re)build the decoder from csrc/ when it is missing or older than
+    its source. The .so is deliberately not version-controlled — it is
+    produced by `make -C csrc` / `python setup.py build`."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(os.path.dirname(here), 'csrc', 'flacdec.cc')
+    if not os.path.exists(src):
+        return
+    if (os.path.exists(lib_path)
+            and os.path.getmtime(lib_path) >= os.path.getmtime(src)):
+        return
+    import subprocess
+    try:
+        subprocess.run(['make', '-C', os.path.dirname(src)],
+                       check=True, capture_output=True, timeout=120)
+    except Exception:
+        pass  # fall through: caller reports a clear "not built" error
+
+
 def _get_flac_lib():
     global _flac_lib, _flac_checked
     if _flac_checked:
@@ -127,6 +146,7 @@ def _get_flac_lib():
     _flac_checked = True
     import ctypes
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _maybe_build_flac_lib(os.path.join(here, 'ops', 'libflacdec.so'))
     for cand in (os.path.join(here, 'ops', 'libflacdec.so'),
                  os.path.join(os.path.dirname(here), 'csrc', 'build',
                               'libflacdec.so')):
@@ -186,10 +206,18 @@ def flac_info(path: str) -> Tuple[int, int]:
 # Dispatch
 # ---------------------------------------------------------------------------
 
+_MP3_HELP = (
+    "mp3 decoding is not bundled (this build ships wav + flac decoders "
+    "only, and the environment has no sox/ffmpeg/torchaudio). Convert "
+    "first, e.g.: ffmpeg -i in.mp3 -ar 16000 -ac 1 out.wav")
+
+
 def load_audio(path: str) -> Tuple[np.ndarray, int]:
     ext = os.path.splitext(str(path))[1].lower()
     if ext == '.flac':
         return load_flac(str(path))
+    if ext == '.mp3':
+        raise AudioFormatError(f"{path}: {_MP3_HELP}")
     return load_wav(str(path))
 
 
@@ -205,4 +233,6 @@ def audio_info(path: str) -> Tuple[int, int]:
     ext = os.path.splitext(str(path))[1].lower()
     if ext == '.flac':
         return flac_info(str(path))
+    if ext == '.mp3':
+        raise AudioFormatError(f"{path}: {_MP3_HELP}")
     return wav_info(str(path))

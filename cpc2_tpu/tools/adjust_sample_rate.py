@@ -1,8 +1,11 @@
 """Resample audio files matched to a transcript list
 (reference `cpc/eval/utils/adjust_sample_rate.py`).
 
-The reference used torchaudio's sinc resampler on mp3; here resampling is a
-polyphase scipy filter on the formats the bundled IO can decode (wav/flac).
+The reference used torchaudio's sinc resampler on Common Voices mp3; here
+resampling is a polyphase scipy filter on the formats the bundled IO can
+decode — **wav and flac only**. For mp3 corpora, convert first (e.g.
+`ffmpeg -i in.mp3 -ar 16000 out.wav`); requesting `--file_extension .mp3`
+fails fast with that message rather than crashing mid-decode.
 
 Run: `python -m cpc2_tpu.tools.adjust_sample_rate <path_db>
 <path_phone_files> <path_out> [--out_sample_rate 16000]`
@@ -55,30 +58,27 @@ def parse_args(argv):
     parser.add_argument("path_phone_files", type=str)
     parser.add_argument("path_out", type=str)
     parser.add_argument("--out_sample_rate", type=int, default=16000)
-    parser.add_argument('--file_extension', type=str, default='.mp3')
+    parser.add_argument('--file_extension', type=str, default='.wav',
+                        choices=['.wav', '.flac', '.mp3'],
+                        help="input format; .mp3 is rejected with a "
+                             "conversion hint (wav/flac decoders only)")
     return parser.parse_args(argv)
 
 
 def main(argv):
     args = parse_args(argv)
+    if args.file_extension == '.mp3':
+        from ..data.audio_io import _MP3_HELP
+        raise SystemExit(f"--file_extension .mp3: {_MP3_HELP}")
     file_list_db = [f for f in os.listdir(args.path_db)
                     if Path(f).suffix == args.file_extension]
     print(f"Found {len(file_list_db)} in the dataset")
     file_list_phone = get_names_list(args.path_phone_files)
     print(f"Found {len(file_list_phone)} with a phone transcription")
 
-    file_list_db.sort()
-    file_list_phone.sort()
-    out_list = []
-    index_phone = 0
-    for file_name in file_list_db:
-        while index_phone < len(file_list_phone) and \
-                Path(file_name).stem > file_list_phone[index_phone]:
-            index_phone += 1
-        if index_phone < len(file_list_phone) and \
-                Path(file_name).stem == file_list_phone[index_phone]:
-            out_list.append(file_name)
-
+    transcribed = set(file_list_phone)
+    out_list = sorted(f for f in file_list_db
+                      if Path(f).stem in transcribed)
     print(f"Converting {len(out_list)} files")
     Path(args.path_out).mkdir(parents=True, exist_ok=True)
     adjust_sample_rate(args.path_db, out_list, args.path_out,
