@@ -44,7 +44,7 @@ def main():
     parser.add_argument('--inner', type=int, default=0,
                         help='optimizer steps per host dispatch '
                         '(build_multi_step lax.scan; 0 = one step per '
-                        'dispatch). Bit-identical trajectories either way.')
+                        'dispatch). Same training math either way.')
     args_cli = parser.parse_args()
 
     from cpc2_tpu.utils.cache import enable_compilation_cache

@@ -211,4 +211,14 @@ def set_tpu_config(parser):
                        help='Rematerialize the forward pass in the backward '
                        'pass (jax.checkpoint): trades FLOPs for HBM, for '
                        'large models/windows that would not otherwise fit.')
+    group.add_argument('--steps_per_dispatch', type=int, default=1,
+                       help='Optimizer steps per host dispatch (a lax.scan '
+                       'over stacked batches inside one program). '
+                       'Amortizes per-dispatch host round-trips; '
+                       'trajectories match 1 to fp tolerance. Incompatible '
+                       'with sequential sampling (hidden carry).')
+    group.add_argument('--host_prefetch', type=int, default=2,
+                       help='Host-side loader prefetch depth (batches '
+                       'prepared on a background thread while the device '
+                       'computes). 0 disables.')
     return parser

@@ -117,7 +117,13 @@ def init_model(args: argparse.Namespace, seed: int = 0,
     CLI start. Params transfer to the device lazily on first use."""
     module = build_model(args)
     import contextlib
-    cpu_devs = jax.devices('cpu')
+    try:
+        # local_devices, not devices: under multi-process JAX,
+        # jax.devices('cpu')[0] is process 0's device and is not
+        # addressable from the other processes.
+        cpu_devs = jax.local_devices(backend='cpu')
+    except RuntimeError:
+        cpu_devs = []
     ctx = (jax.default_device(cpu_devs[0]) if cpu_devs
            else contextlib.nullcontext())
     with ctx:

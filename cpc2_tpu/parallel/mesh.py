@@ -38,18 +38,43 @@ def local_batch_size(batch_size_per_device: int, mesh: Mesh) -> int:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """Place host arrays on the mesh, sharded over axis 0."""
+    """Assemble host batches into global arrays sharded over axis 0.
+
+    Single-process: a plain `device_put`. Multi-host (process_count > 1):
+    each process holds only its per-host slice of the global batch (fed by
+    per-host file sharding, `train.py`), and the global array is assembled
+    with `jax.make_array_from_process_local_data` — the TPU-pod analogue of
+    the reference's per-rank DataLoader shards
+    (`cpc/train.py:387-401`). Per-host batch shapes must match across
+    processes (the framework keeps batch shapes static by design).
+    """
+    n_proc = jax.process_count()
     out = []
     for a in arrays:
         if a is None:
             out.append(None)
             continue
         spec = P('data', *([None] * (np.ndim(a) - 1)))
-        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+        sharding = NamedSharding(mesh, spec)
+        if n_proc > 1:
+            a = np.asarray(a)
+            global_shape = (a.shape[0] * n_proc,) + a.shape[1:]
+            out.append(jax.make_array_from_process_local_data(
+                sharding, a, global_shape))
+        else:
+            out.append(jax.device_put(a, sharding))
     return out if len(out) != 1 else out[0]
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Multi-host, every process holds the full (identical, same-seed) value,
+    so the replicated global array is exactly "process-local data == global
+    data"."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.device_put(tree, sharding)

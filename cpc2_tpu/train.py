@@ -36,6 +36,7 @@ from .models.cpc import compute_bert_mask, compute_mask_indices
 from .models.encoder import encoded_seq_len
 from .parallel.distributed import init_distributed_mode
 from .parallel.mesh import make_mesh, shard_batch
+from .utils.prefetch import prefetch
 from .training import (build_steps, create_train_state,
                        make_optimizer, set_learning_rate)
 from .utils import misc as utils
@@ -85,7 +86,13 @@ getCriterion = get_criterion
 def init_criterion_vars(criterion, args, model_bundle, seed=1):
     """Initialize criterion params with correctly-shaped dummies (on the
     CPU backend — see `feature_loader.init_model`)."""
-    cpu_devs = jax.devices('cpu')
+    try:
+        # local_devices, not devices: under multi-process JAX,
+        # jax.devices('cpu')[0] is process 0's device and is not
+        # addressable from the other processes.
+        cpu_devs = jax.local_devices(backend='cpu')
+    except RuntimeError:
+        cpu_devs = []
     if cpu_devs:
         with jax.default_device(cpu_devs[0]):
             return _init_criterion_vars_impl(criterion, args, seed)
@@ -125,7 +132,7 @@ def _stack_batch(full_data, frames, args, train):
 
 
 def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
-                rng, frames, expected_batch):
+                rng, frames, expected_batch, multi_step=None):
     start_time = time.perf_counter()
     n_examples = 0
     logs, last_logs = {}, None
@@ -138,8 +145,32 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         from .training import init_hidden
         hidden = init_hidden(None, args, expected_batch)
 
+    # n optimizer steps per host dispatch (lax.scan inside the program):
+    # amortizes dispatch latency; trajectories match the single-step path
+    # to fp-fusion tolerance (tests/test_multi_step.py).
+    spd = getattr(args, '_spd', 1) if multi_step is not None else 1
+    dispatch_buffer = []
+
+    def _dispatch_stacked(state):
+        from .training import shard_stacked_batch
+        seqs = np.stack([b[0] for b in dispatch_buffer])
+        labs = np.stack([b[1] for b in dispatch_buffer])
+        quals = (np.stack([b[2] for b in dispatch_buffer])
+                 if dispatch_buffer[0][2] is not None else None)
+        masks = (np.stack([b[3] for b in dispatch_buffer])
+                 if dispatch_buffer[0][3] is not None else None)
+        batches, labs = shard_stacked_batch(mesh, seqs, labs)
+        if quals is not None:
+            quals = shard_stacked_batch(mesh, quals)
+        if masks is not None:
+            masks = shard_stacked_batch(mesh, masks)
+        dispatch_buffer.clear()
+        return multi_step(state, batches, labs, rng, quality=quals,
+                          mask_indices=masks)
+
     profile_dir = getattr(args, 'profile_dir', None)
-    for step, full_data in enumerate(data_loader):
+    data_iter = prefetch(data_loader, getattr(args, 'host_prefetch', 2))
+    for step, full_data in enumerate(data_iter):
         if profile_dir is not None:
             # Trace a small window of steady-state steps with jax.profiler.
             if step == 5:
@@ -153,38 +184,57 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         if sequence.shape[0] != expected_batch:
             dropped += 1
             continue
-        batch, label = shard_batch(mesh, sequence.astype(np.float32),
-                                   np.asarray(label).astype(np.int32))
-        if quality is not None:
-            quality = shard_batch(mesh, quality.astype(np.float32))
-        if mask is not None:
-            mask = shard_batch(mesh, mask)
         n_examples += sequence.shape[0]
-        if keep_hidden:
+        if spd > 1:
+            dispatch_buffer.append(
+                (sequence.astype(np.float32),
+                 np.asarray(label).astype(np.int32),
+                 None if quality is None else quality.astype(np.float32),
+                 mask))
+            if len(dispatch_buffer) < spd:
+                all_losses = None
+            else:
+                state, all_losses, all_acc = _dispatch_stacked(state)
+                # (spd, 1, nPredicts) -> (spd, nPredicts)
+                all_losses = all_losses.reshape(spd, -1)
+                all_acc = all_acc.reshape(spd, -1)
+        elif keep_hidden:
+            batch, label = shard_batch(mesh, sequence.astype(np.float32),
+                                       np.asarray(label).astype(np.int32))
+            if quality is not None:
+                quality = shard_batch(mesh, quality.astype(np.float32))
+            if mask is not None:
+                mask = shard_batch(mesh, mask)
             state, all_losses, all_acc, hidden = train_step(
                 state, batch, label, rng, quality=quality,
                 mask_indices=mask, hidden=hidden)
         else:
+            batch, label = shard_batch(mesh, sequence.astype(np.float32),
+                                       np.asarray(label).astype(np.int32))
+            if quality is not None:
+                quality = shard_batch(mesh, quality.astype(np.float32))
+            if mask is not None:
+                mask = shard_batch(mesh, mask)
             state, all_losses, all_acc = train_step(state, batch, label,
                                                     rng, quality=quality,
                                                     mask_indices=mask)
-        if all_losses.size > 0:
+        if all_losses is not None and all_losses.size > 0:
             if "locLoss_train" not in logs:
-                logs["locLoss_train"] = np.zeros(all_losses.shape[1])
-                logs["locAcc_train"] = np.zeros(all_losses.shape[1])
-            it += 1
+                logs["locLoss_train"] = np.zeros(all_losses.shape[-1])
+                logs["locAcc_train"] = np.zeros(all_losses.shape[-1])
+            it += all_losses.shape[0] if all_losses.ndim > 1 else 1
             # keep metrics on device between logging points: materializing
             # them every step would force a device sync per step and stall
             # the dispatch pipeline
-            pending_losses.append(all_losses)
-            pending_accs.append(all_acc)
+            pending_losses.append(all_losses.reshape(-1,
+                                                     all_losses.shape[-1]))
+            pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
 
             if (step + 1) % logging_step == 0:
                 logs["locLoss_train"] += np.asarray(
-                    jnp.concatenate(pending_losses)).mean(0) * len(
-                    pending_losses)
+                    jnp.concatenate(pending_losses)).sum(0)
                 logs["locAcc_train"] += np.asarray(
-                    jnp.concatenate(pending_accs)).mean(0) * len(pending_accs)
+                    jnp.concatenate(pending_accs)).sum(0)
                 pending_losses, pending_accs = [], []
                 jax.block_until_ready(state.params)
                 new_time = time.perf_counter()
@@ -199,11 +249,32 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 utils.show_logs("Training loss", loc_logs)
                 start_time, n_examples = new_time, 0
 
+    # Tail: fewer than spd batches left — run them through the single-step
+    # program (identical math) instead of dropping them.
+    for seq, lab, qual, msk in dispatch_buffer:
+        batch, lab = shard_batch(mesh, seq, lab)
+        if qual is not None:
+            qual = shard_batch(mesh, qual)
+        if msk is not None:
+            msk = shard_batch(mesh, msk)
+        state, all_losses, all_acc = train_step(state, batch, lab, rng,
+                                                quality=qual,
+                                                mask_indices=msk)
+        if all_losses.size > 0:
+            it += 1
+            pending_losses.append(all_losses.reshape(-1,
+                                                     all_losses.shape[-1]))
+            pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
+    dispatch_buffer.clear()
+
     if pending_losses:
+        n_cols = pending_losses[0].shape[-1]
+        logs.setdefault("locLoss_train", np.zeros(n_cols))
+        logs.setdefault("locAcc_train", np.zeros(n_cols))
         logs["locLoss_train"] += np.asarray(
-            jnp.concatenate(pending_losses)).mean(0) * len(pending_losses)
+            jnp.concatenate(pending_losses)).sum(0)
         logs["locAcc_train"] += np.asarray(
-            jnp.concatenate(pending_accs)).mean(0) * len(pending_accs)
+            jnp.concatenate(pending_accs)).sum(0)
     if dropped:
         print(f"(dropped {dropped} ragged batches to keep shapes static)")
     logs = utils.update_logs(logs, max(it, 1))
@@ -251,7 +322,7 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
 
 def run(train_dataset, val_dataset, batch_size, sampling_mode, state,
         train_step, val_step, mesh, args, n_epoch, path_checkpoint,
-        lr_fn, logs, model_bundle, criterion):
+        lr_fn, logs, model_bundle, criterion, multi_step=None):
     print(f"Running {n_epoch} epochs")
     start_epoch = len(logs["epoch"])
     best_acc = -1
@@ -282,7 +353,7 @@ def run(train_dataset, val_dataset, batch_size, sampling_mode, state,
         state, loc_logs_train = train_epoch(
             train_loader, state, train_step, mesh, args,
             logs["logging_step"], jax.random.fold_in(rng, epoch), frames,
-            batch_size)
+            batch_size, multi_step=multi_step)
         loc_logs_val = (val_epoch(val_loader, state, val_step, mesh, args,
                                   jax.random.fold_in(rng, 2**20 + epoch),
                                   frames, batch_size)
@@ -385,13 +456,20 @@ def main(argv):
         raise ValueError("%s can't be found. Are you sure you provided the "
                          "right location ?" % args.signal_quality_path)
 
-    batch_size = args.nGPU * args.batchSizeGPU
-
     if args.distributed:
         print('Distributed mode, moving to 1 process for data loading')
         args.n_process_loader = 1
         init_distributed_mode(args)
     args.is_local_master = (not args.distributed) or (args.global_rank == 0)
+
+    # Host-side loader batch. Multi-host: each process loads only its
+    # per-host slice (batchSizeGPU x addressable devices); the global batch
+    # (world_size x this) is assembled in shard_batch via
+    # jax.make_array_from_process_local_data. Single-host: nGPU devices.
+    if args.distributed and jax.process_count() > 1:
+        batch_size = jax.local_device_count() * args.batchSizeGPU
+    else:
+        batch_size = args.nGPU * args.batchSizeGPU
 
     utils.set_seed(args.random_seed)
     print(f'CONFIG:\n{json.dumps(vars(args), indent=4, sort_keys=True)}')
@@ -524,9 +602,14 @@ def main(argv):
         if unmatched:
             print(f"(criterion: skipped {len(unmatched)} keys)")
 
-    # Mesh & optimizer
-    mesh = make_mesh(args.data_axis_size if args.data_axis_size > 0
-                     else args.nGPU)
+    # Mesh & optimizer. Multi-host: the mesh must span every device in the
+    # pod (shard_map's psum is the gradient all-reduce); nGPU only sizes
+    # single-host meshes.
+    if args.distributed and jax.process_count() > 1:
+        mesh = make_mesh(-1)
+    else:
+        mesh = make_mesh(args.data_axis_size if args.data_axis_size > 0
+                         else args.nGPU)
     print(f"Mesh: {mesh}")
     tx = make_optimizer(args)
     state = create_train_state(model_bundle.variables, criterion_vars, tx)
@@ -580,10 +663,27 @@ def main(argv):
         uses_mask=uses_mask, keep_hidden=keep_hidden,
         remat=getattr(args, 'remat', False))
 
+    # Optional n-steps-per-dispatch program (amortizes per-dispatch host
+    # round-trips; same math as single-step). Sequential sampling needs a
+    # per-batch hidden carry from the host, so it stays single-step.
+    multi_step = None
+    spd = max(getattr(args, 'steps_per_dispatch', 1), 1)
+    if spd > 1 and keep_hidden:
+        print("--steps_per_dispatch > 1 is incompatible with the "
+              "sequential-sampling hidden carry; using 1")
+        spd = 1
+    if spd > 1:
+        from .training import build_multi_step
+        multi_step = build_multi_step(
+            model_bundle.module, criterion, tx, mesh, spd,
+            has_quality=args.signal_quality_path is not None,
+            uses_mask=uses_mask, remat=getattr(args, 'remat', False))
+    args._spd = spd
+
     run(train_dataset, val_dataset, batch_size, args.samplingType, state,
         train_step, val_step, mesh, args, args.nEpoch,
         args.pathCheckpoint if args.is_local_master else None,
-        lr_fn, logs, model_bundle, criterion)
+        lr_fn, logs, model_bundle, criterion, multi_step=multi_step)
 
 
 def _merge(base, override):

@@ -283,9 +283,10 @@ def build_multi_step(model: nn.Module, criterion: nn.Module,
 
     On backends where each dispatch pays a host<->device (or tunnel)
     round-trip, the per-step launch overhead disappears: the device chews
-    through a stack of batches without talking to the host. Trajectories are
-    bit-identical to `n_inner` calls of the `build_steps` train step with the
-    same rng (the per-step key folds in `state.step`, which the scan
+    through a stack of batches without talking to the host. Trajectories match
+    `n_inner` calls of the `build_steps` train step with the same rng to
+    fp-fusion tolerance (same math; XLA may fuse reductions differently
+    inside the scan) (the per-step key folds in `state.step`, which the scan
     advances exactly like the single-step path).
 
     Returns `multi_step(state, batches, labels, rng, quality=None,

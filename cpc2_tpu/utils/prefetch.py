@@ -1,0 +1,57 @@
+"""Host-side pipeline overlap: a single-thread, bounded-queue prefetcher.
+
+JAX dispatch is asynchronous, so the device can run ahead of the host —
+but only if the host keeps feeding it. The loader's per-batch work
+(augmentation DSP, window slicing) otherwise serializes with dispatch on
+the main thread. Wrapping the loader in a one-deep-or-more background
+prefetch overlaps batch N+1's host work with step N's device compute
+(the reference gets the same overlap from DataLoader worker processes,
+`cpc/dataset.py:528-534`).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+
+class PrefetchIterator:
+    """Iterates `iterable` on a daemon thread, buffering up to `depth`
+    items. Order-preserving; exceptions re-raise at the consuming site."""
+
+    _DONE = object()
+
+    def __init__(self, iterable, depth: int = 2):
+        self._queue: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+        self._error = None
+        self._thread = threading.Thread(
+            target=self._worker, args=(iterable,), daemon=True)
+        self._thread.start()
+
+    def _worker(self, iterable):
+        try:
+            for item in iterable:
+                self._queue.put(item)
+        except BaseException as exc:  # re-raised on the consumer thread
+            self._error = exc
+        finally:
+            self._queue.put(self._DONE)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._DONE:
+            self._thread.join()
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
+        return item
+
+
+def prefetch(iterable, depth: int = 2):
+    """Background-prefetch `iterable` (depth <= 0 disables)."""
+    if depth <= 0:
+        return iter(iterable)
+    return PrefetchIterator(iterable, depth)

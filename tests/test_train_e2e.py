@@ -120,3 +120,46 @@ class TestTrainE2E:
         c, e, _, _ = bundle.apply(x)
         assert c.shape == (1, 26, 32)
         assert np.isfinite(np.asarray(c)).all()
+
+
+class TestStepsPerDispatch:
+    """--steps_per_dispatch packs n optimizer steps into one program via
+    lax.scan; the trajectory must match single-step dispatch to fp-fusion tolerance
+    (spd=3 also exercises the tail flush, since the epoch's batch count is
+    not a multiple of 3)."""
+
+    def test_multi_dispatch_trajectory_matches_single(
+            self, mini_corpus_module, tmp_path_factory):
+        import torch
+
+        ckpts = {}
+        for spd in (1, 3):
+            ckpt = tmp_path_factory.mktemp(f"spd{spd}")
+            train.main([
+                '--pathDB', str(mini_corpus_module),
+                '--file_extension', '.wav', '--pathCheckpoint', str(ckpt),
+                '--hiddenEncoder', '32', '--hiddenGar', '32',
+                '--nPredicts', '4', '--negativeSamplingExt', '8',
+                '--sizeWindow', '4160', '--nGPU', '2', '--batchSizeGPU', '2',
+                '--rnnMode', 'linear', '--arMode', 'GRU',
+                '--samplingType', 'uniform', '--random_seed', '7',
+                '--logging_step', '50', '--save_step', '1', '--nEpoch', '1',
+                '--steps_per_dispatch', str(spd)])
+            ckpts[spd] = load_torch_checkpoint(str(ckpt / 'checkpoint_0.pt'))
+
+        def flatten(d, prefix=""):
+            out = {}
+            for k, v in d.items():
+                key = f"{prefix}.{k}" if prefix else str(k)
+                if isinstance(v, dict):
+                    out.update(flatten(v, key))
+                elif isinstance(v, torch.Tensor):
+                    out[key] = v.numpy()
+            return out
+
+        for section in ('gEncoder', 'cpcCriterion'):
+            a = flatten(ckpts[1][section])
+            b = flatten(ckpts[3][section])
+            assert a.keys() == b.keys()
+            for k in a:
+                np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
