@@ -280,9 +280,11 @@ class MFCCEncoder(nn.Module):
                                          self.sample_rate / 2, n_mels,
                                          self.sample_rate))
         mel = jnp.einsum('bfn,nm->bfm', power, fb)
-        # AmplitudeToDB(stype='power', top_db=80)
+        # AmplitudeToDB(stype='power', top_db=80). NB: torchaudio clamps
+        # against the max of the WHOLE tensor (batch included) — a known
+        # quirk of F.amplitude_to_DB — reproduced here for parity.
         db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
-        db = jnp.maximum(db, jnp.max(db, axis=(1, 2), keepdims=True) - 80.0)
+        db = jnp.maximum(db, jnp.max(db) - 80.0)
         dct = jnp.asarray(_dct_matrix(self.dim_encoded, n_mels))
         return jnp.einsum('bfm,mc->bfc', db, dct)
 

@@ -418,8 +418,17 @@ def _save_training_checkpoint(state, best_params, model_bundle, args, path):
                    force=True)
         save_checkpoint(model_sd, crit_sd, {}, best_sd, path)
     else:
-        opt_np = jax.tree.map(np.asarray, state.opt_state)
-        save_checkpoint(model_sd, crit_sd, opt_np, best_sd, path)
+        # Flat tensor leaves, not the optax pytree: raw optax named-tuples
+        # pickled into the file would make it unreadable by
+        # torch.load(weights_only=True) — the default since torch 2.6 and
+        # what the reference's loadModel effectively calls — breaking
+        # reference-side interop. The treedef is reconstructed on resume
+        # from a freshly built optimizer state.
+        import torch
+        leaves = [torch.from_numpy(np.ascontiguousarray(np.asarray(leaf)))
+                  for leaf in jax.tree_util.tree_leaves(state.opt_state)]
+        opt_plain = {'format': 'optax_leaves', 'leaves': leaves}
+        save_checkpoint(model_sd, crit_sd, opt_plain, best_sd, path)
 
 
 def main(argv):
@@ -631,14 +640,25 @@ def main(argv):
             print("Restored full train state from orbax")
         else:
             state_dict = load_torch_checkpoint(args.load[0])
-            if "optimizer" in state_dict and not isinstance(
-                    state_dict["optimizer"], dict):
-                try:
-                    state = state.replace(opt_state=jax.tree.map(
-                        jnp.asarray, state_dict["optimizer"]))
+            opt_saved = state_dict.get("optimizer")
+            try:
+                if (isinstance(opt_saved, dict)
+                        and opt_saved.get('format') == 'optax_leaves'):
+                    treedef = jax.tree_util.tree_structure(state.opt_state)
+                    leaves = [jnp.asarray(np.asarray(leaf))
+                              for leaf in opt_saved['leaves']]
+                    state = state.replace(
+                        opt_state=jax.tree_util.tree_unflatten(treedef,
+                                                               leaves))
                     print("Restored optimizer state")
-                except Exception as e:
-                    print(f"Could not restore optimizer state: {e}")
+                elif opt_saved is not None and not isinstance(opt_saved,
+                                                              dict):
+                    # legacy round-1 layout: the raw optax pytree
+                    state = state.replace(opt_state=jax.tree.map(
+                        jnp.asarray, opt_saved))
+                    print("Restored optimizer state (legacy layout)")
+            except Exception as e:
+                print(f"Could not restore optimizer state: {e}")
 
     # Checkpoint dir
     if args.pathCheckpoint is not None:
