@@ -66,6 +66,73 @@ def shard_batch(mesh: Mesh, *arrays):
     return out if len(out) != 1 else out[0]
 
 
+class WireStager:
+    """Minimizes host->device bytes for the (B, 2, 1, W) audio batch.
+
+    Two lossless reductions, chosen per batch from the data itself:
+
+    * **view dedup** — without asymmetric augmentation the past and future
+      views are byte-identical (`dataset.py` stacks the same window), so
+      one copy crosses the wire and the device duplicates it;
+    * **int16 wire** — unaugmented audio sits exactly on the PCM16 grid
+      (`x * 32768` integral), so the wire carries int16 and the device
+      rescales to float32, bit-exactly.
+
+    On a remote/tunneled accelerator the per-step upload is the real-data
+    training bottleneck (measured ~31 ms for the 1.3 MB float batch vs
+    9.8 ms compute on the chip); the combined reductions cut it 4x. On
+    co-located hosts (PCIe) the gain is noise but the path is harmless.
+    Batches that fail either invariant (augmented audio, off-grid values)
+    fall back automatically — staged values are identical in every mode.
+    """
+
+    def __init__(self, mesh: Mesh):
+        self._mesh = mesh
+        self._restore = {}
+
+    @staticmethod
+    def to_wire(sequence):
+        """Host side: pick the cheapest lossless wire format.
+
+        Returns (wire_array, mode). Cheap (one memcmp + one rint pass);
+        safe to run on a prefetch thread."""
+        seq = np.asarray(sequence, np.float32)
+        dedup = np.array_equal(seq[:, 0], seq[:, 1])
+        if dedup:
+            seq = seq[:, :1]
+        scaled = seq * 32768.0
+        rounded = np.rint(scaled)
+        if (np.array_equal(rounded, scaled)
+                and float(rounded.min(initial=0.0)) >= -32768.0
+                and float(rounded.max(initial=0.0)) <= 32767.0):
+            return rounded.astype(np.int16), ('i16d' if dedup else 'i16')
+        return seq, ('f32d' if dedup else 'f32')
+
+    def _restore_fn(self, mode):
+        if mode not in self._restore:
+            import jax.numpy as jnp
+            out_sharding = NamedSharding(
+                self._mesh, P('data', None, None, None))
+
+            def restore(x):
+                if mode.startswith('i16'):
+                    x = x.astype(jnp.float32) / 32768.0
+                if mode.endswith('d'):
+                    x = jnp.concatenate([x, x], axis=1)
+                return x
+            self._restore[mode] = jax.jit(restore,
+                                          out_shardings=out_sharding)
+        return self._restore[mode]
+
+    def put(self, sequence):
+        """Stage a host (B, 2, 1, W) batch onto the mesh as float32."""
+        wire_arr, mode = self.to_wire(sequence)
+        staged = shard_batch(self._mesh, wire_arr)
+        if mode == 'f32':
+            return staged
+        return self._restore_fn(mode)(staged)
+
+
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh.
 

@@ -35,7 +35,7 @@ from .losses import (CPCUnsupervisedCriterion, CTCPhoneCriterion,
 from .models.cpc import compute_bert_mask, compute_mask_indices
 from .models.encoder import encoded_seq_len
 from .parallel.distributed import init_distributed_mode
-from .parallel.mesh import make_mesh, shard_batch
+from .parallel.mesh import WireStager, make_mesh, shard_batch
 from .utils.prefetch import prefetch
 from .training import (build_steps, create_train_state,
                        make_optimizer, set_learning_rate)
@@ -150,6 +150,8 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
     # to fp-fusion tolerance (tests/test_multi_step.py).
     spd = getattr(args, '_spd', 1) if multi_step is not None else 1
     dispatch_buffer = []
+    ragged = []
+    stager = WireStager(mesh)
 
     def _dispatch_stacked(state):
         from .training import shard_stacked_batch
@@ -182,7 +184,17 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         sequence, label, quality, mask = _stack_batch(full_data, frames,
                                                       args, True)
         if sequence.shape[0] != expected_batch:
-            dropped += 1
+            # Ragged tail: shapes must stay static for the main program, so
+            # tail batches run after the loop through a second program
+            # compiled at their natural size (one-time, persistently
+            # cached). Only sizes divisible by the mesh can run; others are
+            # dropped with a count (reference runs every tail batch,
+            # `cpc/train.py:145-187`).
+            if (not keep_hidden and sequence.shape[0] > 0
+                    and sequence.shape[0] % mesh.devices.size == 0):
+                ragged.append((sequence, label, quality, mask))
+            else:
+                dropped += 1
             continue
         n_examples += sequence.shape[0]
         if spd > 1:
@@ -198,26 +210,21 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 # (spd, 1, nPredicts) -> (spd, nPredicts)
                 all_losses = all_losses.reshape(spd, -1)
                 all_acc = all_acc.reshape(spd, -1)
-        elif keep_hidden:
-            batch, label = shard_batch(mesh, sequence.astype(np.float32),
-                                       np.asarray(label).astype(np.int32))
-            if quality is not None:
-                quality = shard_batch(mesh, quality.astype(np.float32))
-            if mask is not None:
-                mask = shard_batch(mesh, mask)
-            state, all_losses, all_acc, hidden = train_step(
-                state, batch, label, rng, quality=quality,
-                mask_indices=mask, hidden=hidden)
         else:
-            batch, label = shard_batch(mesh, sequence.astype(np.float32),
-                                       np.asarray(label).astype(np.int32))
+            batch = stager.put(sequence)
+            label = shard_batch(mesh, np.asarray(label).astype(np.int32))
             if quality is not None:
                 quality = shard_batch(mesh, quality.astype(np.float32))
             if mask is not None:
                 mask = shard_batch(mesh, mask)
-            state, all_losses, all_acc = train_step(state, batch, label,
-                                                    rng, quality=quality,
-                                                    mask_indices=mask)
+            if keep_hidden:
+                state, all_losses, all_acc, hidden = train_step(
+                    state, batch, label, rng, quality=quality,
+                    mask_indices=mask, hidden=hidden)
+            else:
+                state, all_losses, all_acc = train_step(
+                    state, batch, label, rng, quality=quality,
+                    mask_indices=mask)
         if all_losses is not None and all_losses.size > 0:
             if "locLoss_train" not in logs:
                 logs["locLoss_train"] = np.zeros(all_losses.shape[-1])
@@ -249,6 +256,24 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 utils.show_logs("Training loss", loc_logs)
                 start_time, n_examples = new_time, 0
 
+    # Ragged tail batches: their own program at their natural size.
+    for seq, lab, qual, msk in ragged:
+        batch = stager.put(seq)
+        lab = shard_batch(mesh, np.asarray(lab).astype(np.int32))
+        if qual is not None:
+            qual = shard_batch(mesh, qual.astype(np.float32))
+        if msk is not None:
+            msk = shard_batch(mesh, msk)
+        n_examples += seq.shape[0]
+        state, all_losses, all_acc = train_step(state, batch, lab, rng,
+                                                quality=qual,
+                                                mask_indices=msk)
+        if all_losses.size > 0:
+            it += 1
+            pending_losses.append(all_losses.reshape(-1,
+                                                     all_losses.shape[-1]))
+            pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
+
     # Tail: fewer than spd batches left — run them through the single-step
     # program (identical math) instead of dropping them.
     for seq, lab, qual, msk in dispatch_buffer:
@@ -275,8 +300,12 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
             jnp.concatenate(pending_losses)).sum(0)
         logs["locAcc_train"] += np.asarray(
             jnp.concatenate(pending_accs)).sum(0)
+    if ragged:
+        print(f"(ran {len(ragged)} ragged tail batches through their own "
+              f"program)")
     if dropped:
-        print(f"(dropped {dropped} ragged batches to keep shapes static)")
+        print(f"(dropped {dropped} ragged batches: size not divisible by "
+              f"the mesh, or hidden-carry mode)")
     logs = utils.update_logs(logs, max(it, 1))
     logs["iter"] = it
     utils.show_logs("Average training loss on epoch", logs)
@@ -287,6 +316,8 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
               expected_batch):
     logs = {}
     it = 0
+    ragged = []
+    stager = WireStager(mesh)
     keep_hidden = getattr(args, '_keep_hidden', False)
     hidden = None
     if keep_hidden:
@@ -296,9 +327,12 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
         sequence, label, quality, mask = _stack_batch(full_data, frames,
                                                       args, False)
         if sequence.shape[0] != expected_batch:
+            if (not keep_hidden and sequence.shape[0] > 0
+                    and sequence.shape[0] % mesh.devices.size == 0):
+                ragged.append((sequence, label, mask))
             continue
-        batch, label = shard_batch(mesh, sequence.astype(np.float32),
-                                   np.asarray(label).astype(np.int32))
+        batch = stager.put(sequence)
+        label = shard_batch(mesh, np.asarray(label).astype(np.int32))
         if mask is not None:
             mask = shard_batch(mesh, mask)
         if keep_hidden:
@@ -310,6 +344,21 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
         if "locLoss_val" not in logs:
             logs["locLoss_val"] = np.zeros(all_losses.shape[1])
             logs["locAcc_val"] = np.zeros(all_losses.shape[1])
+        it += 1
+        logs["locLoss_val"] += np.asarray(all_losses).mean(0)
+        logs["locAcc_val"] += np.asarray(all_acc).mean(0)
+
+    # Ragged val tail batches: their own program at their natural size, so
+    # the val metrics cover the same examples the reference's do.
+    for seq, lab, msk in ragged:
+        batch = stager.put(seq)
+        lab = shard_batch(mesh, np.asarray(lab).astype(np.int32))
+        if msk is not None:
+            msk = shard_batch(mesh, msk)
+        all_losses, all_acc = val_step(state, batch, lab, rng,
+                                       mask_indices=msk)
+        logs.setdefault("locLoss_val", np.zeros(all_losses.shape[1]))
+        logs.setdefault("locAcc_val", np.zeros(all_losses.shape[1]))
         it += 1
         logs["locLoss_val"] += np.asarray(all_losses).mean(0)
         logs["locAcc_val"] += np.asarray(all_acc).mean(0)
