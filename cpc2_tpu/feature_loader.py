@@ -417,7 +417,8 @@ buildFeature_batch = build_feature_batch
 
 def build_feature_files(feature_maker: Callable, seq_paths,
                         maxSizeSeq: int = 64000, seqNorm: bool = False,
-                        strict: bool = False, max_batch: int = 16):
+                        strict: bool = False, max_batch: int = 16,
+                        bucket_frames: int = 0):
     """Whole-corpus feature extraction, batched ACROSS files.
 
     `buildFeature` dispatches one device call per (file, chunk) — on
@@ -429,19 +430,39 @@ def build_feature_files(feature_maker: Callable, seq_paths,
     Per-file results match `buildFeature` to float precision (only the
     batch dimension of the same program changes).
 
+    `bucket_frames > 0` additionally zero-pads every file up to the next
+    multiple of `bucket_frames` encoded frames so files of *different*
+    lengths share programs and batches (real corpora have nearly unique
+    lengths, which defeats exact grouping). Outputs are trimmed back to
+    each file's true frame count. Approximation note: the pad interacts
+    with the conv encoder's edge padding, so a file's final ~receptive-
+    field frames (<= 3 for the standard stack) can differ slightly from
+    the exact computation — off by default; use for dispatch-bound eval
+    passes where the tail frames don't matter.
+
     Returns {path: (1, T_frames, D) array}, one entry per input path.
     """
     from collections import defaultdict
 
     from .data.audio_io import load_audio
 
+    ds = (feature_maker.get_downsampling_factor()
+          if hasattr(feature_maker, 'get_downsampling_factor')
+          else DOWNSAMPLING)
     by_length = defaultdict(list)
-    lengths = {}
+    true_frames = {}
     for p in seq_paths:
         seq, _sr = load_audio(p)
         seq = np.asarray(seq, dtype=np.float32)
+        true_frames[p] = seq.shape[-1] // ds
+        if bucket_frames > 0:
+            frames = seq.shape[-1] // ds
+            padded_frames = -(-max(frames, 1) // bucket_frames) * \
+                bucket_frames
+            pad = padded_frames * ds - seq.shape[-1]
+            if pad > 0:
+                seq = np.pad(seq, (0, pad))
         by_length[seq.shape[-1]].append((p, seq))
-        lengths[p] = seq.shape[-1]
 
     out = {}
     for size_seq, items in by_length.items():
@@ -472,7 +493,10 @@ def build_feature_files(feature_maker: Callable, seq_paths,
                 chunks.append(np.asarray(feats)[:, -delta:])
             whole = np.concatenate(chunks, axis=1)              # (B, T', D)
             for j, (p, _) in enumerate(batch_items):
-                out[p] = whole[j:j + 1]
+                feats = whole[j:j + 1]
+                if bucket_frames > 0:
+                    feats = feats[:, :true_frames[p]]
+                out[p] = feats
     return out
 
 

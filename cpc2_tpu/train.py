@@ -709,6 +709,13 @@ def main(argv):
             except Exception as e:
                 print(f"Could not restore optimizer state: {e}")
 
+    # Commit the whole train state to the mesh up front: the first step
+    # would otherwise compile once for uncommitted host inputs and again
+    # for the committed donated outputs of step 1 (two full remote
+    # compiles of the same program).
+    from .parallel.mesh import replicate
+    state = replicate(mesh, state)
+
     # Checkpoint dir
     if args.pathCheckpoint is not None:
         if not os.path.isdir(args.pathCheckpoint):

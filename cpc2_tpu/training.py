@@ -60,9 +60,19 @@ def make_optimizer(args) -> optax.GradientTransformation:
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
-    """Update the injected learning rate (host-side, between epochs)."""
+    """Update the injected learning rate (host-side, between epochs).
+
+    The new scalar is placed with the SAME sharding as the one it
+    replaces: a fresh uncommitted host scalar inside an otherwise
+    device-committed state changes the jit signature and forces a full
+    train-step recompile at every epoch boundary (observed: 10-22 s per
+    epoch on a remote backend)."""
+    old = state.opt_state.hyperparams['learning_rate']
+    new = jnp.asarray(lr, jnp.float32)
+    if isinstance(old, jax.Array) and hasattr(old, 'sharding'):
+        new = jax.device_put(new, old.sharding)
     hyperparams = dict(state.opt_state.hyperparams)
-    hyperparams['learning_rate'] = jnp.asarray(lr, jnp.float32)
+    hyperparams['learning_rate'] = new
     return dataclasses.replace(
         state, opt_state=state.opt_state._replace(hyperparams=hyperparams))
 

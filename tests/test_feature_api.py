@@ -252,3 +252,38 @@ class TestBuildFeatureFiles:
         ref = np.asarray(fl.buildFeature(maker, p, maxSizeSeq=3200,
                                          strict=True))
         np.testing.assert_allclose(np.asarray(feats[p]), ref, atol=2e-6)
+
+
+class TestBucketedFeatureFiles:
+
+    def test_bucketing_merges_lengths_and_matches_except_tail(self, tmp_path):
+        """bucket_frames pads files of different lengths into shared
+        programs; outputs keep each file's true frame count and match the
+        exact computation everywhere except the final few conv-edge
+        frames."""
+        from cpc2_tpu.data.audio_io import save_wav
+        args = get_default_cpc_config()
+        args.hiddenEncoder = args.hiddenGar = 20
+        args.arMode, args.sizeWindow = 'LSTM', 4160
+        bundle = fl.init_model(args, seed=0)
+
+        rs = np.random.RandomState(7)
+        paths = []
+        for i, n in enumerate([9600, 9280, 6400, 8960]):  # 4 unique lengths
+            wav = (0.3 * np.sin(np.arange(n) * (0.01 + 0.002 * i))
+                   + 0.01 * rs.randn(n)).astype(np.float32)
+            p = str(tmp_path / f"b{i}.wav")
+            save_wav(p, wav, 16000)
+            paths.append(p)
+
+        maker = fl.FeatureModule(bundle, get_encoded=False, keep_hidden=True)
+        feats = fl.build_feature_files(maker, paths, maxSizeSeq=3200,
+                                       max_batch=4, bucket_frames=20)
+        # 60/58/40/56 frames -> buckets 60/60/40/60: two groups, not four
+        for p, n in zip(paths, [9600, 9280, 6400, 8960]):
+            got = np.asarray(feats[p])
+            ref = np.asarray(fl.buildFeature(maker, p, maxSizeSeq=3200))
+            assert got.shape == ref.shape, (p, got.shape, ref.shape)
+            body = got.shape[1] - 4
+            np.testing.assert_allclose(got[:, :body], ref[:, :body],
+                                       atol=2e-6)
