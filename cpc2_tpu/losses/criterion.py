@@ -315,11 +315,6 @@ class CPCUnsupervisedCriterion(BaseCriterion):
                            for k in range(1, k_p + 1)], axis=1)  # (B,K,W,D)
         z_flat = encoded_data.reshape(b * s, d)
         neg_idx_wn = jnp.transpose(neg_idx, (0, 2, 1))       # (B, W, N)
-        # (B, W, N, D) layout: the backward d(neg_z) then reshapes straight
-        # into the (rows, D) scatter operand without a relayout copy
-        neg_z = z_flat.at[neg_idx_wn.reshape(-1)].get(
-            mode='promise_in_bounds').reshape(
-            b, w, self.negative_sampling_ext, d)             # (B, W, N, D)
         # Two dot_generals (batch (b,w), contract d) instead of one over a
         # concatenated (B, K+N, W, D) tensor — the concat's backward
         # split/copied ~0.5 GB per step. The reference scores positives and
@@ -328,8 +323,22 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         # collisions are patched explicitly below with the positive's score.
         pos_scores = jnp.einsum('bkwd,bjwd->bkwj', preds, pos_z,
                                 preferred_element_type=jnp.float32) / d
-        neg = jnp.einsum('bkwd,bwnd->bkwn', preds, neg_z,
-                         preferred_element_type=jnp.float32) / d
+        from ..ops.infonce_pallas import (negative_scores_pallas,
+                                          use_pallas_negatives)
+        if use_pallas_negatives():
+            # Fused Pallas kernel: the encoding pool stays in VMEM; the
+            # backward is dense matmuls instead of a scatter-add (which
+            # profiled 1.2 ms/step — `ops/infonce_pallas.py`).
+            neg = negative_scores_pallas(preds, z_flat, neg_idx_wn) / d
+        else:
+            # XLA path: gather whole rows (B, W, N, D) — the backward
+            # d(neg_z) reshapes straight into the (rows, D) scatter
+            # operand without a relayout copy.
+            neg_z = z_flat.at[neg_idx_wn.reshape(-1)].get(
+                mode='promise_in_bounds').reshape(
+                b, w, self.negative_sampling_ext, d)         # (B, W, N, D)
+            neg = jnp.einsum('bkwd,bwnd->bkwn', preds, neg_z,
+                             preferred_element_type=jnp.float32) / d
         # positive for step k is candidate row k: a K-eye contraction, no
         # gather kernels
         pos = jnp.einsum('bkwj,kj->bkw', pos_scores,
