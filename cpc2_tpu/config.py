@@ -217,6 +217,11 @@ def set_tpu_config(parser):
                        'Amortizes per-dispatch host round-trips; '
                        'trajectories match 1 to fp tolerance. Incompatible '
                        'with sequential sampling (hidden carry).')
+    group.add_argument('--global_negatives', action='store_true',
+                       help='Draw InfoNCE negatives from the GLOBAL batch '
+                       'across the data-parallel mesh (all_gather over '
+                       'ICI) instead of the local shard. Extension beyond '
+                       'the reference, whose DDP samples per-rank.')
     group.add_argument('--host_prefetch', type=int, default=2,
                        help='Host-side loader prefetch depth (batches '
                        'prepared on a background thread while the device '

@@ -207,13 +207,18 @@ class MultiHeadPredictionNetwork(nn.Module):
 # ---------------------------------------------------------------------------
 
 def sample_negative_indices(rng: Array, batch_size: int, seq_size: int,
-                            n_negative: int, window_size: int) -> Array:
+                            n_negative: int, window_size: int,
+                            pool_batch: Optional[int] = None) -> Array:
     """Negative sample flat indices into z.reshape(B*S, D), reference
     semantics (`criterion.py:237-267`): per (b, n, w) draw a random batch
-    element and a random frame `(U[1,S) + w) mod S`. Returns (B, N, W) int32."""
+    element and a random frame `(U[1,S) + w) mod S`. Returns (B, N, W) int32.
+
+    `pool_batch` widens the batch-element draw beyond the local batch (the
+    global-negatives extension: the pool spans the whole data-parallel
+    batch)."""
     k1, k2 = jax.random.split(rng)
     shape = (batch_size, n_negative, window_size)
-    batch_idx = jax.random.randint(k1, shape, 0, batch_size)
+    batch_idx = jax.random.randint(k1, shape, 0, pool_batch or batch_size)
     seq_idx = jax.random.randint(k2, shape, 1, seq_size)
     base = jnp.arange(window_size, dtype=jnp.int32)[None, None, :]
     seq_idx = jnp.remainder(seq_idx + base, seq_size)
@@ -253,6 +258,14 @@ class CPCUnsupervisedCriterion(BaseCriterion):
     n_skipped: int = 0
     growth_rate: Optional[float] = None
     inflection_point_x: Optional[float] = None
+    # Extension beyond the reference (SURVEY §2.6): draw negatives from the
+    # GLOBAL batch across the data-parallel mesh axis instead of the local
+    # shard (the reference's DDP semantics). The encodings are all_gathered
+    # over ICI inside the shard_map program. Requires being traced with the
+    # axis bound (init clones with global_negatives=False).
+    global_negatives: bool = False
+    data_axis: str = 'data'
+    pool_axis_size: int = 1
 
     def setup(self):
         if self.mode not in (None, "reverse"):
@@ -304,16 +317,26 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         # lands on the positive frame ties bit-exactly. Gathering the 1-by-1
         # scores out of a precomputed (B*K*W, B*S) score matrix instead
         # profiled ~30 ms/step on TPU (element-gather fwd + scatter bwd).
+        pool = encoded_data
+        pool_batch = b
+        shard_offset = 0
+        if self.global_negatives and self.pool_axis_size > 1:
+            pool = jax.lax.all_gather(encoded_data, self.data_axis,
+                                      axis=0, tiled=True)
+            pool_batch = b * self.pool_axis_size
+            shard_offset = jax.lax.axis_index(self.data_axis) * b * s
+
         if negative_indices is not None:
             neg_idx = negative_indices
         else:
             rng = self.make_rng('negatives')
             neg_idx = sample_negative_indices(rng, b, s,
-                                              self.negative_sampling_ext, w)
+                                              self.negative_sampling_ext, w,
+                                              pool_batch=pool_batch)
         k_p = self.n_predicts
         pos_z = jnp.stack([encoded_data[:, k:k + w]
                            for k in range(1, k_p + 1)], axis=1)  # (B,K,W,D)
-        z_flat = encoded_data.reshape(b * s, d)
+        z_flat = pool.reshape(pool_batch * s, d)
         neg_idx_wn = jnp.transpose(neg_idx, (0, 2, 1))       # (B, W, N)
         # Two dot_generals (batch (b,w), contract d) instead of one over a
         # concatenated (B, K+N, W, D) tensor — the concat's backward
@@ -325,7 +348,7 @@ class CPCUnsupervisedCriterion(BaseCriterion):
                                 preferred_element_type=jnp.float32) / d
         from ..ops.infonce_pallas import (negative_scores_pallas,
                                           use_pallas_negatives)
-        if use_pallas_negatives():
+        if use_pallas_negatives() and z_flat.shape[0] <= 4096:
             # Fused Pallas kernel: the encoding pool stays in VMEM; the
             # backward is dense matmuls instead of a scatter-add (which
             # profiled 1.2 ms/step — `ops/infonce_pallas.py`).
@@ -346,7 +369,8 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         karange = jnp.arange(1, k_p + 1, dtype=jnp.int32)
         pos_flat_idx = (jnp.arange(b, dtype=jnp.int32)[:, None, None] * s
                         + karange[None, :, None]
-                        + jnp.arange(w, dtype=jnp.int32)[None, None, :])
+                        + jnp.arange(w, dtype=jnp.int32)[None, None, :]
+                        + shard_offset)  # local rows in pool coordinates
         collides = (jnp.transpose(neg_idx, (0, 2, 1))[:, None]   # (B,1,W,N)
                     == pos_flat_idx[..., None])                  # (B,K,W,N)
         neg = jnp.where(collides, pos[..., None], neg)

@@ -42,7 +42,8 @@ from .training import (build_steps, create_train_state,
 from .utils import misc as utils
 
 
-def get_criterion(args, downsampling, n_speakers, n_phones):
+def get_criterion(args, downsampling, n_speakers, n_phones,
+                  pool_axis_size=1):
     """Reference `train.py:27-59`."""
     dim_features = args.hiddenGar if not args.onEncoder else args.hiddenEncoder
     if not getattr(args, 'supervised', False):
@@ -66,7 +67,9 @@ def get_criterion(args, downsampling, n_speakers, n_phones):
             n_speakers=n_speakers, size_input_seq=size_input_seq,
             multihead_rnn=args.multihead_rnn, n_skipped=args.n_skipped,
             growth_rate=args.growth_rate,
-            inflection_point_x=args.inflection_point_x)
+            inflection_point_x=args.inflection_point_x,
+            global_negatives=getattr(args, 'global_negatives', False),
+            pool_axis_size=pool_axis_size)
     elif getattr(args, 'pathPhone', None) is not None:
         if not getattr(args, 'CTC', False):
             return PhoneCriterion(dim_encoder=dim_features,
@@ -100,6 +103,12 @@ def init_criterion_vars(criterion, args, model_bundle, seed=1):
 
 
 def _init_criterion_vars_impl(criterion, args, seed):
+    # Init traces outside shard_map where the data axis is unbound, so a
+    # global-negatives criterion is cloned local for init (the all_gather
+    # does not change parameter shapes).
+    if getattr(criterion, 'global_negatives', False):
+        criterion = criterion.clone(global_negatives=False,
+                                    pool_axis_size=1)
     frames = encoded_seq_len(args.sizeWindow)
     b = 2
     c = jnp.zeros((b, frames, args.hiddenGar), jnp.float32)
@@ -649,7 +658,12 @@ def main(argv):
         model_bundle = fl.init_model(args, seed=args.random_seed or 0)
 
     # Criterion
-    criterion = get_criterion(args, 160, len(speakers), n_phones)
+    mesh_size = (args.data_axis_size if args.data_axis_size > 0
+                 else args.nGPU)
+    criterion = get_criterion(
+        args, 160, len(speakers), n_phones,
+        pool_axis_size=mesh_size if getattr(args, 'global_negatives',
+                                            False) else 1)
     criterion_vars = init_criterion_vars(criterion, args, model_bundle)
     if args.load is not None and args.loadCriterion:
         state_dict = load_torch_checkpoint(args.load[0])
