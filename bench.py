@@ -41,6 +41,10 @@ def main():
     parser.add_argument('--steps', type=int, default=20,
                         help='training steps per timed repetition')
     parser.add_argument('--repeats', type=int, default=3)
+    parser.add_argument('--precision', type=str, default='bf16mix',
+                        choices=['fp32', 'bf16mix', 'bf16'],
+                        help='bf16 additionally runs the prediction heads '
+                        'with bf16 activations (see utils.apply_precision)')
     parser.add_argument('--inner', type=int, default=0,
                         help='optimizer steps per host dispatch '
                         '(build_multi_step lax.scan; 0 = one step per '
@@ -49,6 +53,8 @@ def main():
 
     from cpc2_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    from cpc2_tpu.utils.misc import apply_precision
+    apply_precision(args_cli.precision)
     from cpc2_tpu.config import get_default_cpc_config
     from cpc2_tpu import feature_loader as fl
     from cpc2_tpu.parallel.mesh import make_mesh, shard_batch

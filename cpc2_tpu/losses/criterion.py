@@ -160,8 +160,15 @@ class PredictionNetwork(nn.Module):
                 dim_encoded=self.dim_enc, dim_ar=self.dim_ar, n_layers=1,
                 size_seq=self.size_input_seq, abspos=False,
                 name='predictors')
+            # --precision bf16: run the head stack with bf16 activations
+            # (params stay f32; norms/softmax stats stay f32). f32 default
+            # path is untouched.
+            from ..utils.misc import activation_dtype
+            adt = activation_dtype()
             # positional args: nn.vmap does not forward kwargs to the target
-            ys, _ = net(c, None, train)           # (K, B, W, D)
+            ys, _ = net(c.astype(adt) if adt is not None else c, None, train)
+            if adt is not None:
+                ys = ys.astype(jnp.float32)       # (K, B, W, D)
             ys = jnp.swapaxes(ys, 0, 1)
         else:  # 'linear' / None / False
             net = nn.vmap(TorchLinear, **vmap_kw)(

@@ -38,12 +38,15 @@ class TorchLinear(nn.Module):
         weight = self.param('weight',
                             self.kernel_init or torch_linear_init(fan_in),
                             (self.features, fan_in))
-        y = jnp.einsum('...d,fd->...f', x, weight,
-                       preferred_element_type=jnp.float32)
+        # Params cast to the INPUT dtype (a no-op for f32): feeding a bf16
+        # activation through therefore runs the whole layer in bf16 with
+        # f32 accumulation — the lever behind --precision bf16.
+        y = jnp.einsum('...d,fd->...f', x, weight.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
         if self.use_bias:
             bias = self.param('bias', torch_linear_init(fan_in),
                               (self.features,))
-            y = y + bias
+            y = y + bias.astype(x.dtype)
         return y
 
 
@@ -55,12 +58,15 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # Statistics always in f32 (bf16 means/variances are too coarse);
+        # output returns to the input dtype.
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         weight = self.param('weight', nn.initializers.ones, (self.features,))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
-        return y * weight + bias
+        return (y * weight + bias).astype(x.dtype)
 
 
 class Dropout(nn.Module):

@@ -83,10 +83,13 @@ class ScaledDotProductAttention(nn.Module):
 
         # Causal mask: -inf above the diagonal.
         causal = np.triu(np.full((s, s), -np.inf, np.float32), k=1)
+        # qk and the softmax stay f32 for stability; the probabilities are
+        # cast to the value dtype so the PV matmul (and its traffic) follow
+        # the activation precision.
         a = jax.nn.softmax(qk / math.sqrt(dk) + jnp.asarray(causal), axis=2)
         a = Dropout(self.dropout, name='drop')(a, deterministic)
-        out = jnp.einsum('bij,bjk->bik', a, v,
-                         preferred_element_type=jnp.float32)
+        out = jnp.einsum('bij,bjk->bik', a.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
         # Unfold blocks and truncate the padding.
         return out.reshape(n, -1, dk)[:, :s_orig]
 
@@ -204,7 +207,8 @@ class StaticPositionEmbedding(nn.Module):
         pe = pos * div
         pe[:, 0::2] = np.sin(pe[:, 0::2])
         pe[:, 1::2] = np.cos(pe[:, 1::2])
-        return x + jnp.asarray(pe.astype(np.float32))[None, :x.shape[1], :]
+        table = jnp.asarray(pe.astype(np.float32)).astype(x.dtype)
+        return x + table[None, :x.shape[1], :]
 
 
 class TransformerAR(nn.Module):

@@ -171,20 +171,37 @@ def make_lr_schedule(learning_rate: float, scheduler_step: int,
     return lr_fn
 
 
+_ACTIVATION_DTYPE = None
+
+
+def activation_dtype():
+    """Activation dtype requested by --precision (None = keep f32)."""
+    return _ACTIVATION_DTYPE
+
+
 def apply_precision(precision: str) -> None:
     """Wire the --precision flag to XLA's matmul precision.
 
     - 'bf16mix' (default): the TPU backend's native mode — bf16 MXU compute
-      with fp32 accumulation and fp32 parameters. No config change.
+      with fp32 accumulation, fp32 parameters AND fp32 activations. No
+      config change.
     - 'fp32': force full-precision matmuls (multi-pass on the MXU); use for
       numerics debugging or strict parity runs. ~3x slower matmuls.
-    - 'bf16': lowest-precision matmuls (single-pass bf16); on current TPUs
-      this is the same MXU mode as bf16mix.
+    - 'bf16': bf16 MXU compute AND bf16 activations through the
+      transformer prediction heads (params stay fp32; layer norms and
+      softmax statistics stay fp32). Halves the HBM traffic of the
+      dominant head chains; training numerics shift by ~bf16 rounding.
     """
     import jax
+    global _ACTIVATION_DTYPE
     if precision == 'fp32':
         jax.config.update('jax_default_matmul_precision', 'highest')
+        _ACTIVATION_DTYPE = None
     elif precision == 'bf16':
+        import jax.numpy as jnp
         jax.config.update('jax_default_matmul_precision', 'bfloat16')
-    elif precision != 'bf16mix':
+        _ACTIVATION_DTYPE = jnp.bfloat16
+    elif precision == 'bf16mix':
+        _ACTIVATION_DTYPE = None
+    else:
         raise ValueError(f"unknown precision {precision!r}")
