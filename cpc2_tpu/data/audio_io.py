@@ -120,12 +120,12 @@ _flac_lib = None
 _flac_checked = False
 
 
-def _maybe_build_flac_lib(lib_path: str) -> None:
-    """(Re)build the decoder from csrc/ when it is missing or older than
-    its source. The .so is deliberately not version-controlled — it is
-    produced by `make -C csrc` / `python setup.py build`."""
+def _maybe_build_native(lib_path: str, src_name: str) -> None:
+    """(Re)build a native decoder from csrc/ when it is missing or older
+    than its source. The .so files are deliberately not version-controlled
+    — they are produced by `make -C csrc` / `python setup.py build`."""
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    src = os.path.join(os.path.dirname(here), 'csrc', 'flacdec.cc')
+    src = os.path.join(os.path.dirname(here), 'csrc', src_name)
     if not os.path.exists(src):
         return
     if (os.path.exists(lib_path)
@@ -146,7 +146,8 @@ def _get_flac_lib():
     _flac_checked = True
     import ctypes
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    _maybe_build_flac_lib(os.path.join(here, 'ops', 'libflacdec.so'))
+    _maybe_build_native(os.path.join(here, 'ops', 'libflacdec.so'),
+                        'flacdec.cc')
     for cand in (os.path.join(here, 'ops', 'libflacdec.so'),
                  os.path.join(os.path.dirname(here), 'csrc', 'build',
                               'libflacdec.so')):
@@ -203,21 +204,111 @@ def flac_info(path: str) -> Tuple[int, int]:
 
 
 # ---------------------------------------------------------------------------
+# mp3 / other compressed formats (csrc/audiodec.cc, libavformat-backed)
+# ---------------------------------------------------------------------------
+
+_audec_lib = None
+_audec_checked = False
+
+
+def _get_audec_lib():
+    """ctypes handle to the FFmpeg-backed decoder shim, or None when it
+    is not built (no FFmpeg dev libraries on this machine — the Makefile
+    skips it and callers raise a clear conversion hint instead)."""
+    global _audec_lib, _audec_checked
+    if _audec_checked:
+        return _audec_lib
+    _audec_checked = True
+    import ctypes
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lib_path = os.path.join(here, 'ops', 'libaudiodec.so')
+    _maybe_build_native(lib_path, 'audiodec.cc')
+    if not os.path.exists(lib_path):
+        return None
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError:
+        return None  # e.g. libavformat runtime missing
+    lib.audec_decode_file.restype = ctypes.c_longlong
+    lib.audec_decode_file.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.audec_free.restype = None
+    lib.audec_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.audec_info_file.restype = ctypes.c_longlong
+    lib.audec_info_file.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    _audec_lib = lib
+    return lib
+
+
+def load_compressed(path: str) -> Tuple[np.ndarray, int]:
+    """Decode mp3 (or any other container/codec the system FFmpeg
+    libraries know) via the native shim. Mono-averaged like the other
+    loaders."""
+    import ctypes
+    lib = _get_audec_lib()
+    if lib is None:
+        raise AudioFormatError(f"{path}: {_MP3_HELP}")
+    out = ctypes.POINTER(ctypes.c_float)()
+    sr = ctypes.c_int(0)
+    ch = ctypes.c_int(0)
+    n = lib.audec_decode_file(str(path).encode(), ctypes.byref(out),
+                              ctypes.byref(sr), ctypes.byref(ch))
+    if n < 0:
+        raise AudioFormatError(f"cannot decode {path} (audiodec err {n})")
+    try:
+        x = np.ctypeslib.as_array(out, shape=(int(n) * ch.value,)).copy()
+    finally:
+        lib.audec_free(out)
+    if ch.value > 1:
+        x = x.reshape(-1, ch.value).mean(axis=1)
+    return x, sr.value
+
+
+def compressed_info(path: str) -> Tuple[int, int]:
+    """(estimated num_frames, sample_rate) from container metadata only.
+
+    For CBR mp3 without a Xing header the duration is bitrate-derived and
+    can be off by a frame; the data layer only uses this for pack-size
+    budgeting (`dataset.py:204-216`), mirroring the reference's use of
+    torchaudio.info on mp3."""
+    import ctypes
+    lib = _get_audec_lib()
+    if lib is None:
+        raise AudioFormatError(f"{path}: {_MP3_HELP}")
+    sr = ctypes.c_int(0)
+    ch = ctypes.c_int(0)
+    n = lib.audec_info_file(str(path).encode(), ctypes.byref(sr),
+                            ctypes.byref(ch))
+    if n < 0:
+        raise AudioFormatError(f"cannot parse {path} (audiodec err {n})")
+    return int(n), sr.value
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 
 _MP3_HELP = (
-    "mp3 decoding is not bundled (this build ships wav + flac decoders "
-    "only, and the environment has no sox/ffmpeg/torchaudio). Convert "
-    "first, e.g.: ffmpeg -i in.mp3 -ar 16000 -ac 1 out.wav")
+    "mp3 decoding needs the native FFmpeg-backed shim "
+    "(csrc/audiodec.cc), which requires the libavformat/libavcodec dev "
+    "libraries at build time; they are missing here. Convert first, "
+    "e.g.: ffmpeg -i in.mp3 -ar 16000 -ac 1 out.wav")
+
+# Extensions routed through the FFmpeg-backed shim. WAV and FLAC keep
+# their dedicated fast paths below.
+_COMPRESSED_EXTS = frozenset(
+    ('.mp3', '.ogg', '.opus', '.m4a', '.aac', '.wma', '.mp4', '.webm'))
 
 
 def load_audio(path: str) -> Tuple[np.ndarray, int]:
     ext = os.path.splitext(str(path))[1].lower()
     if ext == '.flac':
         return load_flac(str(path))
-    if ext == '.mp3':
-        raise AudioFormatError(f"{path}: {_MP3_HELP}")
+    if ext in _COMPRESSED_EXTS:
+        return load_compressed(str(path))
     return load_wav(str(path))
 
 
@@ -229,10 +320,11 @@ def save_audio(path: str, x: np.ndarray, sample_rate: int) -> None:
 
 
 def audio_info(path: str) -> Tuple[int, int]:
-    """(num_frames, sample_rate) without decoding the samples."""
+    """(num_frames, sample_rate) without decoding the samples. For
+    compressed formats the count is the container's duration estimate."""
     ext = os.path.splitext(str(path))[1].lower()
     if ext == '.flac':
         return flac_info(str(path))
-    if ext == '.mp3':
-        raise AudioFormatError(f"{path}: {_MP3_HELP}")
+    if ext in _COMPRESSED_EXTS:
+        return compressed_info(str(path))
     return wav_info(str(path))

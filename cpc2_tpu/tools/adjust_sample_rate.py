@@ -2,10 +2,10 @@
 (reference `cpc/eval/utils/adjust_sample_rate.py`).
 
 The reference used torchaudio's sinc resampler on Common Voices mp3; here
-resampling is a polyphase scipy filter on the formats the bundled IO can
-decode — **wav and flac only**. For mp3 corpora, convert first (e.g.
-`ffmpeg -i in.mp3 -ar 16000 out.wav`); requesting `--file_extension .mp3`
-fails fast with that message rather than crashing mid-decode.
+resampling is a polyphase scipy filter. mp3 input is decoded by the
+native FFmpeg-backed shim (`csrc/audiodec.cc`) when it is built; on
+machines without the FFmpeg dev libraries, `.mp3` fails fast with a
+conversion hint rather than crashing mid-decode.
 
 Run: `python -m cpc2_tpu.tools.adjust_sample_rate <path_db>
 <path_phone_files> <path_out> [--out_sample_rate 16000]`
@@ -58,18 +58,20 @@ def parse_args(argv):
     parser.add_argument("path_phone_files", type=str)
     parser.add_argument("path_out", type=str)
     parser.add_argument("--out_sample_rate", type=int, default=16000)
-    parser.add_argument('--file_extension', type=str, default='.wav',
+    parser.add_argument('--file_extension', type=str, default='.mp3',
                         choices=['.wav', '.flac', '.mp3'],
-                        help="input format; .mp3 is rejected with a "
-                             "conversion hint (wav/flac decoders only)")
+                        help="input format; .mp3 needs the native "
+                             "FFmpeg-backed decoder (built when the "
+                             "libav* dev libraries are present)")
     return parser.parse_args(argv)
 
 
 def main(argv):
     args = parse_args(argv)
     if args.file_extension == '.mp3':
-        from ..data.audio_io import _MP3_HELP
-        raise SystemExit(f"--file_extension .mp3: {_MP3_HELP}")
+        from ..data.audio_io import _MP3_HELP, _get_audec_lib
+        if _get_audec_lib() is None:
+            raise SystemExit(f"--file_extension .mp3: {_MP3_HELP}")
     file_list_db = [f for f in os.listdir(args.path_db)
                     if Path(f).suffix == args.file_extension]
     print(f"Found {len(file_list_db)} in the dataset")
