@@ -135,6 +135,56 @@ def _make_fused_theta(dist_name: str, symmetric: bool):
     return jax.jit(fused)
 
 
+def _make_fused_theta_batched(dist_name: str, symmetric: bool):
+    """Like `_make_fused_theta` but over a leading axis of G groups that
+    share one padded shape: (G, N, S, D) features, (G, N) lengths/valid
+    masks -> (G,) win/tie numerators. One program scores G triplet groups."""
+    dist_fn = _cosine_dist_g if dist_name == 'cosine' else _euclid_dist_g
+
+    def dtw_pairs(q, r, lq, lr):
+        dist = dist_fn(q, r)                              # (G,NQ,NR,SQ,SR)
+        g, nq, nr, sq, sr = dist.shape
+        flat = dist.reshape(g * nq * nr, sq, sr)
+        l1 = jnp.broadcast_to(lq[:, :, None], (g, nq, nr)).reshape(-1)
+        l2 = jnp.broadcast_to(lr[:, None, :], (g, nq, nr)).reshape(-1)
+        return dtw_normalized(flat, l1, l2).reshape(g, nq, nr)
+
+    def fused(a, b, x, la, lb, lx, va, vb, vx):
+        dxb = dtw_pairs(x, b, lx, lb)                     # (G, NX, NB)
+        dxa = dtw_pairs(x, a, lx, la)                     # (G, NX, NA)
+        w_xb = vx[:, :, None] & vb[:, None, :]
+        w_xa = vx[:, :, None] & va[:, None, :]
+        if symmetric:
+            max_val = jnp.max(jnp.where(w_xb, dxb, -jnp.inf), axis=(1, 2),
+                              keepdims=True)
+            eye = jnp.eye(dxa.shape[1], dxa.shape[2], dtype=bool)[None]
+            dxa = jnp.where(eye, max_val + 1, dxa)
+        w = (w_xa[:, :, :, None] & w_xb[:, :, None, :]).astype(jnp.float32)
+        dxa_e = dxa[:, :, :, None]
+        dxb_e = dxb[:, :, None, :]
+        wins = (dxa_e < dxb_e).astype(jnp.float32) \
+            + 0.5 * (dxa_e == dxb_e).astype(jnp.float32)
+        return jnp.sum(wins * w, axis=(1, 2, 3))
+    return jax.jit(fused)
+
+
+@jax.jit
+def _cosine_dist_g(a1, a2):
+    prod = jnp.einsum('gxsd,gytd->gxyst', a1, a2,
+                      preferred_element_type=jnp.float32)
+    return jnp.arccos(jnp.clip(prod, -1.0, 1.0)) / math.pi
+
+
+@jax.jit
+def _euclid_dist_g(a1, a2):
+    n1 = jnp.sum(jnp.square(a1), axis=3)                 # (G,N1,S1)
+    n2 = jnp.sum(jnp.square(a2), axis=3)                 # (G,N2,S2)
+    cross = jnp.einsum('gxsd,gytd->gxyst', a1, a2,
+                       preferred_element_type=jnp.float32)
+    sq = n1[:, :, None, :, None] - 2 * cross + n2[:, None, :, None, :]
+    return jnp.sqrt(jnp.maximum(sq, 0.0))
+
+
 _FUSED_CACHE = {}
 
 
@@ -143,6 +193,17 @@ def _fused_theta(dist_name: str, symmetric: bool):
     if key not in _FUSED_CACHE:
         _FUSED_CACHE[key] = _make_fused_theta(dist_name, symmetric)
     return _FUSED_CACHE[key]
+
+
+_FUSED_BATCHED_CACHE = {}
+
+
+def _fused_theta_batched(dist_name: str, symmetric: bool):
+    key = (dist_name, symmetric)
+    if key not in _FUSED_BATCHED_CACHE:
+        _FUSED_BATCHED_CACHE[key] = _make_fused_theta_batched(dist_name,
+                                                              symmetric)
+    return _FUSED_BATCHED_CACHE[key]
 
 
 def _pad_group(g, sizes):
@@ -177,12 +238,15 @@ def get_theta_group_dtw(a, b, x, sa, sb, sx, distance_function, symmetric):
     ap, la, va = _pad_group(a, sa)
     bp, lb, vb = _pad_group(b, sb)
     xp, lx, vx = _pad_group(x, sx)
-    numerator = float(_fused_theta(dist_name, symmetric)(
+    numerator = _fused_theta(dist_name, symmetric)(
         ap, bp, xp, jnp.asarray(la), jnp.asarray(lb), jnp.asarray(lx),
-        jnp.asarray(va), jnp.asarray(vb), jnp.asarray(vx)))
+        jnp.asarray(va), jnp.asarray(vb), jnp.asarray(vx))
 
     na, nb, nx = a.shape[0], b.shape[0], x.shape[0]
     n_pos = na * (na - 1) if symmetric else na * nx
+    # Returned as a DEVICE scalar: the caller's loop stays fully
+    # asynchronous (no per-group round-trip) and fetches every score in
+    # one transfer at the end.
     return numerator / (n_pos * nb)
 
 
@@ -218,11 +282,102 @@ def loc_dtw(data, distance_function, symmetric):
     return coords, 1 - theta
 
 
+# Triplet groups stacked per program. Real ABX runs have thousands of
+# small groups; per-group programs are dispatch-bound on remote backends.
+# Kept modest because the wavefront DTW materializes (n_diag, G*N1*N2, S1)
+# cost/length stacks.
+_GROUP_BATCH = 8
+
+
+def _bucket_g(n: int) -> int:
+    g = 1
+    while g < n:
+        g *= 2
+    return min(g, _GROUP_BATCH)
+
+
 def get_abx_scores_dtw_on_group(group_iterator, distance_function,
                                 symmetric):
     """Accumulate θ scores into a sparse (coords -> score) map
     (reference returns a torch sparse tensor; here (coords array, values
-    array, board_size) with identical contents)."""
+    array, board_size) with identical contents).
+
+    Groups are padded to shape buckets and scored in stacks of up to
+    `_GROUP_BATCH` same-shape groups per program; every program's (G,)
+    numerator vector stays on device until one final fetch, so the whole
+    pass is a pipelined stream of a few dozen distinct compilations."""
+    if distance_function is get_cosine_distance_batch:
+        dist_name = 'cosine'
+    elif distance_function is get_euclidian_distance_batch:
+        dist_name = 'euclidian'
+    else:
+        return _abx_scores_host_loop(group_iterator, distance_function,
+                                     symmetric)
+
+    n = len(group_iterator)
+    coords_list = [None] * n
+    denoms = np.empty(n, np.float64)
+    pending = []                  # (device (G,) numerators, [indices])
+    buffers = {}                  # shape key -> list of (index, padded...)
+    fused = _fused_theta_batched(dist_name, symmetric)
+
+    def flush(key):
+        items = buffers.pop(key)
+        g_true = len(items)
+        gb = _bucket_g(g_true)
+        idxs = [it[0] for it in items]
+
+        def stack(pos):
+            arrs = [it[pos] for it in items]
+            if gb > g_true:  # pad with all-invalid dummy groups
+                arrs += [np.zeros_like(arrs[0])] * (gb - g_true)
+            return jnp.asarray(np.stack(arrs))
+
+        out = fused(stack(1), stack(4), stack(7),
+                    stack(2), stack(5), stack(8),
+                    stack(3), stack(6), stack(9))
+        pending.append((out, idxs))
+
+    done = 0
+    for index, group in enumerate(group_iterator):
+        coords, group_a, group_b, group_x = group
+        a, sa = group_a
+        b, sb = group_b
+        x, sx = group_x
+        check_dtw_group_validity(a, b, x)
+        ap, la, va = _pad_group(a, sa)
+        bp, lb, vb = _pad_group(b, sb)
+        xp, lx, vx = _pad_group(x, sx)
+        na, nb, nx = a.shape[0], b.shape[0], x.shape[0]
+        n_pos = na * (na - 1) if symmetric else na * nx
+        coords_list[index] = coords
+        denoms[index] = n_pos * nb
+
+        key = (ap.shape, bp.shape, xp.shape)
+        buffers.setdefault(key, []).append(
+            (index, ap, la, va, bp, lb, vb, xp, lx, vx))
+        if len(buffers[key]) >= _GROUP_BATCH:
+            flush(key)
+        done += 1
+        if done % 500 == 0:
+            print(f"  {done}/{n} groups")
+    for key in list(buffers):
+        flush(key)
+
+    scores = np.empty(n, np.float64)
+    for out, idxs in zip(jax.device_get([p[0] for p in pending]),
+                         (p[1] for p in pending)):
+        for pos, idx in enumerate(idxs):
+            scores[idx] = out[pos]
+    scores = 1.0 - scores / denoms
+    return (np.array(coords_list, dtype=np.int64),
+            np.array(scores, dtype=np.float32),
+            group_iterator.get_board_size())
+
+
+def _abx_scores_host_loop(group_iterator, distance_function, symmetric):
+    """Original per-group path for generic (non-jittable) distance
+    callables."""
     data_list = []
     coords_list = []
     n = len(group_iterator)
@@ -232,6 +387,7 @@ def get_abx_scores_dtw_on_group(group_iterator, distance_function,
         coords_list.append(coords)
         if (index + 1) % 500 == 0:
             print(f"  {index + 1}/{n} groups")
+    data_list = jax.device_get(data_list)
     return (np.array(coords_list, dtype=np.int64),
             np.array(data_list, dtype=np.float32),
             group_iterator.get_board_size())

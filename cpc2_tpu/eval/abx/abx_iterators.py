@@ -203,7 +203,13 @@ class ABXIterator:
     def get_group(self, i_start, i_end):
         """Materialize span [i_start, i_end) as a zero-padded (n, S_max, D)
         block + true lengths; spans larger than max_size_group are
-        subsampled uniformly at random."""
+        subsampled uniformly at random.
+
+        NB: like the reference (`abx_iterators.py:285`), the subsampling
+        draws from the UNSEEDED global `random` module — on corpora where
+        any group exceeds max_size_group (or across-mode speaker count
+        exceeds max_x), ABX scores vary run to run in both frameworks.
+        Seed `random` before building the iterator for reproducibility."""
         chosen = list(range(i_start, i_end))
         if len(chosen) > self.max_size_group:
             chosen = random.sample(chosen, k=self.max_size_group)

@@ -275,3 +275,58 @@ class TestPallasDTW:
             for i in range(3):
                 for j in range(5):
                     assert sk[i + j, b, i] == d[b, i, j]
+
+
+class TestBatchedGroupScoring:
+    """The stacked-groups scorer must reproduce the per-group fused path
+    exactly (same padding, same DTW, same win/tie counts)."""
+
+    @staticmethod
+    def _random_groups(rng, n_groups, symmetric):
+        groups = []
+        d = 8
+        for gi in range(n_groups):
+            # varied sizes to force several shape buckets + partial
+            # (dummy-padded) flushes
+            na = rng.randint(2, 7)
+            nb = rng.randint(1, 7)
+            s = rng.randint(3, 12)
+
+            def mk(n):
+                feats = rng.randn(n, s, d).astype(np.float32)
+                feats /= np.linalg.norm(feats, axis=2, keepdims=True)
+                sizes = rng.randint(1, s + 1, size=n).astype(np.int64)
+                return feats, sizes
+            a = mk(na)
+            b = mk(nb)
+            x = (a[0].copy(), a[1].copy()) if symmetric else mk(
+                rng.randint(1, 7))
+            coords = (gi, gi % 3, gi % 2, 0)
+            groups.append((coords, a, b, x))
+        return groups
+
+    @pytest.mark.parametrize("symmetric", [True, False])
+    def test_matches_per_group_path(self, symmetric):
+        from cpc2_tpu.eval.abx import abx_group_computation as abx_g
+        rng = np.random.RandomState(5)
+        groups = self._random_groups(rng, 13, symmetric)
+
+        class Fixed:
+            def __len__(self):
+                return len(groups)
+
+            def __iter__(self):
+                return iter(groups)
+
+            def get_board_size(self):
+                return (13, 3, 2, 1)
+
+        singles = [float(abx_g.loc_dtw(
+            g, abx_g.get_cosine_distance_batch, symmetric)[1])
+            for g in groups]
+        coords, values, board = abx_g.get_abx_scores_dtw_on_group(
+            Fixed(), abx_g.get_cosine_distance_batch, symmetric)
+        assert board == (13, 3, 2, 1)
+        np.testing.assert_allclose(np.array(singles), values, atol=2e-7)
+        np.testing.assert_array_equal(
+            coords, np.array([g[0] for g in groups], dtype=np.int64))
