@@ -57,6 +57,9 @@ def main():
                         help='optimizer steps per host dispatch '
                         '(build_multi_step lax.scan; 0 = one step per '
                         'dispatch). Same training math either way.')
+    parser.add_argument('--head_remat', action='store_true',
+                        help='rematerialize the prediction-head stack in '
+                        'the backward pass (bit-identical gradients)')
     args_cli = parser.parse_args()
 
     from cpc2_tpu.utils.cache import enable_compilation_cache
@@ -73,6 +76,7 @@ def main():
 
     args = get_default_cpc_config()
     args.batchSizeGPU = args_cli.batch
+    args.head_remat = args_cli.head_remat
 
     mesh = make_mesh(1)  # one chip
     bundle = fl.init_model(args, seed=0)

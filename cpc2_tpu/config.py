@@ -211,6 +211,12 @@ def set_tpu_config(parser):
                        help='Rematerialize the forward pass in the backward '
                        'pass (jax.checkpoint): trades FLOPs for HBM, for '
                        'large models/windows that would not otherwise fit.')
+    group.add_argument('--head_remat', action='store_true',
+                       help='Rematerialize only the prediction-head stack '
+                       'in the backward pass: the K heads\' FFN/attention '
+                       'intermediates are recomputed instead of stored. '
+                       'Bit-identical gradients; cuts HBM traffic on the '
+                       'bandwidth-bound head FFNs.')
     group.add_argument('--steps_per_dispatch', type=int, default=1,
                        help='Optimizer steps per host dispatch (a lax.scan '
                        'over stacked batches inside one program). '

@@ -124,6 +124,11 @@ class PredictionNetwork(nn.Module):
     rnn_mode: Optional[str] = None
     dropout: bool = False
     size_input_seq: int = 116
+    # Rematerialize the head stack in the backward pass (`--head_remat`):
+    # the K heads' intermediate activations (FFN hiddens, attention probs)
+    # are recomputed instead of stored, cutting HBM traffic on the
+    # bandwidth-bound head FFNs. Bit-identical gradients.
+    head_remat: bool = False
 
     @nn.compact
     def __call__(self, c: Array, train: bool = True) -> Array:
@@ -156,7 +161,13 @@ class PredictionNetwork(nn.Module):
                 self.dim_enc, ksize, name='predictors')
             ys = jnp.swapaxes(net(c), 0, 1)
         elif self.rnn_mode == 'transformer':
-            net = nn.vmap(TransformerAR, **vmap_kw)(
+            # static_argnums counts the lifted scope as arg 0, so `train`
+            # (x=1, hidden=2) sits at 3.
+            head_cls = (nn.remat(TransformerAR, static_argnums=(3,),
+                                 policy=jax.checkpoint_policies
+                                 .nothing_saveable)
+                        if self.head_remat else TransformerAR)
+            net = nn.vmap(head_cls, **vmap_kw)(
                 dim_encoded=self.dim_enc, dim_ar=self.dim_ar, n_layers=1,
                 size_seq=self.size_input_seq, abspos=False,
                 name='predictors')
@@ -192,17 +203,23 @@ class MultiHeadPredictionNetwork(nn.Module):
     rnn_mode: str = 'transformer'
     dropout: bool = False
     size_input_seq: int = 116
+    head_remat: bool = False
 
     @nn.compact
     def __call__(self, c: Array, train: bool = True) -> Array:
         if self.rnn_mode != 'transformer':
             raise ValueError(f"unknown mode {self.rnn_mode}")
-        net = MultiHeadTransformerAR(dim_encoded=self.dim_enc,
-                                     dim_ar=self.dim_ar, n_layers=1,
-                                     size_seq=self.size_input_seq,
-                                     n_heads_out=self.n_predicts,
-                                     abspos=False, name='predictor')
-        y = net(c, train=train)                       # (B, W, K, D)
+        trunk_cls = (nn.remat(MultiHeadTransformerAR, static_argnums=(2,),
+                              policy=jax.checkpoint_policies
+                              .nothing_saveable)
+                     if self.head_remat else MultiHeadTransformerAR)
+        net = trunk_cls(dim_encoded=self.dim_enc,
+                        dim_ar=self.dim_ar, n_layers=1,
+                        size_seq=self.size_input_seq,
+                        n_heads_out=self.n_predicts,
+                        abspos=False, name='predictor')
+        # positional: static_argnums on the remat wrapper needs it
+        y = net(c, train)                             # (B, W, K, D)
         y = jnp.transpose(y, (0, 2, 1, 3))            # (B, K, W, D)
         if self.dropout:
             y = Dropout(0.5, name='drop')(y, not train)
@@ -273,6 +290,7 @@ class CPCUnsupervisedCriterion(BaseCriterion):
     global_negatives: bool = False
     data_axis: str = 'data'
     pool_axis_size: int = 1
+    head_remat: bool = False
 
     def setup(self):
         if self.mode not in (None, "reverse"):
@@ -280,7 +298,8 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         kwargs = dict(n_predicts=self.n_predicts, dim_ar=self.dim_ar,
                       dim_enc=self.dim_enc, rnn_mode=self.rnn_mode,
                       dropout=self.dropout,
-                      size_input_seq=self.size_input_seq - self.n_predicts)
+                      size_input_seq=self.size_input_seq - self.n_predicts,
+                      head_remat=self.head_remat)
         if self.multihead_rnn:
             self.wPrediction = MultiHeadPredictionNetwork(**kwargs)
         else:

@@ -69,7 +69,8 @@ def get_criterion(args, downsampling, n_speakers, n_phones,
             growth_rate=args.growth_rate,
             inflection_point_x=args.inflection_point_x,
             global_negatives=getattr(args, 'global_negatives', False),
-            pool_axis_size=pool_axis_size)
+            pool_axis_size=pool_axis_size,
+            head_remat=getattr(args, 'head_remat', False))
     elif getattr(args, 'pathPhone', None) is not None:
         if not getattr(args, 'CTC', False):
             return PhoneCriterion(dim_encoder=dim_features,

@@ -231,3 +231,45 @@ class TestInfoNCE:
                                   rngs={'negatives': jax.random.PRNGKey(5)})
         assert losses.shape == (1, 2)
         assert accs.shape == (1, 2)
+
+
+class TestHeadRemat:
+    """`--head_remat` must be a pure scheduling change: same params tree,
+    bit-identical losses and gradients for both prediction-network kinds."""
+
+    def _grads(self, crit, c, z, seed=3):
+        rngs = {'params': jax.random.PRNGKey(0),
+                'negatives': jax.random.PRNGKey(1),
+                'dropout': jax.random.PRNGKey(2)}
+        params = crit.init(rngs, jnp.asarray(c), jnp.asarray(z), None)
+
+        def loss_fn(p):
+            losses, _ = crit.apply(
+                p, jnp.asarray(c), jnp.asarray(z), None,
+                rngs={'negatives': jax.random.PRNGKey(seed),
+                      'dropout': jax.random.PRNGKey(seed + 1)})
+            return jnp.sum(losses), losses
+
+        (tot, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return params, np.asarray(losses), grads
+
+    @pytest.mark.parametrize('multihead', [False, True])
+    def test_bit_identical(self, multihead):
+        b, s, d, k, n = 2, 20, 8, 3, 6
+        rng = np.random.RandomState(0)
+        c = rng.randn(b, s, d).astype(np.float32)
+        z = rng.randn(b, s, d).astype(np.float32)
+        kw = dict(n_predicts=k, dim_ar=d, dim_enc=d,
+                  negative_sampling_ext=n, rnn_mode='transformer',
+                  size_input_seq=s, multihead_rnn=multihead)
+        p0, l0, g0 = self._grads(
+            CPCUnsupervisedCriterion(**kw, head_remat=False), c, z)
+        p1, l1, g1 = self._grads(
+            CPCUnsupervisedCriterion(**kw, head_remat=True), c, z)
+        assert jax.tree_util.tree_structure(p0) == \
+            jax.tree_util.tree_structure(p1)
+        np.testing.assert_array_equal(l0, l1)
+        for a, bb in zip(jax.tree_util.tree_leaves(g0),
+                         jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
