@@ -60,12 +60,20 @@ def main():
     parser.add_argument('--head_remat', action='store_true',
                         help='rematerialize the prediction-head stack in '
                         'the backward pass (bit-identical gradients)')
+    parser.add_argument('--prng', type=str, default='rbg',
+                        choices=['rbg', 'threefry'],
+                        help='JAX PRNG implementation for dropout masks / '
+                        'negative sampling. rbg (default, matching the '
+                        'training CLI) uses the TPU hardware RNG; '
+                        'threefry mask generation is ALU-bound and costs '
+                        '~1.3 ms/step.')
     args_cli = parser.parse_args()
 
     from cpc2_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    from cpc2_tpu.utils.misc import apply_precision
+    from cpc2_tpu.utils.misc import apply_precision, apply_prng_impl
     apply_precision(args_cli.precision)
+    apply_prng_impl(args_cli.prng)
     from cpc2_tpu.config import get_default_cpc_config
     from cpc2_tpu import feature_loader as fl
     from cpc2_tpu.parallel.mesh import make_mesh, shard_batch

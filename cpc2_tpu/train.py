@@ -495,6 +495,7 @@ def main(argv):
     enable_compilation_cache()
     args = parse_args(argv)
     utils.apply_precision(args.precision)
+    utils.apply_prng_impl(getattr(args, 'prng', 'rbg'))
 
     logs = {"epoch": [], "iter": [], "saveStep": args.save_step}
     logs["logging_step"] = args.logging_step

@@ -205,3 +205,20 @@ def apply_precision(precision: str) -> None:
         _ACTIVATION_DTYPE = None
     else:
         raise ValueError(f"unknown precision {precision!r}")
+
+
+def apply_prng_impl(prng: str) -> None:
+    """Wire the --prng flag to jax's default PRNG implementation.
+
+    'rbg' keys generate random bits with the TPU's hardware RNG
+    instruction instead of threefry's ALU chains. The train step draws
+    ~33M random bits per step for the head dropout masks (attention probs
+    + FFN hiddens, p=0.1 as in the reference `transformers.py:121`), and
+    threefry generation is a measured 1.3 ms of a 7.7 ms step; 'rbg'
+    removes it (6.3 ms/step). Streams differ between implementations but
+    both are deterministic per seed.
+    """
+    import jax
+    if prng not in ('rbg', 'threefry'):
+        raise ValueError(f"unknown prng {prng!r}")
+    jax.config.update('jax_default_prng_impl', prng)

@@ -160,7 +160,7 @@ def _install_reference_shims():
     import torch
 
     # torchaudio.load -> bundled wav reader, (1, T) float tensor + sr.
-    from cpc2_tpu.data.audio_io import load_wav
+    from cpc2_tpu.data.audio_io import load_wav, wav_info
 
     ta = types.ModuleType('torchaudio')
 
@@ -168,6 +168,13 @@ def _install_reference_shims():
         x, sr = load_wav(str(path))
         return torch.from_numpy(np.asarray(x))[None, :], sr
     ta.load = _load
+
+    def _info(path):
+        # header-only, like the real torchaudio.info (reference
+        # `dataset.py:763` reads .num_frames in pool workers)
+        n, sr = wav_info(str(path))
+        return types.SimpleNamespace(num_frames=n, sample_rate=sr)
+    ta.info = _info
     ta.transforms = types.SimpleNamespace(MFCC=None)
     sys.modules['torchaudio'] = ta
 

@@ -135,7 +135,17 @@ def phase_corpus(work):
     corpus = os.path.join(work, 'corpus')
     item = build_corpus(corpus)
     ckpt = train_checkpoint(corpus, os.path.join(work, 'ckpt'))
-    json.dump({'corpus': corpus, 'item': item, 'ckpt': ckpt},
+    # train/val split lists for the linear-separability probes
+    names = sorted(os.path.splitext(os.path.basename(p))[0]
+                   for p in _wav_list(corpus))
+    train_list = os.path.join(work, 'train_split.txt')
+    val_list = os.path.join(work, 'val_split.txt')
+    with open(train_list, 'w') as f:
+        f.write("\n".join(n for i, n in enumerate(names) if i % 4 != 0))
+    with open(val_list, 'w') as f:
+        f.write("\n".join(n for i, n in enumerate(names) if i % 4 == 0))
+    json.dump({'corpus': corpus, 'item': item, 'ckpt': ckpt,
+               'train_list': train_list, 'val_list': val_list},
               open(os.path.join(work, 'setup.json'), 'w'))
 
 
@@ -188,6 +198,18 @@ def phase_ours(work, backend):
         out = KMean(C, KMEANS_K, MAX_ITER=KMEANS_ITER, EPSILON=0.0)
         np.asarray(out)
     res['kmeans_s'] = _twice(kmeans)
+
+    from cpc2_tpu.eval import linear_separability as linsep
+
+    def probe():
+        linsep.main([setup['corpus'], setup['train_list'],
+                     setup['val_list'], setup['ckpt'],
+                     '--pathCheckpoint',
+                     os.path.join(work, f'linsep_ours_{backend}'),
+                     '--file_extension', '.wav', '--nGPU', '1',
+                     '--batchSizeGPU', '8', '--n_epoch', '2',
+                     '--size_window', '20480'])
+    res['linsep_s'] = _twice(probe)
 
     json.dump(res, open(os.path.join(work, f'ours_{backend}.json'), 'w'))
 
@@ -245,6 +267,34 @@ def phase_reference(work):
         RefKMean(C, KMEANS_K, MAX_ITER=KMEANS_ITER, EPSILON=0.0)
     res['kmeans_s'] = _twice(kmeans)
 
+    # The reference wraps model+criterion in torch.nn.DataParallel with
+    # explicit device ids; without CUDA that errors on scatter, so swap in
+    # a delegating wrapper (environment shim only — the probe math runs
+    # unmodified on torch CPU).
+    class _DelegatingDP(torch.nn.Module):
+        def __init__(self, module, device_ids=None, **_kw):
+            super().__init__()
+            self.module = module
+
+        def forward(self, *a, **kw):
+            return self.module(*a, **kw)
+    torch.nn.DataParallel = _DelegatingDP
+
+    spec2 = importlib.util.spec_from_file_location(
+        'ref_linsep',
+        os.path.join(par.REF, 'cpc', 'eval', 'linear_separability.py'))
+    linsep = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(linsep)
+
+    def probe():
+        linsep.main([setup['corpus'], setup['train_list'],
+                     setup['val_list'], setup['ckpt'],
+                     '--pathCheckpoint', os.path.join(work, 'linsep_ref'),
+                     '--file_extension', '.wav', '--nGPU', '1',
+                     '--batchSizeGPU', '8', '--n_epoch', '2',
+                     '--size_window', '20480'])
+    res['linsep_s'] = _twice(probe)
+
     json.dump(res, open(os.path.join(work, 'reference.json'), 'w'))
 
 
@@ -280,7 +330,8 @@ def main():
              'feature_extraction_s'),
             ('ABX eval (within+across)', 'abx_s'),
             ('KMean %dx%d, k=%d, %d iters'
-             % (KMEANS_N, KMEANS_D, KMEANS_K, KMEANS_ITER), 'kmeans_s')]
+             % (KMEANS_N, KMEANS_D, KMEANS_K, KMEANS_ITER), 'kmeans_s'),
+            ('linear separability (speaker probe, 2 ep)', 'linsep_s')]
     print(f"\n=== eval-stack wall times (2nd run, warm) ===")
     print(f"{'workload':42s} {'ours/' + ours['backend']:>12s} "
           f"{'ours/cpu':>10s} {'reference':>10s} {'speedup':>8s}")
