@@ -25,6 +25,28 @@ import numpy as np
 import pytest
 
 
+# Canonical global-config baselines, captured before any test (or any
+# module-scoped fixture calling `train.main`) can change them.
+_BASE_PRNG = jax.config.jax_default_prng_impl
+_BASE_MATMUL = jax.config.jax_default_matmul_precision
+
+
+@pytest.fixture(autouse=True)
+def _isolate_global_jax_config():
+    """`train.main`/`bench.py` set process-global jax config (PRNG impl,
+    matmul precision) via `--prng`/`--precision`. Restore the canonical
+    baselines after every test — snapshot-restore is NOT enough, because a
+    module-scoped fixture (e.g. test_train_e2e's `run_dir`) runs
+    `train.main` before this function-scoped fixture can snapshot."""
+    from cpc2_tpu.utils import misc as _misc
+    yield
+    if jax.config.jax_default_prng_impl != _BASE_PRNG:
+        jax.config.update('jax_default_prng_impl', _BASE_PRNG)
+    if jax.config.jax_default_matmul_precision != _BASE_MATMUL:
+        jax.config.update('jax_default_matmul_precision', _BASE_MATMUL)
+    _misc._ACTIVATION_DTYPE = None
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(42)
