@@ -200,6 +200,13 @@ def set_tpu_config(parser):
     group.add_argument('--data_axis_size', type=int, default=-1,
                        help='Number of devices on the data-parallel mesh '
                        'axis. -1 = all local devices.')
+    group.add_argument('--model_axis_size', type=int, default=1,
+                       help='Shard the nPredicts prediction heads over a '
+                       'second (model) mesh axis: mesh becomes '
+                       '(nGPU/M data, M model), each model rank computes '
+                       'nPredicts/M heads. Extension beyond the reference '
+                       '(DP-only); unsupervised CPC path only. See '
+                       'training.build_steps_2d.')
     group.add_argument('--ckpt_format', type=str, default='torch',
                        choices=['torch', 'orbax'],
                        help='Checkpoint serialization: reference-compatible '

@@ -291,14 +291,25 @@ class CPCUnsupervisedCriterion(BaseCriterion):
     data_axis: str = 'data'
     pool_axis_size: int = 1
     head_remat: bool = False
+    # Model-parallel extension (beyond the reference, which is DP-only —
+    # SURVEY §2.6): shard the K prediction heads over a mesh axis. This
+    # instance then computes only its local `n_predicts` heads;
+    # `n_predicts_total` is the global K (sets the context window), and
+    # `head_axis` names the mesh axis whose index selects the head block.
+    n_predicts_total: Optional[int] = None
+    head_axis: Optional[str] = None
 
     def setup(self):
         if self.mode not in (None, "reverse"):
             raise ValueError("Invalid mode")
+        if self.head_axis is not None and self.n_skipped:
+            raise ValueError("head-sharded mode handles n_skipped in the "
+                             "training body, not the criterion")
+        k_total = self.n_predicts_total or self.n_predicts
         kwargs = dict(n_predicts=self.n_predicts, dim_ar=self.dim_ar,
                       dim_enc=self.dim_enc, rnn_mode=self.rnn_mode,
                       dropout=self.dropout,
-                      size_input_seq=self.size_input_seq - self.n_predicts,
+                      size_input_seq=self.size_input_seq - k_total,
                       head_remat=self.head_remat)
         if self.multihead_rnn:
             self.wPrediction = MultiHeadPredictionNetwork(**kwargs)
@@ -313,7 +324,7 @@ class CPCUnsupervisedCriterion(BaseCriterion):
     def _predictions(self, c_feature: Array, train: bool
                      ) -> Tuple[Array, int]:
         b, s, _ = c_feature.shape
-        w = s - self.n_predicts
+        w = s - (self.n_predicts_total or self.n_predicts)
         return self.wPrediction(c_feature[:, :w], train=train), w
 
     def _positive_scores(self, preds: Array, encoded_data: Array,
@@ -360,8 +371,17 @@ class CPCUnsupervisedCriterion(BaseCriterion):
                                               self.negative_sampling_ext, w,
                                               pool_batch=pool_batch)
         k_p = self.n_predicts
-        pos_z = jnp.stack([encoded_data[:, k:k + w]
-                           for k in range(1, k_p + 1)], axis=1)  # (B,K,W,D)
+        if self.head_axis is not None:
+            # absolute head block offset of this model-axis shard
+            k0 = jax.lax.axis_index(self.head_axis) * k_p
+            pos_z = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(encoded_data, k0 + k, w, axis=1)
+                 for k in range(1, k_p + 1)], axis=1)          # (B,Kl,W,D)
+            karange = k0 + jnp.arange(1, k_p + 1, dtype=jnp.int32)
+        else:
+            pos_z = jnp.stack([encoded_data[:, k:k + w]
+                               for k in range(1, k_p + 1)], axis=1)  # (B,K,W,D)
+            karange = jnp.arange(1, k_p + 1, dtype=jnp.int32)
         z_flat = pool.reshape(pool_batch * s, d)
         neg_idx_wn = jnp.transpose(neg_idx, (0, 2, 1))       # (B, W, N)
         # Two dot_generals (batch (b,w), contract d) instead of one over a
@@ -392,7 +412,6 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         # gather kernels
         pos = jnp.einsum('bkwj,kj->bkw', pos_scores,
                          jnp.eye(k_p, dtype=pos_scores.dtype))  # (B, K, W)
-        karange = jnp.arange(1, k_p + 1, dtype=jnp.int32)
         pos_flat_idx = (jnp.arange(b, dtype=jnp.int32)[:, None, None] * s
                         + karange[None, :, None]
                         + jnp.arange(w, dtype=jnp.int32)[None, None, :]

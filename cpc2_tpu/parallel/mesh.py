@@ -33,8 +33,23 @@ def make_mesh(data_axis_size: int = -1, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ('data',))
 
 
+def make_mesh_2d(data_axis_size: int, model_axis_size: int,
+                 devices=None) -> Mesh:
+    """('data','model') mesh for head-sharded model parallelism
+    (`training.build_steps_2d`). Devices are laid out model-axis-minor so
+    the head all_gather/psum collectives ride neighbouring ICI links."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = data_axis_size * model_axis_size
+    if len(devices) < n:
+        raise ValueError(f"mesh ({data_axis_size}x{model_axis_size}) needs "
+                         f"{n} devices, found {len(devices)}")
+    return Mesh(np.asarray(devices[:n]).reshape(data_axis_size,
+                                                model_axis_size),
+                ('data', 'model'))
+
+
 def local_batch_size(batch_size_per_device: int, mesh: Mesh) -> int:
-    return batch_size_per_device * mesh.devices.size
+    return batch_size_per_device * mesh.shape.get('data', mesh.devices.size)
 
 
 def shard_batch(mesh: Mesh, *arrays):

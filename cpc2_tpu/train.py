@@ -535,8 +535,27 @@ def main(argv):
     # per-host slice (batchSizeGPU x addressable devices); the global batch
     # (world_size x this) is assembled in shard_batch via
     # jax.make_array_from_process_local_data. Single-host: nGPU devices.
+    model_axis = max(getattr(args, 'model_axis_size', 1), 1)
+    if model_axis > 1:
+        if (getattr(args, 'supervised', False)
+                or args.cpc_mode in ('bert', 'none')
+                or args.multihead_rnn or args.mask_prob > 0
+                or args.signal_quality_path is not None
+                or args.samplingType == 'sequential'
+                or getattr(args, 'steps_per_dispatch', 1) > 1):
+            raise ValueError("--model_axis_size > 1 supports the plain "
+                             "unsupervised CPC path only")
+        if args.nPredicts % model_axis:
+            raise ValueError(f"nPredicts={args.nPredicts} not divisible by "
+                             f"model_axis_size={model_axis}")
+        if args.nGPU % model_axis:
+            raise ValueError(f"nGPU={args.nGPU} not divisible by "
+                             f"model_axis_size={model_axis}")
     if args.distributed and jax.process_count() > 1:
         batch_size = jax.local_device_count() * args.batchSizeGPU
+    elif model_axis > 1:
+        # ('data','model') mesh: the model axis replicates the batch
+        batch_size = (args.nGPU // model_axis) * args.batchSizeGPU
     else:
         batch_size = args.nGPU * args.batchSizeGPU
 
@@ -679,7 +698,14 @@ def main(argv):
     # Mesh & optimizer. Multi-host: the mesh must span every device in the
     # pod (shard_map's psum is the gradient all-reduce); nGPU only sizes
     # single-host meshes.
-    if args.distributed and jax.process_count() > 1:
+    criterion_local = None
+    if model_axis > 1:
+        from .parallel.mesh import make_mesh_2d
+        mesh = make_mesh_2d(args.nGPU // model_axis, model_axis)
+        criterion_local = criterion.clone(
+            n_predicts=args.nPredicts // model_axis, head_axis='model',
+            n_predicts_total=args.nPredicts, n_skipped=0)
+    elif args.distributed and jax.process_count() > 1:
         mesh = make_mesh(-1)
     else:
         mesh = make_mesh(args.data_axis_size if args.data_axis_size > 0
@@ -729,8 +755,12 @@ def main(argv):
     # would otherwise compile once for uncommitted host inputs and again
     # for the committed donated outputs of step 1 (two full remote
     # compiles of the same program).
-    from .parallel.mesh import replicate
-    state = replicate(mesh, state)
+    if criterion_local is not None:
+        from .training import shard_state_2d
+        state = shard_state_2d(mesh, state)
+    else:
+        from .parallel.mesh import replicate
+        state = replicate(mesh, state)
 
     # Checkpoint dir
     if args.pathCheckpoint is not None:
@@ -749,11 +779,24 @@ def main(argv):
                    and args.arMode in ('GRU', 'LSTM', 'RNN')
                    and args.cpc_mode != 'bert')
     args._keep_hidden = keep_hidden
-    train_step, val_step = build_steps(
-        model_bundle.module, criterion, tx, mesh,
-        has_quality=args.signal_quality_path is not None,
-        uses_mask=uses_mask, keep_hidden=keep_hidden,
-        remat=getattr(args, 'remat', False))
+    if criterion_local is not None:
+        from .training import build_steps_2d
+        ts2, vs2 = build_steps_2d(model_bundle.module, criterion_local, tx,
+                                  mesh, state, n_skipped=args.n_skipped)
+
+        def train_step(state, batch, labels=None, rng=None, quality=None,
+                       mask_indices=None):
+            return ts2(state, batch, rng)
+
+        def val_step(state, batch, labels=None, rng=None, quality=None,
+                     mask_indices=None):
+            return vs2(state, batch, rng)
+    else:
+        train_step, val_step = build_steps(
+            model_bundle.module, criterion, tx, mesh,
+            has_quality=args.signal_quality_path is not None,
+            uses_mask=uses_mask, keep_hidden=keep_hidden,
+            remat=getattr(args, 'remat', False))
 
     # Optional n-steps-per-dispatch program (amortizes per-dispatch host
     # round-trips; same math as single-step). Sequential sampling needs a

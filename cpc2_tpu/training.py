@@ -284,6 +284,145 @@ def build_steps(model: nn.Module, criterion: nn.Module,
     return train_step, val_step
 
 
+def head_shard_specs(tree, model_axis: str = 'model'):
+    """PartitionSpec tree for head-sharded model parallelism: prediction-head
+    leaves (stacked on their leading K axis by `nn.vmap`) shard over
+    `model_axis`; everything else (encoder/AR params, optimizer scalars) is
+    replicated. Matches params AND the optax state mirroring them."""
+    def leaf(path, x):
+        if ('wPrediction' in jax.tree_util.keystr(path)
+                and getattr(x, 'ndim', 0) >= 1):
+            return P(model_axis, *([None] * (x.ndim - 1)))
+        return P()
+    return jax.tree_util.tree_map_with_path(leaf, tree)
+
+
+def shard_state_2d(mesh: Mesh, state: TrainState) -> TrainState:
+    """Commit a TrainState to a ('data','model') mesh: head leaves split
+    over 'model' (each device holds K/m heads' params+moments), the rest
+    replicated."""
+    from jax.sharding import NamedSharding
+    specs = head_shard_specs(state)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
+
+
+def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
+                   tx: optax.GradientTransformation, mesh: Mesh,
+                   state_template: TrainState, n_skipped: int = 0):
+    """Head-sharded model parallelism (extension beyond the reference's
+    DP-only design): train/val steps over a ('data','model') mesh.
+
+    The K=nPredicts InfoNCE heads are independent networks scored against
+    shifted slices of the same encodings, so they shard cleanly: each
+    model-axis rank computes its K/m heads' predictions and loss terms;
+    `criterion_local` must be built with the LOCAL head count,
+    `head_axis='model'`, and `n_predicts_total=K` (the absolute positive
+    offsets come from `lax.axis_index('model')`).
+
+    Collectives: encoder/AR grads psum over 'model' (ranks cover disjoint
+    head subsets, so the sum IS the full gradient) then pmean over 'data';
+    head grads pmean over 'data' only; per-head loss/acc columns all_gather
+    over 'model' for reference-format logging. Encoder compute is
+    replicated across 'model' — the right trade at CPC scale, where the
+    heads dominate the step (see docs/performance.md) and the encoder is
+    cheap.
+
+    Scope: the unsupervised flagship path (no phone labels, no signal
+    quality, no masking, no hidden carry).
+    """
+    def forward(params, batch, rng, train):
+        b = batch.shape[0]
+        past, future = batch[:, 0, 0, :], batch[:, 1, 0, :]
+        combined = jnp.concatenate([past, future], axis=0)
+        model_vars = {'params': params['model']}
+
+        def encode(m, x):
+            return m.gEncoder(x, train=train)
+
+        def context(m, z):
+            return m.gAR(z, hidden=None, train=train)
+
+        d_idx = jax.lax.axis_index('data')
+        key = jax.random.fold_in(jax.random.fold_in(rng, d_idx), 0)
+        k_drop, k_neg, k_drop2 = jax.random.split(key, 3)
+        # Head dropout differs per model rank (distinct heads live there);
+        # k_drop (encoder/AR) and k_neg (negatives) stay identical across
+        # 'model' so the replicated encoder compute and the shared negative
+        # pool match the single-axis semantics.
+        k_drop2 = jax.random.fold_in(k_drop2, jax.lax.axis_index('model'))
+
+        encoded = model.apply(model_vars, combined, method=encode,
+                              rngs={'dropout': k_drop})
+        e = encoded[b:]
+        c, _ = model.apply(model_vars, encoded[:b], method=context,
+                           rngs={'dropout': k_drop})
+        # LOCAL head columns: (1, K_local)
+        return criterion_local.apply(
+            {'params': params['criterion']}, c, e, None, None, train=train,
+            rngs={'negatives': k_neg, 'dropout': k_drop2})
+
+    def gather_cols(x):
+        # (1, K_local) -> (1, K_total) for reference-format logging
+        x = jax.lax.all_gather(x, 'model', axis=1, tiled=True)
+        return x[:, n_skipped:]
+
+    def is_head(path):
+        return 'wPrediction' in jax.tree_util.keystr(path)
+
+    def train_body(state: TrainState, batch, rng):
+        def loss_fn(params):
+            losses, accs = forward(
+                params, batch, jax.random.fold_in(rng, state.step), True)
+            # ranks cover disjoint head subsets: the global loss is the
+            # psum of these local sums, so local-sum grads + the 'model'
+            # psum below ARE the full gradient
+            return jnp.sum(losses), (losses, accs)
+
+        grads, (losses, accs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.tree_util.tree_map_with_path(
+            lambda p, g: (jax.lax.pmean(g, 'data') if is_head(p)
+                          else jax.lax.pmean(jax.lax.psum(g, 'model'),
+                                             'data')),
+            grads)
+        losses = gather_cols(jax.lax.pmean(losses, 'data'))
+        accs = gather_cols(jax.lax.pmean(accs, 'data'))
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               batch_stats=state.batch_stats,
+                               step=state.step + 1)
+        return new_state, losses, accs
+
+    def val_body(state: TrainState, batch, rng):
+        losses, accs = forward(state.params, batch,
+                               jax.random.fold_in(rng, state.step), False)
+        return (gather_cols(jax.lax.pmean(losses, 'data')),
+                gather_cols(jax.lax.pmean(accs, 'data')))
+
+    rep = P()
+    data_spec = P('data')
+    state_specs = head_shard_specs(state_template)
+
+    train_jit = jax.jit(
+        shard_map(train_body, mesh=mesh,
+                  in_specs=(state_specs, data_spec, rep),
+                  out_specs=(state_specs, rep, rep)),
+        donate_argnums=(0,))
+    val_jit = jax.jit(
+        shard_map(val_body, mesh=mesh,
+                  in_specs=(state_specs, data_spec, rep),
+                  out_specs=(rep, rep)))
+
+    def train_step(state, batch, rng):
+        return train_jit(state, batch, rng)
+
+    def val_step(state, batch, rng):
+        return val_jit(state, batch, rng)
+
+    return train_step, val_step
+
+
 def build_multi_step(model: nn.Module, criterion: nn.Module,
                      tx: optax.GradientTransformation, mesh: Mesh,
                      n_inner: int, has_quality: bool = False,

@@ -1,0 +1,190 @@
+"""Head-sharded model parallelism (`training.build_steps_2d`).
+
+The K InfoNCE prediction heads are independent networks, so they shard over
+a ('data','model') mesh: each model rank holds K/m heads' params+moments and
+computes their loss terms. These tests pin equivalence with the single-axis
+data-parallel path on the simulated 8-CPU-device mesh:
+
+* linear predictors (no dropout anywhere): multi-step training trajectory
+  matches the 1-D path to fp tolerance;
+* transformer predictors: deterministic val step matches exactly;
+* the head param/moment leaves really are laid out over the model axis.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cpc2_tpu import feature_loader as fl
+from cpc2_tpu.config import get_default_cpc_config
+from cpc2_tpu.losses import CPCUnsupervisedCriterion
+from cpc2_tpu.parallel.mesh import make_mesh, make_mesh_2d, replicate, \
+    shard_batch
+from cpc2_tpu.train import get_criterion, init_criterion_vars
+from cpc2_tpu.training import (build_steps, build_steps_2d,
+                               create_train_state, head_shard_specs,
+                               make_optimizer, shard_state_2d)
+
+
+def _setup(rnn_mode, k=4, d_model=2):
+    args = get_default_cpc_config()
+    args.hiddenEncoder = args.hiddenGar = 32
+    args.nPredicts, args.negativeSamplingExt = k, 6
+    args.sizeWindow = 4160
+    args.batchSizeGPU = 2
+    args.rnnMode, args.arMode = rnn_mode, 'GRU'
+
+    bundle = fl.init_model(args, seed=0)
+    criterion = get_criterion(args, 160, n_speakers=4, n_phones=None)
+    criterion_vars = init_criterion_vars(criterion, args, bundle)
+    tx = make_optimizer(args)
+    state = create_train_state(bundle.variables, criterion_vars, tx)
+
+    crit_local = criterion.clone(n_predicts=k // d_model,
+                                 head_axis='model', n_predicts_total=k)
+    return args, bundle, criterion, crit_local, tx, state
+
+
+def _batch(args, n_data):
+    rs = np.random.RandomState(3)
+    b = args.batchSizeGPU * n_data
+    return (rs.randn(b, 2, 1, args.sizeWindow).astype(np.float32),
+            np.zeros((b,), np.int32))
+
+
+class TestHeadSharding:
+
+    def test_train_trajectory_matches_dp(self):
+        """2 data x 2 model vs 2 data: same batches, same rng, linear
+        predictors (dropout-free) -> same losses and same replicated
+        params to fp tolerance."""
+        args, bundle, criterion, crit_local, tx, state0 = _setup('linear')
+        bn, lab = _batch(args, n_data=2)
+
+        mesh1 = make_mesh(2)
+        ts1, _ = build_steps(bundle.module, criterion, tx, mesh1)
+        s1 = replicate(mesh1, state0)
+        b1, l1 = shard_batch(mesh1, bn, lab)
+
+        mesh2 = make_mesh_2d(2, 2)
+        # deep-copy: device_put aliases the device-0 buffer, and ts1's
+        # donation would otherwise delete s2's shard
+        s2 = shard_state_2d(mesh2, jax.tree.map(jnp.array, state0))
+        ts2, _ = build_steps_2d(bundle.module, crit_local, tx, mesh2, s2)
+        b2 = shard_batch(mesh2, bn)
+
+        key = jax.random.PRNGKey(0)
+        for step in range(6):
+            s1, losses1, accs1 = ts1(s1, b1, l1, key)
+            s2, losses2, accs2 = ts2(s2, b2, key)
+            np.testing.assert_allclose(np.asarray(losses1),
+                                       np.asarray(losses2),
+                                       rtol=0, atol=2e-5,
+                                       err_msg=f"step {step}")
+            np.testing.assert_array_equal(np.asarray(accs1),
+                                          np.asarray(accs2))
+
+        # replicated (encoder/AR) params end up the same (tree_leaves
+        # order is deterministic and identical for identical structures)
+        p1 = s1.params['model']
+        p2 = s2.params['model']
+        for v1, v2 in zip(jax.tree_util.tree_leaves(p1),
+                          jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                       rtol=0, atol=2e-5)
+        # head params: the 2-D state holds the same values, just sharded
+        h1 = jax.tree_util.tree_leaves(s1.params['criterion'])
+        h2 = jax.tree_util.tree_leaves(s2.params['criterion'])
+        for v1, v2 in zip(h1, h2):
+            np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                       rtol=0, atol=2e-5)
+
+    def test_val_step_transformer_exact(self):
+        """Deterministic val step (transformer heads, no dropout at eval):
+        2-D output equals 1-D output."""
+        args, bundle, criterion, crit_local, tx, state0 = _setup(
+            'transformer')
+        bn, lab = _batch(args, n_data=2)
+
+        mesh1 = make_mesh(2)
+        _, vs1 = build_steps(bundle.module, criterion, tx, mesh1)
+        s1 = replicate(mesh1, state0)
+        b1, l1 = shard_batch(mesh1, bn, lab)
+
+        mesh2 = make_mesh_2d(2, 2)
+        s2 = shard_state_2d(mesh2, jax.tree.map(jnp.array, state0))
+        _, vs2 = build_steps_2d(bundle.module, crit_local, tx, mesh2, s2)
+        b2 = shard_batch(mesh2, bn)
+
+        key = jax.random.PRNGKey(1)
+        losses1, accs1 = vs1(s1, b1, l1, key)
+        losses2, accs2 = vs2(s2, b2, key)
+        np.testing.assert_allclose(np.asarray(losses1), np.asarray(losses2),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(accs1), np.asarray(accs2))
+
+    def test_head_leaves_sharded_over_model_axis(self):
+        args, bundle, criterion, crit_local, tx, state0 = _setup('linear')
+        mesh2 = make_mesh_2d(2, 2)
+        s2 = shard_state_2d(mesh2, state0)
+        specs = head_shard_specs(s2)
+        n_sharded = 0
+        for (path, leaf), (_, spec) in zip(
+                jax.tree_util.tree_leaves_with_path(s2),
+                jax.tree_util.tree_leaves_with_path(specs)):
+            pstr = jax.tree_util.keystr(path)
+            if 'wPrediction' in pstr and leaf.ndim >= 1:
+                n_sharded += 1
+                assert spec[0] == 'model', pstr
+                # each device holds 1/2 of the leading K axis
+                shard_shape = leaf.sharding.shard_shape(leaf.shape)
+                assert shard_shape[0] * 2 == leaf.shape[0], pstr
+        # params + adam mu/nu for the head stack
+        assert n_sharded >= 3
+
+    def test_train_cli_with_model_axis(self, tmp_path):
+        """The --model_axis_size flag drives a full CLI epoch: mesh (2,2),
+        reference-format checkpoint written, finite losses logged."""
+        import json
+        from cpc2_tpu import train
+        from cpc2_tpu.data.audio_io import save_wav
+        root = tmp_path / 'db'
+        rs = np.random.RandomState(0)
+        for spk in ('s1', 's2'):
+            d = root / spk / 'c1'
+            d.mkdir(parents=True)
+            for i in range(2):
+                n = 30000
+                t = np.arange(n) / 16000.0
+                x = (0.3 * np.sin(2 * np.pi * (150 + 80 * i) * t)
+                     + 0.05 * rs.randn(n)).astype(np.float32)
+                save_wav(str(d / f'{spk}-{i}.wav'), x, 16000)
+        ckpt = tmp_path / 'ck'
+        train.main(['--pathDB', str(root), '--file_extension', '.wav',
+                    '--pathCheckpoint', str(ckpt),
+                    '--hiddenEncoder', '32', '--hiddenGar', '32',
+                    '--nPredicts', '4', '--negativeSamplingExt', '8',
+                    '--sizeWindow', '4160', '--nGPU', '4',
+                    '--model_axis_size', '2', '--batchSizeGPU', '2',
+                    '--rnnMode', 'transformer', '--arMode', 'GRU',
+                    '--samplingType', 'uniform', '--nEpoch', '1',
+                    '--save_step', '1', '--logging_step', '10'])
+        with open(ckpt / 'checkpoint_logs.json') as f:
+            logs = json.load(f)
+        losses = np.asarray(logs['locLoss_train'])
+        assert losses.shape[-1] == 4          # all K columns logged
+        assert np.isfinite(losses).all()
+        # checkpoint holds the FULL (unsharded) head stack in reference
+        # format
+        from cpc2_tpu.io.torch_ckpt import load_torch_checkpoint
+        sd = load_torch_checkpoint(str(ckpt / 'checkpoint_0.pt'))
+        wp = [k for k in sd['cpcCriterion'] if 'wPrediction' in k]
+        assert wp, list(sd['cpcCriterion'])[:5]
+
+    def test_model_axis_rejects_unsupported(self):
+        from cpc2_tpu import train
+        with pytest.raises((ValueError, SystemExit)):
+            train.main(['--pathDB', '/nonexistent', '--model_axis_size', '3',
+                        '--nPredicts', '4', '--nGPU', '3'])
