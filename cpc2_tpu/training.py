@@ -50,9 +50,13 @@ def make_optimizer(args) -> optax.GradientTransformation:
     """Adam/SGD (reference `train.py:475-484`) with an injected learning rate
     so per-epoch LR schedules don't recompile the step."""
     if args.optimizer == 'adam':
-        return optax.inject_hyperparams(optax.adam)(
+        mu_dtype = (jnp.bfloat16
+                    if getattr(args, 'adam_mu_dtype', 'fp32') == 'bf16'
+                    else None)
+        return optax.inject_hyperparams(optax.adam,
+                                        static_args=('mu_dtype',))(
             learning_rate=args.learningRate, b1=args.beta1, b2=args.beta2,
-            eps=args.epsilon)
+            eps=args.epsilon, mu_dtype=mu_dtype)
     elif args.optimizer == 'sgd':
         return optax.inject_hyperparams(optax.sgd)(
             learning_rate=args.learningRate, momentum=0.9)
