@@ -60,6 +60,9 @@ def main():
     parser.add_argument('--head_remat', action='store_true',
                         help='rematerialize the prediction-head stack in '
                         'the backward pass (bit-identical gradients)')
+    parser.add_argument('--adam_mu_dtype', type=str, default='fp32',
+                        choices=['fp32', 'bf16'],
+                        help='Adam first-moment dtype (see config flag)')
     parser.add_argument('--prng', type=str, default='rbg',
                         choices=['rbg', 'threefry'],
                         help='JAX PRNG implementation for dropout masks / '
@@ -85,6 +88,7 @@ def main():
     args = get_default_cpc_config()
     args.batchSizeGPU = args_cli.batch
     args.head_remat = args_cli.head_remat
+    args.adam_mu_dtype = args_cli.adam_mu_dtype
 
     mesh = make_mesh(1)  # one chip
     bundle = fl.init_model(args, seed=0)
