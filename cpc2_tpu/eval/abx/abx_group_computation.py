@@ -365,10 +365,18 @@ def get_abx_scores_dtw_on_group(group_iterator, distance_function,
         flush(key)
 
     scores = np.empty(n, np.float64)
-    for out, idxs in zip(jax.device_get([p[0] for p in pending]),
-                         (p[1] for p in pending)):
-        for pos, idx in enumerate(idxs):
-            scores[idx] = out[pos]
+    # ONE device->host transfer for every program's numerators: a list
+    # fetch pays one round trip per array on remote-dispatch backends
+    # (measured ~100 ms each over the tunnel), a single concatenated
+    # fetch pays one.
+    if pending:
+        all_out = np.asarray(jnp.concatenate([p[0] for p in pending]))
+        off = 0
+        for out_dev, idxs in pending:
+            block = all_out[off:off + out_dev.shape[0]]
+            off += out_dev.shape[0]
+            for pos, idx in enumerate(idxs):
+                scores[idx] = block[pos]
     scores = 1.0 - scores / denoms
     return (np.array(coords_list, dtype=np.int64),
             np.array(scores, dtype=np.float32),

@@ -471,7 +471,7 @@ def build_feature_files(feature_maker: Callable, seq_paths,
             stack = np.stack([seq for _, seq in batch_items])   # (B, T)
             if hasattr(feature_maker, 'reset_hidden'):
                 feature_maker.reset_hidden()
-            chunks = []
+            chunks = []            # device arrays; ONE fetch per group
             start = 0
             while start < size_seq:
                 if strict and start + maxSizeSeq > size_seq:
@@ -480,7 +480,7 @@ def build_feature_files(feature_maker: Callable, seq_paths,
                 feats = feature_maker((stack[:, start:end], None))
                 if seqNorm:
                     feats = seqNormalization(feats)
-                chunks.append(np.asarray(feats))
+                chunks.append(jnp.asarray(feats))
                 start += maxSizeSeq
             if strict and start < size_seq:
                 feats = feature_maker((stack[:, -maxSizeSeq:], None))
@@ -490,8 +490,11 @@ def build_feature_files(feature_maker: Callable, seq_paths,
                       if hasattr(feature_maker, 'get_downsampling_factor')
                       else DOWNSAMPLING)
                 delta = (size_seq - start) // ds
-                chunks.append(np.asarray(feats)[:, -delta:])
-            whole = np.concatenate(chunks, axis=1)              # (B, T', D)
+                chunks.append(jnp.asarray(feats)[:, -delta:])
+            # concat on device, fetch once: per-chunk np.asarray paid one
+            # round trip per chunk on remote-dispatch backends
+            whole = np.asarray(jnp.concatenate(chunks, axis=1)
+                               if len(chunks) > 1 else chunks[0])
             for j, (p, _) in enumerate(batch_items):
                 feats = whole[j:j + 1]
                 if bucket_frames > 0:
