@@ -286,7 +286,7 @@ def loc_dtw(data, distance_function, symmetric):
 # small groups; per-group programs are dispatch-bound on remote backends.
 # Kept modest because the wavefront DTW materializes (n_diag, G*N1*N2, S1)
 # cost/length stacks.
-_GROUP_BATCH = 8
+_GROUP_BATCH = 32
 
 
 def _bucket_g(n: int) -> int:
