@@ -649,13 +649,31 @@ def main(argv):
         print(f'Current worker files: {len(seq_train)} train, '
               f'{len(seq_val)} val')
 
+    # --augment_on_device: the chip augments after upload; the host ships
+    # clean (dedup/int16-wire-friendly) windows and the dataset applies no
+    # host augmentation.
+    device_augment = None
+    if getattr(args, 'augment_on_device', False) and (
+            args.augment_past or args.augment_future) \
+            and args.augment_type and args.augment_type != 'none':
+        from .data.augment_device import make_device_augment
+        chain = make_device_augment(
+            args.augment_type, shift_max=int(args.shift_max),
+            bandreject_scaler=args.bandreject_scaler, t_ms=args.t_ms)
+        if chain is not None:
+            device_augment = (chain, args.augment_past, args.augment_future,
+                              args.past_equal_future)
+            print("Augmentations run ON DEVICE: %s" % args.augment_type)
+
     print(f'\nLoading audio data at {args.pathDB}')
     train_dataset = AudioBatchData(
         args.pathDB, args.sizeWindow, seq_train, phone_labels, len(speakers),
         nProcessLoader=args.n_process_loader,
         MAX_SIZE_LOADED=args.max_size_loaded,
-        augment_future=args.augment_future, augment_past=args.augment_past,
-        augmentation=augmentation_factory(args, noise_dataset),
+        augment_future=args.augment_future and device_augment is None,
+        augment_past=args.augment_past and device_augment is None,
+        augmentation=(None if device_augment is not None
+                      else augmentation_factory(args, noise_dataset)),
         keep_temporality=args.samplingType == "temporalsamespeaker",
         signal_quality_path=args.signal_quality_path,
         signal_quality_step=args.signal_quality_step,
@@ -796,7 +814,8 @@ def main(argv):
             model_bundle.module, criterion, tx, mesh,
             has_quality=args.signal_quality_path is not None,
             uses_mask=uses_mask, keep_hidden=keep_hidden,
-            remat=getattr(args, 'remat', False))
+            remat=getattr(args, 'remat', False),
+            device_augment=device_augment)
 
     # Optional n-steps-per-dispatch program (amortizes per-dispatch host
     # round-trips; same math as single-step). Sequential sampling needs a
@@ -812,7 +831,8 @@ def main(argv):
         multi_step = build_multi_step(
             model_bundle.module, criterion, tx, mesh, spd,
             has_quality=args.signal_quality_path is not None,
-            uses_mask=uses_mask, remat=getattr(args, 'remat', False))
+            uses_mask=uses_mask, remat=getattr(args, 'remat', False),
+            device_augment=device_augment)
     args._spd = spd
 
     run(train_dataset, val_dataset, batch_size, args.samplingType, state,

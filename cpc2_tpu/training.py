@@ -106,6 +106,7 @@ def build_steps(model: nn.Module, criterion: nn.Module,
                 tx: optax.GradientTransformation, mesh: Mesh,
                 has_quality: bool = False, uses_mask: bool = False,
                 keep_hidden: bool = False, remat: bool = False,
+                device_augment=None,
                 _return_bodies: bool = False):
     """Returns (train_step, val_step), jitted over `mesh`.
 
@@ -120,6 +121,12 @@ def build_steps(model: nn.Module, criterion: nn.Module,
     activations are recomputed instead of stored, trading FLOPs for HBM on
     configs that would not otherwise fit. Identical results, smaller peak
     memory.
+
+    device_augment: optional (fn, augment_past, augment_future,
+    past_equal_future) — `--augment_on_device`: the waveform augmentations
+    run batched INSIDE the train step (`data/augment_device.py`) instead
+    of per-window on host CPU, keyed from the step PRNG (train steps only;
+    validation stays clean like the host pipeline).
     """
     # The reference runs the AR over BOTH halves of the two-view batch and
     # discards the future half's context (`train.py:99-104`). XLA cannot DCE
@@ -149,6 +156,16 @@ def build_steps(model: nn.Module, criterion: nn.Module,
         dev = jax.lax.axis_index('data')
         key = jax.random.fold_in(jax.random.fold_in(rng, dev), 0)
         k_drop, k_neg, k_drop2 = jax.random.split(key, 3)
+
+        if device_augment is not None and train:
+            aug_fn, aug_past, aug_future, same = device_augment
+            k_aug = jax.random.fold_in(key, 3)
+            if aug_past:
+                past = aug_fn(past, k_aug)
+            if aug_future:
+                future = aug_fn(future, k_aug if same
+                                else jax.random.fold_in(k_aug, 1))
+            combined = jnp.concatenate([past, future], axis=0)
 
         new_bs = batch_stats
         if is_bert:
@@ -430,7 +447,8 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
 def build_multi_step(model: nn.Module, criterion: nn.Module,
                      tx: optax.GradientTransformation, mesh: Mesh,
                      n_inner: int, has_quality: bool = False,
-                     uses_mask: bool = False, remat: bool = False):
+                     uses_mask: bool = False, remat: bool = False,
+                     device_augment=None):
     """One host dispatch = `n_inner` optimizer steps (`lax.scan` over the
     per-step body inside a single jitted shard_map program).
 
@@ -451,6 +469,7 @@ def build_multi_step(model: nn.Module, criterion: nn.Module,
     train_body, _ = build_steps(model, criterion, tx, mesh,
                                 has_quality=has_quality, uses_mask=uses_mask,
                                 keep_hidden=False, remat=remat,
+                                device_augment=device_augment,
                                 _return_bodies=True)
 
     def multi_body(state: TrainState, batches, labels, quality, rng,
