@@ -542,9 +542,12 @@ def main(argv):
                 or args.multihead_rnn or args.mask_prob > 0
                 or args.signal_quality_path is not None
                 or args.samplingType == 'sequential'
+                or getattr(args, 'augment_on_device', False)
                 or getattr(args, 'steps_per_dispatch', 1) > 1):
             raise ValueError("--model_axis_size > 1 supports the plain "
-                             "unsupervised CPC path only")
+                             "unsupervised CPC path only (host-side "
+                             "augmentation is fine; --augment_on_device "
+                             "is not wired into the 2-D step)")
         if args.nPredicts % model_axis:
             raise ValueError(f"nPredicts={args.nPredicts} not divisible by "
                              f"model_axis_size={model_axis}")

@@ -391,14 +391,21 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
     def is_head(path):
         return 'wPrediction' in jax.tree_util.keystr(path)
 
+    k_local = criterion_local.n_predicts
+
     def train_body(state: TrainState, batch, rng):
         def loss_fn(params):
             losses, accs = forward(
                 params, batch, jax.random.fold_in(rng, state.step), True)
             # ranks cover disjoint head subsets: the global loss is the
             # psum of these local sums, so local-sum grads + the 'model'
-            # psum below ARE the full gradient
-            return jnp.sum(losses), (losses, accs)
+            # psum below ARE the full gradient. n_skipped heads are
+            # excluded from the trained loss exactly like the 1-D
+            # criterion (`losses/criterion.py` drops them before the sum).
+            k_abs = (jax.lax.axis_index('model') * k_local
+                     + jnp.arange(k_local))
+            trained = jnp.where(k_abs[None, :] >= n_skipped, losses, 0.0)
+            return jnp.sum(trained), (losses, accs)
 
         grads, (losses, accs) = jax.grad(loss_fn, has_aux=True)(state.params)
         grads = jax.tree_util.tree_map_with_path(

@@ -188,3 +188,47 @@ class TestHeadSharding:
         with pytest.raises((ValueError, SystemExit)):
             train.main(['--pathDB', '/nonexistent', '--model_axis_size', '3',
                         '--nPredicts', '4', '--nGPU', '3'])
+
+
+def test_n_skipped_trajectory_matches_dp():
+    """n_skipped heads are excluded from the trained loss in BOTH paths:
+    5-step trajectories match (linear predictors, n_skipped=1)."""
+    args = get_default_cpc_config()
+    args.hiddenEncoder = args.hiddenGar = 32
+    args.nPredicts, args.negativeSamplingExt = 4, 6
+    args.sizeWindow = 4160
+    args.batchSizeGPU = 2
+    args.rnnMode, args.arMode = 'linear', 'GRU'
+    args.n_skipped = 1
+
+    bundle = fl.init_model(args, seed=0)
+    criterion = get_criterion(args, 160, n_speakers=4, n_phones=None)
+    criterion_vars = init_criterion_vars(criterion, args, bundle)
+    tx = make_optimizer(args)
+    state0 = create_train_state(bundle.variables, criterion_vars, tx)
+    crit_local = criterion.clone(n_predicts=2, head_axis='model',
+                                 n_predicts_total=4, n_skipped=0)
+
+    rs = np.random.RandomState(3)
+    bn = rs.randn(4, 2, 1, args.sizeWindow).astype(np.float32)
+    lab = np.zeros((4,), np.int32)
+
+    mesh1 = make_mesh(2)
+    ts1, _ = build_steps(bundle.module, criterion, tx, mesh1)
+    s1 = replicate(mesh1, state0)
+    b1, l1 = shard_batch(mesh1, bn, lab)
+
+    mesh2 = make_mesh_2d(2, 2)
+    s2 = shard_state_2d(mesh2, jax.tree.map(jnp.array, state0))
+    ts2, _ = build_steps_2d(bundle.module, crit_local, tx, mesh2, s2,
+                            n_skipped=1)
+    b2 = shard_batch(mesh2, bn)
+
+    key = jax.random.PRNGKey(0)
+    for step in range(5):
+        s1, losses1, _ = ts1(s1, b1, l1, key)
+        s2, losses2, _ = ts2(s2, b2, key)
+        assert np.asarray(losses1).shape == (1, 3)   # K - n_skipped
+        np.testing.assert_allclose(np.asarray(losses1),
+                                   np.asarray(losses2), rtol=0, atol=2e-5,
+                                   err_msg=f"step {step}")
