@@ -171,13 +171,18 @@ def _pitch_one(x: Array, cents: Array) -> Array:
     true_len = jnp.round(w * factor).astype(jnp.int32)
 
     # linear resample stretched[0:true_len] -> w samples (host np.interp on
-    # endpoint=False grids: dst j maps to src position j*true_len/w)
+    # endpoint=False grids: dst j maps to src position j*true_len/w).
+    # ONE row-gather of adjacent (src[i], src[i+1]) pairs instead of two
+    # element gathers (each profiled 1.3 ms/step on TPU).
     pos = jnp.arange(w, dtype=jnp.float32) * true_len.astype(jnp.float32) / w
     i0 = jnp.clip(pos.astype(jnp.int32), 0, true_len - 1)
-    i1 = jnp.clip(i0 + 1, 0, true_len - 1)
     fr = pos - i0
+    # past-the-end pair partner clamps to the same sample (i1 == i0)
+    fr = jnp.where(i0 + 1 >= true_len, 0.0, fr)
     src = jax.lax.dynamic_slice_in_dim(stretched, pad, total - pad)
-    y = (1 - fr) * src[i0] + fr * src[i1]
+    pairs = jnp.stack([src[:-1], src[1:]], axis=-1)          # (L-1, 2)
+    rows = pairs[jnp.clip(i0, 0, pairs.shape[0] - 1)]        # (w, 2)
+    y = (1 - fr) * rows[:, 0] + fr * rows[:, 1]
 
     # host: |cents| < 1 and non-finite results fall back to the input
     y = jnp.where(jnp.abs(cents) < 1, x, y)
