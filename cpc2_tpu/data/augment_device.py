@@ -16,7 +16,11 @@ XLA needs static shapes) and `pitch` runs the same phase-vocoder +
 linear-resample algorithm vectorized (the host's python frame loop becomes
 gathers + one cumulative sum); both are checked against the host
 implementations in `tests/test_augment_device.py`. Gaussian noise and
-time dropout are exact ports.
+time dropout are exact ports. The reverbs exploit linearity: freeverb is
+LTI per room size, so artificial reverb becomes a gather from a
+precomputed impulse-response bank + FFT convolution (numerically the host
+filter chain); natural reverb uploads the measured IR bank once; additive
+noise mixes from a device-resident pool of real noise windows.
 
 All functions take (B, W) float32 and a PRNG key and return (B, W); every
 window in the batch draws independent parameters, matching the host
@@ -104,8 +108,6 @@ def bandreject(x: Array, key: Array, scaler: float = 1.0) -> Array:
 # ---------------------------------------------------------------------------
 
 _N_FFT, _HOP = 1024, 256
-# max stretch: shift_max=300 cents down -> factor 2^(300/1200) ~ 1.189
-_MAX_FACTOR = 2.0 ** (400.0 / 1200.0)
 
 
 def _frame(x: Array, n_fft: int, hop: int) -> Array:
@@ -117,13 +119,16 @@ def _frame(x: Array, n_fft: int, hop: int) -> Array:
     return xp[idx]
 
 
-def _pitch_one(x: Array, cents: Array) -> Array:
+def _pitch_one(x: Array, cents: Array,
+               max_factor: float = 2.0 ** (400.0 / 1200.0)) -> Array:
     """Phase-vocoder pitch shift of one (W,) window by `cents` (traced).
 
     Vectorized version of the host algorithm (`augmentation.py:107-174`):
     time-stretch by rate=1/factor with a phase vocoder (the frame loop
     becomes gathers + an exclusive cumsum of wrapped phase deltas), then
-    linear-resample the stretched signal back to W samples."""
+    linear-resample the stretched signal back to W samples. `max_factor`
+    (static) bounds the stretch the frame budget must cover; callers derive
+    it from their maximum |cents| so any --shift_max fits exactly."""
     w = x.shape[0]
     factor = 2.0 ** (cents / 1200.0)
     rate = 1.0 / factor
@@ -133,7 +138,7 @@ def _pitch_one(x: Array, cents: Array) -> Array:
     n_frames, n_bins = spec.shape
 
     # static output frame budget; frames past the true count are masked
-    t_out_max = int(math.ceil((n_frames - 1) / (1.0 / _MAX_FACTOR))) + 1
+    t_out_max = int(math.ceil((n_frames - 1) * max_factor)) + 1
     t = jnp.arange(t_out_max, dtype=jnp.float32)
     steps = t * rate
     n_out = jnp.ceil((n_frames - 1) / rate).astype(jnp.int32)  # host arange
@@ -195,7 +200,10 @@ def pitch(x: Array, key: Array, shift_max: int = 300) -> Array:
     b = x.shape[0]
     cents = jax.random.randint(key, (b,), -shift_max,
                                shift_max).astype(jnp.float32)
-    return jax.vmap(_pitch_one)(x, cents)
+    # worst stretch at +shift_max cents; static so the vmapped frame
+    # budget matches any user-set --shift_max exactly
+    max_factor = 2.0 ** (shift_max / 1200.0)
+    return jax.vmap(lambda xi, ci: _pitch_one(xi, ci, max_factor))(x, cents)
 
 
 # ---------------------------------------------------------------------------
@@ -203,8 +211,11 @@ def pitch(x: Array, key: Array, shift_max: int = 300) -> Array:
 # ---------------------------------------------------------------------------
 
 def gaussian_noise(x: Array, key: Array, snr: float = 15.0) -> Array:
-    alpha = 1.0 / (10.0 ** (snr / 20.0))
-    return x + alpha * jax.random.normal(key, x.shape, x.dtype)
+    """Exact port of the host formula (`RandomAdditiveNoiseAugment`,
+    host `augmentation.py:338-347`): noise scaled relative to the window's
+    own std by a 10^(snr/10) power ratio, per window."""
+    alpha = (10.0 ** (snr / 10.0)) / (x.std(axis=-1, keepdims=True) + 1e-12)
+    return x + jax.random.normal(key, x.shape, x.dtype) / alpha
 
 
 # ---------------------------------------------------------------------------
@@ -224,27 +235,248 @@ def time_dropout(x: Array, key: Array, t_ms: int = 100) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# Artificial reverb (host: `ReverbAugment` — freeverb)
+#
+# Freeverb is LTI for a fixed room size, so the whole filter chain collapses
+# to ONE convolution with a precomputed impulse response. A bank of IRs
+# (one per integer room size) is built on the host at first trace and baked
+# into the program; each window gathers its room's IR and FFT-convolves.
+# The IR is computed with an O(W) block recurrence — the comb/allpass
+# feedback taps sit ~1600 samples back, so a generic IIR routine
+# (scipy.lfilter) would cost O(W * delay) per filter and take minutes for
+# the bank.
+# ---------------------------------------------------------------------------
+
+_COMB_TUNINGS = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
+_ALLPASS_TUNINGS = (556, 441, 341, 225)
+
+
+def _comb_np(x: np.ndarray, d: int, c1: float, c2: float) -> np.ndarray:
+    """y[n] = x[n-d] + c1*y[n-d] + c2*y[n-d-1], evaluated block-by-block
+    (every referenced index is < the block start, so blocks of d samples
+    vectorize)."""
+    w = x.shape[0]
+    y = np.zeros(w, x.dtype)
+    for start in range(0, w, d):
+        idx = np.arange(start, min(start + d, w))
+        acc = np.zeros(idx.shape[0], x.dtype)
+        m = idx >= d
+        acc[m] = x[idx[m] - d] + c1 * y[idx[m] - d]
+        m2 = idx >= d + 1
+        acc[m2] += c2 * y[idx[m2] - d - 1]
+        y[idx] = acc
+    return y
+
+
+def _allpass_np(x: np.ndarray, d: int) -> np.ndarray:
+    """y[n] = -0.5*x[n] + x[n-d] + 0.5*y[n-d] (same block scheme)."""
+    w = x.shape[0]
+    y = np.zeros(w, x.dtype)
+    ff = -0.5 * x
+    ff[d:] += x[:-d]
+    for start in range(0, w, d):
+        idx = np.arange(start, min(start + d, w))
+        acc = ff[idx].copy()
+        m = idx >= d
+        acc[m] += 0.5 * y[idx[m] - d]
+        y[idx] = acc
+    return y
+
+
+def _freeverb_ir(room: float, reverberance: float, hf_damping: float,
+                 w: int) -> np.ndarray:
+    """Impulse response of the host `_freeverb` chain (augmentation.py:
+    197-227), truncated to w (the host output is cropped to w anyway)."""
+    feedback = 0.28 + 0.7 * (room / 100.0)
+    damping = hf_damping / 100.0 * 0.4 + 0.2
+    delta = np.zeros(w, np.float64)
+    delta[0] = 1.0
+    wet = np.zeros(w, np.float64)
+    for d in _COMB_TUNINGS:
+        wet += _comb_np(delta, d, feedback * (1 - damping),
+                        feedback * damping)
+    wet /= len(_COMB_TUNINGS)
+    for d in _ALLPASS_TUNINGS:
+        wet = _allpass_np(wet, d)
+    mix = reverberance / 100.0
+    return ((1 - mix * 0.5) * delta + mix * 0.5 * wet).astype(np.float32)
+
+
+_IR_BANK_CACHE: dict = {}
+
+
+def _freeverb_ir_bank(n_rooms: int, reverberance: float, hf_damping: float,
+                      w: int) -> np.ndarray:
+    key = (n_rooms, reverberance, hf_damping, w)
+    if key not in _IR_BANK_CACHE:
+        _IR_BANK_CACHE[key] = np.stack(
+            [_freeverb_ir(room, reverberance, hf_damping, w)
+             for room in range(n_rooms)])
+    return _IR_BANK_CACHE[key]
+
+
+def _fft_conv_crop(x: Array, ir: Array) -> Array:
+    """Per-row causal convolution cropped to the input length
+    (= scipy 'full' mode [:w], the host reverb layout)."""
+    w = x.shape[-1]
+    nfft = 1 << (2 * w - 2).bit_length()
+    y = jnp.fft.irfft(jnp.fft.rfft(x, nfft) * jnp.fft.rfft(ir, nfft), nfft)
+    return y[..., :w].astype(x.dtype)
+
+
+def artificial_reverb(x: Array, key: Array, n_rooms: int = 100,
+                      reverberance: float = 100.0,
+                      hf_damping: float = 100.0) -> Array:
+    """Per-window random-room freeverb (host `ReverbAugment`,
+    augmentation.py:230-243; room ~ U{0..n_rooms-1})."""
+    b, w = x.shape
+    bank = jnp.asarray(_freeverb_ir_bank(n_rooms, reverberance,
+                                         hf_damping, w))
+    rooms = jax.random.randint(key, (b,), 0, n_rooms)
+    return _fft_conv_crop(x, bank[rooms])
+
+
+def artificial_reverb_dropout(x: Array, key: Array,
+                              t_ms: int = 100) -> Array:
+    """Host `ReverbDropout` (augmentation.py:264-273): reverb(50, 50,
+    random room) then time dropout."""
+    k1, k2 = jax.random.split(key)
+    y = artificial_reverb(x, k1, reverberance=50.0, hf_damping=50.0)
+    return time_dropout(y, k2, t_ms=t_ms)
+
+
+def pitch_dropout(x: Array, key: Array, shift_max: int = 300,
+                  t_ms: int = 100) -> Array:
+    """Host `PitchDropout` (augmentation.py:276-284)."""
+    k1, k2 = jax.random.split(key)
+    return time_dropout(pitch(x, k1, shift_max=shift_max), k2, t_ms=t_ms)
+
+
+# ---------------------------------------------------------------------------
+# Natural reverb (host: `NaturalReverb` — measured impulse responses)
+# ---------------------------------------------------------------------------
+
+def _peak_norm(x: Array) -> Array:
+    return x / (jnp.max(jnp.abs(x), axis=-1, keepdims=True) + 1e-8)
+
+
+def _energy_norm(x: Array) -> Array:
+    return x / (jnp.sqrt(jnp.mean(x ** 2, axis=-1, keepdims=True)) + 1e-8)
+
+
+def make_natural_reverb(ir_paths: str, p: float,
+                        batch_wise: bool = False) -> Callable:
+    """Device port of host `NaturalReverb` (augmentation.py:354-401): the
+    IR bank is loaded from disk ONCE and uploaded with the program; each
+    window convolves with a random IR with probability p (peak-normalized
+    either way, like the host). `batch_wise` draws one IR per batch."""
+    import os as _os
+
+    from .audio_io import load_audio
+    from .corpus import find_all_seqs
+
+    ir_files, _ = find_all_seqs(ir_paths, extension=".wav", speaker_level=0)
+    irs = []
+    for _, rel in ir_files:
+        ir, _sr = load_audio(_os.path.join(ir_paths, rel))
+        irs.append(np.asarray(ir, np.float32).reshape(-1))
+    if not irs:
+        raise ValueError(f"no impulse responses found under {ir_paths}")
+    print("Found %d files for natural reverberation (device bank)"
+          % len(irs))
+    max_len = max(r.shape[0] for r in irs)
+    bank_np = np.stack([np.pad(r, (0, max_len - r.shape[0])) for r in irs])
+
+    def apply(x: Array, key: Array) -> Array:
+        b, w = x.shape
+        bank = jnp.asarray(bank_np[:, :w] if max_len >= w else np.pad(
+            bank_np, ((0, 0), (0, w - max_len))))
+        k_idx, k_p = jax.random.split(key)
+        n_draws = 1 if batch_wise else b
+        idx = jax.random.randint(k_idx, (n_draws,), 0, bank.shape[0])
+        ir = jnp.broadcast_to(bank[idx], (b, w)) if batch_wise \
+            else bank[idx]
+        wet = _peak_norm(_fft_conv_crop(x, ir))
+        dry = _peak_norm(x)
+        on = jax.random.uniform(k_p, (b, 1)) < p
+        return jnp.where(on, wet, dry)
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# Additive noise from a corpus (host: `AdditiveNoiseAugment`)
+# ---------------------------------------------------------------------------
+
+def make_additive_noise(noise_dataset, snr_min: float, snr_max: float,
+                        batch_size: int, pool_size: int = 512,
+                        sampling: str = 'uniform') -> Callable:
+    """Device port of host `AdditiveNoiseAugment` (augmentation.py:
+    291-335): a pool of noise windows is drawn from the noise corpus'
+    loader once (meta-augmentation applies there, like the host) and kept
+    device-resident; each window mixes a random pool row at a random
+    SNR ~ U[snr_min, snr_max]. Distribution note: the host consumes noise
+    windows sequentially without replacement per epoch; the device pool
+    samples WITH replacement from `pool_size` windows."""
+    assert noise_dataset is not None and snr_min <= snr_max
+    loader = noise_dataset.getDataLoader(
+        min(batch_size, 64), sampling, True, numWorkers=0, onLoop=-1,
+        nLoops=-1, remove_artefacts=sampling != 'uniform')
+    rows = []
+    for batch in loader:
+        seqs = np.asarray(batch[0])            # (B, 2, 1, W)
+        # host draws view 0 of each noise window (augmentation.py:322)
+        rows.extend(seqs[:, 0].reshape(seqs.shape[0], -1))
+        if len(rows) >= pool_size:
+            break
+    pool_np = np.stack(rows[:pool_size]).astype(np.float32)
+    print("Device noise pool: %d windows of %d samples"
+          % (pool_np.shape[0], pool_np.shape[1]))
+
+    def apply(x: Array, key: Array) -> Array:
+        b, w = x.shape
+        pool = jnp.asarray(pool_np[:, :w])
+        k_idx, k_snr = jax.random.split(key)
+        noise = pool[jax.random.randint(k_idx, (b,), 0, pool.shape[0])]
+        snr = jax.random.uniform(k_snr, (b, 1), minval=snr_min,
+                                 maxval=snr_max)
+        noise_rms = 10.0 ** (-snr / 20.0)
+        return _peak_norm(_energy_norm(x)
+                          + _energy_norm(noise) * noise_rms).astype(x.dtype)
+    return apply
+
+
+# ---------------------------------------------------------------------------
 # Factory + combined transform
 # ---------------------------------------------------------------------------
 
 # names match the CLI `--augment_type` vocabulary (config.py);
 # 'random_noise' is programmatic-only (no CLI spelling in the reference)
 DEVICE_AUGMENTATIONS = ('bandreject', 'pitch', 'pitch_quick',
-                        'time_dropout', 'random_noise')
+                        'pitch_dropout', 'time_dropout', 'random_noise',
+                        'artificial_reverb', 'artificial_reverb_dropout',
+                        'natural_reverb', 'additive')
 
 
 def make_device_augment(augment_types: Sequence[str],
                         shift_max: int = 300,
                         bandreject_scaler: float = 1.0,
                         noise_snr: float = 15.0,
-                        t_ms: int = 100) -> Optional[Callable]:
-    """Composable device transform for the supported augmentation names
-    (subset of the host `augmentation_factory` vocabulary). Returns
-    `f(x, key) -> x` over (B, W) windows, or None for an empty list.
+                        t_ms: int = 100,
+                        noise_dataset=None,
+                        snr_min: float = 5.0,
+                        snr_max: float = 20.0,
+                        batch_size: int = 8,
+                        ir_paths: Optional[str] = None,
+                        ir_prob: float = 1.0,
+                        ir_batch_wise: bool = False) -> Optional[Callable]:
+    """Composable device transform covering the full host
+    `augmentation_factory` vocabulary. Returns `f(x, key) -> x` over (B, W)
+    windows, or None for an empty list.
 
-    Raises ValueError for types that need host resources (additive noise
-    datasets, impulse responses) or are not yet device-ported — callers
-    fall back to the host pipeline for those.
+    `natural_reverb` needs `ir_paths` (an impulse-response directory) and
+    `additive` needs `noise_dataset` — same requirements as the host
+    factory; a missing resource raises like the host does. Unknown names
+    raise ValueError.
     """
     chain = []
     for name in augment_types or []:
@@ -253,10 +485,30 @@ def make_device_augment(augment_types: Sequence[str],
                                            scaler=bandreject_scaler))
         elif name in ('pitch', 'pitch_quick'):
             chain.append(functools.partial(pitch, shift_max=shift_max))
+        elif name == 'pitch_dropout':
+            chain.append(functools.partial(pitch_dropout,
+                                           shift_max=shift_max, t_ms=t_ms))
         elif name == 'random_noise':
             chain.append(functools.partial(gaussian_noise, snr=noise_snr))
         elif name == 'time_dropout':
             chain.append(functools.partial(time_dropout, t_ms=t_ms))
+        elif name == 'artificial_reverb':
+            chain.append(artificial_reverb)
+        elif name == 'artificial_reverb_dropout':
+            chain.append(functools.partial(artificial_reverb_dropout,
+                                           t_ms=t_ms))
+        elif name == 'natural_reverb':
+            if ir_paths is None:
+                raise RuntimeError('Impulse responses are needed for the '
+                                   'natural reverb (--pathImpulseResponses)')
+            chain.append(make_natural_reverb(ir_paths, ir_prob,
+                                             batch_wise=ir_batch_wise))
+        elif name == 'additive':
+            if noise_dataset is None:
+                raise RuntimeError('Noise dataset is needed for the '
+                                   'additive noise')
+            chain.append(make_additive_noise(noise_dataset, snr_min,
+                                             snr_max, batch_size))
         else:
             raise ValueError(
                 f"augmentation {name!r} has no device implementation "

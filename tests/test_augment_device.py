@@ -118,15 +118,50 @@ class TestPitch:
         assert y.shape == x.shape
         assert np.isfinite(np.asarray(y)).all()
 
+    def test_large_shift_max_budget(self):
+        """--shift_max beyond the old 400-cent static budget: the frame
+        budget now derives from shift_max, so an 800-cent shift lands on
+        the right frequency instead of silently truncating."""
+        cents = 700.0
+        x = _tone(440, w=16384)
+        max_factor = 2.0 ** (800.0 / 1200.0)
+        y = np.asarray(ad._pitch_one(jnp.asarray(x), jnp.float32(cents),
+                                     max_factor))
+        assert np.isfinite(y).all()
+        f = _dominant_freq(y)
+        assert abs(f - 440 * 2 ** (cents / 1200.0)) < 30, f
+        # host reference on the same shift agrees
+        ref = ha.pitch_shift(x[None], cents)[0]
+        err = np.abs(y - ref).max()
+        assert err < 0.05 * np.abs(ref).max(), err
+
 
 class TestSimpleAugs:
 
-    def test_gaussian_noise_snr(self):
-        x = jnp.asarray(_tone(440)[None])
+    def test_gaussian_noise_matches_host_formula(self):
+        """Host `RandomAdditiveNoiseAugment`: noise std = x.std / 10^(snr/10)
+        per window (augmentation.py:338-347) — scale-covariant, unlike an
+        absolute-amplitude draw."""
+        loud = _tone(440)
+        quiet = (0.01 * loud).astype(np.float32)
+        x = jnp.asarray(np.stack([loud, quiet]))
         y = ad.gaussian_noise(x, jax.random.PRNGKey(0), snr=15.0)
         noise = np.asarray(y - x)
-        alpha = 1.0 / 10 ** (15.0 / 20.0)
-        assert abs(noise.std() - alpha) < 0.1 * alpha
+        for row_x, row_n in zip(np.asarray(x), noise):
+            expected = row_x.std() / 10 ** (15.0 / 10.0)
+            assert abs(row_n.std() - expected) < 0.05 * expected
+
+    def test_gaussian_noise_tracks_host_class(self):
+        """Distribution match with the host implementation on the same
+        window: noise powers agree within sampling error."""
+        x = _tone(440)
+        host = ha.RandomAdditiveNoiseAugment(snr=15.0)
+        host_noise = host(x[None]) - x[None]
+        dev_noise = np.asarray(
+            ad.gaussian_noise(jnp.asarray(x[None]), jax.random.PRNGKey(3),
+                              snr=15.0)) - x[None]
+        assert abs(host_noise.std() - dev_noise.std()) \
+            < 0.1 * host_noise.std()
 
     def test_time_dropout_zeroes_span(self):
         x = jnp.ones((4, 20480))
@@ -185,9 +220,161 @@ class TestTrainCLI:
         losses = np.asarray(logs['locLoss_train'])
         assert np.isfinite(losses).all()
 
-    def test_unsupported_type_raises(self, tmp_path):
+    def test_hybrid_device_host_split(self, tmp_path, monkeypatch):
+        """--augment_on_device with a mixed type list: device-ported types
+        run on the chip, the remainder falls back to the host pipeline
+        (previously any unsupported type crashed at startup). Every CLI
+        type is device-ported now, so the fallback is exercised by
+        shrinking DEVICE_AUGMENTATIONS for the test."""
+        import json
         from cpc2_tpu import train
-        with pytest.raises(ValueError):
-            train.main(['--pathDB', str(tmp_path),
-                        '--augment_past', '--augment_on_device',
-                        '--augment_type', 'artificial_reverb'])
+        from cpc2_tpu.data import augment_device
+        from cpc2_tpu.data.audio_io import save_wav
+        monkeypatch.setattr(
+            augment_device, 'DEVICE_AUGMENTATIONS',
+            tuple(t for t in augment_device.DEVICE_AUGMENTATIONS
+                  if t != 'artificial_reverb'))
+        root = tmp_path / 'db'
+        rs = np.random.RandomState(1)
+        d = root / 's1' / 'c1'
+        d.mkdir(parents=True)
+        for i in range(3):
+            n = 30000
+            t = np.arange(n) / 16000.0
+            x = (0.3 * np.sin(2 * np.pi * (150 + 70 * i) * t)
+                 + 0.05 * rs.randn(n)).astype(np.float32)
+            save_wav(str(d / f's1-{i}.wav'), x, 16000)
+        ckpt = tmp_path / 'ck'
+        train.main(['--pathDB', str(root), '--file_extension', '.wav',
+                    '--pathCheckpoint', str(ckpt),
+                    '--hiddenEncoder', '16', '--hiddenGar', '16',
+                    '--nPredicts', '2', '--negativeSamplingExt', '4',
+                    '--sizeWindow', '4160', '--nGPU', '2',
+                    '--batchSizeGPU', '2', '--rnnMode', 'linear',
+                    '--arMode', 'GRU', '--samplingType', 'uniform',
+                    '--nEpoch', '1', '--save_step', '1',
+                    '--logging_step', '10',
+                    '--augment_past', '--augment_on_device',
+                    '--augment_type', 'time_dropout', 'artificial_reverb'])
+        with open(ckpt / 'checkpoint_logs.json') as f:
+            logs = json.load(f)
+        assert np.isfinite(np.asarray(logs['locLoss_train'])).all()
+
+
+class TestDeviceReverb:
+
+    def test_block_recurrence_matches_lfilter(self):
+        """The O(W) block recurrences reproduce scipy.lfilter for the
+        freeverb comb and allpass filters."""
+        import scipy.signal as sps
+        rs = np.random.RandomState(0)
+        x = rs.randn(5000)
+        d, c1, c2 = 1116, 0.5, 0.2
+        b = np.zeros(d + 1); b[d] = 1.0
+        a = np.zeros(d + 2); a[0], a[d], a[d + 1] = 1.0, -c1, -c2
+        np.testing.assert_allclose(ad._comb_np(x, d, c1, c2),
+                                   sps.lfilter(b, a, x), atol=1e-9)
+        d = 556
+        b = np.zeros(d + 1); b[0], b[d] = -0.5, 1.0
+        a = np.zeros(d + 1); a[0], a[d] = 1.0, -0.5
+        np.testing.assert_allclose(ad._allpass_np(x, d),
+                                   sps.lfilter(b, a, x), atol=1e-9)
+
+    def test_ir_conv_matches_host_freeverb(self):
+        """Fixed room: IR-bank convolution == the host's direct freeverb
+        filter chain (augmentation.py:_freeverb)."""
+        x = _tone(300, w=6000)
+        for room in (0.0, 37.0, 99.0):
+            host = ha._freeverb(x.astype(np.float64), 100.0, 100.0, room)
+            ir = ad._freeverb_ir(room, 100.0, 100.0, 6000)
+            got = np.asarray(ad._fft_conv_crop(jnp.asarray(x[None]),
+                                               jnp.asarray(ir[None])))[0]
+            scale = np.abs(host).max()
+            assert np.abs(got - host).max() < 2e-3 * scale, room
+
+    def test_artificial_reverb_batch(self):
+        x = jnp.asarray(np.stack([_tone(300, w=4096), _tone(500, w=4096)]))
+        y = ad.artificial_reverb(x, jax.random.PRNGKey(0))
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()
+        # reverb adds a decaying tail: output differs from input
+        assert np.abs(np.asarray(y) - np.asarray(x)).max() > 1e-3
+
+    def test_reverb_dropout_batch(self):
+        x = jnp.asarray(np.stack([_tone(300, w=4096)] * 2))
+        y = ad.artificial_reverb_dropout(x, jax.random.PRNGKey(1), t_ms=50)
+        assert np.isfinite(np.asarray(y)).all()
+
+
+class TestDeviceNaturalReverb:
+
+    def test_matches_host_apply_ir(self, tmp_path):
+        from cpc2_tpu.data.audio_io import save_wav
+        # one IR -> the device draw is deterministic
+        ir = np.zeros(800, np.float32)
+        ir[0], ir[400] = 1.0, 0.5
+        d = tmp_path / 'irs'
+        d.mkdir()
+        save_wav(str(d / 'ir0.wav'), ir, 16000)
+        x = _tone(440, w=4096)
+        apply = ad.make_natural_reverb(str(d), p=1.0)
+        got = np.asarray(apply(jnp.asarray(x[None]),
+                               jax.random.PRNGKey(0)))[0]
+        host = ha.NaturalReverb.__new__(ha.NaturalReverb)
+        ref = host._apply_ir(x[None], ir)[0]
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+
+    def test_probability_zero_is_peak_norm(self, tmp_path):
+        from cpc2_tpu.data.audio_io import save_wav
+        ir = np.zeros(100, np.float32); ir[0] = 1.0
+        d = tmp_path / 'irs'; d.mkdir()
+        save_wav(str(d / 'ir0.wav'), ir, 16000)
+        x = 0.25 * _tone(440, w=2048)
+        apply = ad.make_natural_reverb(str(d), p=0.0)
+        got = np.asarray(apply(jnp.asarray(x[None]),
+                               jax.random.PRNGKey(3)))[0]
+        # host peak-normalizes even when the IR is not applied
+        np.testing.assert_allclose(got, x / (np.abs(x).max() + 1e-8),
+                                   atol=1e-5)
+
+
+class TestDeviceAdditiveNoise:
+
+    def _noise_dataset(self, tmp_path):
+        from cpc2_tpu.data.audio_io import save_wav
+        from cpc2_tpu.data.corpus import findAllSeqs
+        from cpc2_tpu.data.dataset import AudioBatchData
+        root = tmp_path / 'noise'
+        (root / 'n').mkdir(parents=True)
+        rs = np.random.RandomState(7)
+        for i in range(2):
+            save_wav(str(root / 'n' / f'n{i}.wav'),
+                     (0.1 * rs.randn(20000)).astype(np.float32), 16000)
+        seqs, spk = findAllSeqs(str(root), extension='.wav',
+                                loadCache=False, speaker_level=0)
+        return AudioBatchData(str(root), 4096, seqs, None, max(len(spk), 1))
+
+    def test_mix_formula(self, tmp_path):
+        ds = self._noise_dataset(tmp_path)
+        apply = ad.make_additive_noise(ds, snr_min=10.0, snr_max=10.0,
+                                       batch_size=4, pool_size=8)
+        x = _tone(440, w=4096)
+        y = np.asarray(apply(jnp.asarray(x[None]), jax.random.PRNGKey(0)))
+        assert np.isfinite(y).all()
+        # host formula output is peak-normalized
+        assert abs(np.abs(y).max() - 1.0) < 1e-3
+        # at a very high SNR the mix degenerates to peak(energy_norm(x))
+        quiet = ad.make_additive_noise(ds, snr_min=80.0, snr_max=80.0,
+                                       batch_size=4, pool_size=8)
+        yq = np.asarray(quiet(jnp.asarray(x[None]),
+                              jax.random.PRNGKey(0)))[0]
+        xe = x / (np.sqrt(np.mean(x ** 2)) + 1e-8)
+        ref = xe / (np.abs(xe).max() + 1e-8)
+        np.testing.assert_allclose(yq, ref, atol=2e-3)
+
+    def test_factory_requires_resources(self):
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError):
+            ad.make_device_augment(['additive'])
+        with _pytest.raises(RuntimeError):
+            ad.make_device_augment(['natural_reverb'])
