@@ -230,12 +230,13 @@ def set_tpu_config(parser):
                        help='Run the waveform augmentations batched on '
                        'the accelerator inside the train step '
                        '(data/augment_device.py) instead of per-window '
-                       'on host CPU. Supports bandreject/pitch/'
-                       'random_noise/timedrop; augmentations needing '
-                       'host resources (additive noise corpora, impulse '
-                       'responses) still run on host. On a single-core '
-                       'host this removes the augmentation bottleneck '
-                       'entirely (~90 -> ~15 ms/batch measured).')
+                       'on host CPU. Types with a device port (see '
+                       'data/augment_device.py:DEVICE_AUGMENTATIONS) '
+                       'move to the chip; any remaining types keep '
+                       'running through the host pipeline (hybrid '
+                       'split, host chain applied first). On a '
+                       'single-core host this removes the augmentation '
+                       'bottleneck (~90 -> ~15 ms/batch measured).')
     group.add_argument('--adam_mu_dtype', type=str, default='fp32',
                        choices=['fp32', 'bf16'],
                        help='Dtype of Adam\'s first moment. bf16 halves '

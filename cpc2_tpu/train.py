@@ -141,8 +141,103 @@ def _stack_batch(full_data, frames, args, train):
     return sequence, label, quality, mask
 
 
+class TailRunner:
+    """Runs ragged batches whose size is NOT divisible by the main mesh.
+
+    The reference trains on every batch regardless of size
+    (`cpc/train.py:145-187`); shard_map needs the batch divisible by the
+    data axis, so the remainder runs through a lazily-built program on a
+    single-device mesh at its natural size — the same semantics as the
+    reference's DataParallel placing a short tail on fewer GPUs (per-shard
+    negative pools always cover whatever sits on the device). The train
+    state round-trips main-mesh -> device0 -> main-mesh once per epoch
+    tail. Disabled under multi-host (per-host tails can differ, and a
+    process-0-only update would desync the replicated state) and under the
+    hidden-carry mode (the carry's batch axis is fixed)."""
+
+    def __init__(self, model_module, criterion, tx, args, main_mesh,
+                 restore_fn, device_augment=None):
+        self._modules = (model_module, criterion, tx)
+        self._args = args
+        self._main_mesh = main_mesh
+        self._restore_fn = restore_fn
+        self._device_augment = device_augment
+        self._steps = None
+        self._mesh1 = None
+        self._items = []
+
+    def add(self, item):
+        self._items.append(item)
+
+    def _build(self):
+        if self._steps is not None:
+            return
+        from .training import build_steps
+        model_module, criterion, tx = self._modules
+        args = self._args
+        # A 1-device pool IS the whole tail batch, so global-negatives
+        # semantics coincide with local sampling there.
+        if getattr(criterion, 'global_negatives', False):
+            criterion = criterion.clone(global_negatives=False,
+                                        pool_axis_size=1)
+        self._mesh1 = make_mesh(1)
+        self._steps = build_steps(
+            model_module, criterion, tx, self._mesh1,
+            has_quality=args.signal_quality_path is not None,
+            uses_mask=args.cpc_mode == 'bert' or args.mask_prob > 0,
+            keep_hidden=False, remat=getattr(args, 'remat', False),
+            device_augment=self._device_augment)
+
+    def _stage(self, seq, lab, qual, msk):
+        batch = shard_batch(self._mesh1, seq.astype(np.float32))
+        lab = shard_batch(self._mesh1, np.asarray(lab).astype(np.int32))
+        if qual is not None:
+            qual = shard_batch(self._mesh1, qual.astype(np.float32))
+        if msk is not None:
+            msk = shard_batch(self._mesh1, msk)
+        return batch, lab, qual, msk
+
+    def run_train(self, state, rng):
+        """Returns (state, [(n_examples, losses, accs), ...])."""
+        if not self._items:
+            return state, []
+        self._build()
+        from jax.sharding import NamedSharding, PartitionSpec
+        state = jax.device_put(
+            state, NamedSharding(self._mesh1, PartitionSpec()))
+        train_step, _ = self._steps
+        out = []
+        for seq, lab, qual, msk in self._items:
+            batch, lab, qual, msk = self._stage(seq, lab, qual, msk)
+            state, losses, accs = train_step(state, batch, lab, rng,
+                                             quality=qual, mask_indices=msk)
+            # numpy: metric tensors from the 1-device mesh can't
+            # concatenate with the main mesh's pending device metrics
+            out.append((seq.shape[0], np.asarray(losses), np.asarray(accs)))
+        self._items = []
+        return self._restore_fn(state), out
+
+    def run_val(self, state, rng):
+        if not self._items:
+            return []
+        self._build()
+        from jax.sharding import NamedSharding, PartitionSpec
+        state = jax.device_put(
+            state, NamedSharding(self._mesh1, PartitionSpec()))
+        _, val_step = self._steps
+        out = []
+        for seq, lab, qual, msk in self._items:
+            batch, lab, qual, msk = self._stage(seq, lab, qual, msk)
+            losses, accs = val_step(state, batch, lab, rng,
+                                    mask_indices=msk)
+            out.append((seq.shape[0], np.asarray(losses), np.asarray(accs)))
+        self._items = []
+        return out
+
+
 def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
-                rng, frames, expected_batch, multi_step=None):
+                rng, frames, expected_batch, multi_step=None,
+                tail_runner=None):
     start_time = time.perf_counter()
     n_examples = 0
     logs, last_logs = {}, None
@@ -181,8 +276,30 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                           mask_indices=masks)
 
     profile_dir = getattr(args, 'profile_dir', None)
-    data_iter = prefetch(data_loader, getattr(args, 'host_prefetch', 2))
-    for step, full_data in enumerate(data_iter):
+
+    # Single-step path: _stack_batch AND the WireStager upload run ON the
+    # prefetch thread — batch N+1's host DSP + host->device transfer
+    # overlap step N's compute (double-buffered device staging;
+    # jax.device_put is thread-safe and asynchronous). The multi-step path
+    # keeps raw batches (they're stacked per dispatch group).
+    if spd == 1:
+        def _prep(full_data):
+            sequence, label, quality, mask = _stack_batch(
+                full_data, frames, args, True)
+            if sequence.shape[0] != expected_batch:
+                return ('ragged', sequence, label, quality, mask)
+            staged = stager.put(sequence)
+            lab = shard_batch(mesh, np.asarray(label).astype(np.int32))
+            qual = (shard_batch(mesh, quality.astype(np.float32))
+                    if quality is not None else None)
+            msk = shard_batch(mesh, mask) if mask is not None else None
+            return ('staged', sequence.shape[0], staged, lab, qual, msk)
+    else:
+        def _prep(full_data):
+            return ('host',) + _stack_batch(full_data, frames, args, True)
+    data_iter = prefetch(data_loader, getattr(args, 'host_prefetch', 2),
+                         transform=_prep)
+    for step, item in enumerate(data_iter):
         if profile_dir is not None:
             # Trace a small window of steady-state steps with jax.profiler.
             if step == 5:
@@ -191,23 +308,37 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 jax.profiler.stop_trace()
                 print(f"Profiler trace written to {profile_dir}")
                 profile_dir = None
-        sequence, label, quality, mask = _stack_batch(full_data, frames,
-                                                      args, True)
-        if sequence.shape[0] != expected_batch:
+        if item[0] == 'ragged':
             # Ragged tail: shapes must stay static for the main program, so
             # tail batches run after the loop through a second program
             # compiled at their natural size (one-time, persistently
-            # cached). Only sizes divisible by the mesh can run; others are
-            # dropped with a count (reference runs every tail batch,
-            # `cpc/train.py:145-187`).
+            # cached). Mesh-divisible sizes run on the main mesh;
+            # non-divisible ones run through the single-device tail
+            # program (TailRunner) so every batch trains, like the
+            # reference (`cpc/train.py:145-187`).
+            _, sequence, label, quality, mask = item
             if (not keep_hidden and sequence.shape[0] > 0
                     and sequence.shape[0] % mesh.devices.size == 0):
                 ragged.append((sequence, label, quality, mask))
+            elif (not keep_hidden and sequence.shape[0] > 0
+                    and tail_runner is not None):
+                tail_runner.add((sequence, label, quality, mask))
             else:
                 dropped += 1
             continue
-        n_examples += sequence.shape[0]
-        if spd > 1:
+        if item[0] == 'host':
+            _, sequence, label, quality, mask = item
+            if sequence.shape[0] != expected_batch:
+                if (not keep_hidden and sequence.shape[0] > 0
+                        and sequence.shape[0] % mesh.devices.size == 0):
+                    ragged.append((sequence, label, quality, mask))
+                elif (not keep_hidden and sequence.shape[0] > 0
+                        and tail_runner is not None):
+                    tail_runner.add((sequence, label, quality, mask))
+                else:
+                    dropped += 1
+                continue
+            n_examples += sequence.shape[0]
             dispatch_buffer.append(
                 (sequence.astype(np.float32),
                  np.asarray(label).astype(np.int32),
@@ -221,12 +352,8 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 all_losses = all_losses.reshape(spd, -1)
                 all_acc = all_acc.reshape(spd, -1)
         else:
-            batch = stager.put(sequence)
-            label = shard_batch(mesh, np.asarray(label).astype(np.int32))
-            if quality is not None:
-                quality = shard_batch(mesh, quality.astype(np.float32))
-            if mask is not None:
-                mask = shard_batch(mesh, mask)
+            _, bsz, batch, label, quality, mask = item
+            n_examples += bsz
             if keep_hidden:
                 state, all_losses, all_acc, hidden = train_step(
                     state, batch, label, rng, quality=quality,
@@ -302,6 +429,19 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
             pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
     dispatch_buffer.clear()
 
+    # Non-mesh-divisible tails: the single-device tail program.
+    n_tail = 0
+    if tail_runner is not None:
+        state, tail_out = tail_runner.run_train(state, rng)
+        n_tail = len(tail_out)
+        for n_ex, all_losses, all_acc in tail_out:
+            n_examples += n_ex
+            if all_losses.size > 0:
+                it += 1
+                pending_losses.append(
+                    all_losses.reshape(-1, all_losses.shape[-1]))
+                pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
+
     if pending_losses:
         n_cols = pending_losses[0].shape[-1]
         logs.setdefault("locLoss_train", np.zeros(n_cols))
@@ -310,12 +450,12 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
             jnp.concatenate(pending_losses)).sum(0)
         logs["locAcc_train"] += np.asarray(
             jnp.concatenate(pending_accs)).sum(0)
-    if ragged:
-        print(f"(ran {len(ragged)} ragged tail batches through their own "
-              f"program)")
+    if ragged or n_tail:
+        print(f"(ran {len(ragged) + n_tail} ragged tail batches through "
+              f"their own program)")
     if dropped:
-        print(f"(dropped {dropped} ragged batches: size not divisible by "
-              f"the mesh, or hidden-carry mode)")
+        print(f"(dropped {dropped} ragged batches: multi-host or "
+              f"hidden-carry mode)")
     logs = utils.update_logs(logs, max(it, 1))
     logs["iter"] = it
     utils.show_logs("Average training loss on epoch", logs)
@@ -323,7 +463,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
 
 
 def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
-              expected_batch):
+              expected_batch, tail_runner=None):
     logs = {}
     it = 0
     ragged = []
@@ -340,6 +480,9 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
             if (not keep_hidden and sequence.shape[0] > 0
                     and sequence.shape[0] % mesh.devices.size == 0):
                 ragged.append((sequence, label, mask))
+            elif (not keep_hidden and sequence.shape[0] > 0
+                    and tail_runner is not None):
+                tail_runner.add((sequence, label, None, mask))
             continue
         batch = stager.put(sequence)
         label = shard_batch(mesh, np.asarray(label).astype(np.int32))
@@ -373,6 +516,14 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
         logs["locLoss_val"] += np.asarray(all_losses).mean(0)
         logs["locAcc_val"] += np.asarray(all_acc).mean(0)
 
+    if tail_runner is not None:
+        for _n_ex, all_losses, all_acc in tail_runner.run_val(state, rng):
+            logs.setdefault("locLoss_val", np.zeros(all_losses.shape[1]))
+            logs.setdefault("locAcc_val", np.zeros(all_losses.shape[1]))
+            it += 1
+            logs["locLoss_val"] += np.asarray(all_losses).mean(0)
+            logs["locAcc_val"] += np.asarray(all_acc).mean(0)
+
     logs = utils.update_logs(logs, max(it, 1))
     logs["iter"] = it
     utils.show_logs("Validation loss:", logs)
@@ -381,7 +532,8 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
 
 def run(train_dataset, val_dataset, batch_size, sampling_mode, state,
         train_step, val_step, mesh, args, n_epoch, path_checkpoint,
-        lr_fn, logs, model_bundle, criterion, multi_step=None):
+        lr_fn, logs, model_bundle, criterion, multi_step=None,
+        tail_runner=None):
     print(f"Running {n_epoch} epochs")
     start_epoch = len(logs["epoch"])
     best_acc = -1
@@ -412,10 +564,11 @@ def run(train_dataset, val_dataset, batch_size, sampling_mode, state,
         state, loc_logs_train = train_epoch(
             train_loader, state, train_step, mesh, args,
             logs["logging_step"], jax.random.fold_in(rng, epoch), frames,
-            batch_size, multi_step=multi_step)
+            batch_size, multi_step=multi_step, tail_runner=tail_runner)
         loc_logs_val = (val_epoch(val_loader, state, val_step, mesh, args,
                                   jax.random.fold_in(rng, 2**20 + epoch),
-                                  frames, batch_size)
+                                  frames, batch_size,
+                                  tail_runner=tail_runner)
                         if val_dataset is not None else {})
 
         print(f'Ran {epoch + 1} epochs '
@@ -493,6 +646,15 @@ def _save_training_checkpoint(state, best_params, model_bundle, args, path):
 def main(argv):
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    # Multi-host bootstrap must run BEFORE the first backend touch:
+    # parse_args counts jax.devices(), which initializes the local backend,
+    # and jax.distributed.initialize refuses to run after that. Peek argv
+    # and bootstrap first; the discovered rank fields are copied onto args
+    # after parsing.
+    dist_boot = None
+    if '--distributed' in argv:
+        dist_boot = argparse.Namespace()
+        init_distributed_mode(dist_boot)
     args = parse_args(argv)
     utils.apply_precision(args.precision)
     utils.apply_prng_impl(getattr(args, 'prng', 'rbg'))
@@ -528,7 +690,11 @@ def main(argv):
     if args.distributed:
         print('Distributed mode, moving to 1 process for data loading')
         args.n_process_loader = 1
-        init_distributed_mode(args)
+        if dist_boot is not None:
+            for k, v in vars(dist_boot).items():
+                setattr(args, k, v)
+        else:
+            init_distributed_mode(args)
     args.is_local_master = (not args.distributed) or (args.global_rank == 0)
 
     # Host-side loader batch. Multi-host: each process loads only its
@@ -542,12 +708,14 @@ def main(argv):
                 or args.multihead_rnn or args.mask_prob > 0
                 or args.signal_quality_path is not None
                 or args.samplingType == 'sequential'
-                or getattr(args, 'augment_on_device', False)
                 or getattr(args, 'steps_per_dispatch', 1) > 1):
             raise ValueError("--model_axis_size > 1 supports the plain "
-                             "unsupervised CPC path only (host-side "
-                             "augmentation is fine; --augment_on_device "
-                             "is not wired into the 2-D step)")
+                             "unsupervised CPC path only")
+        if args.distributed:
+            # batch sizing and state placement assume a single-process
+            # 2-D mesh; multi-host head sharding is not wired.
+            raise ValueError("--model_axis_size > 1 is single-process "
+                             "only; it cannot combine with --distributed")
         if args.nPredicts % model_axis:
             raise ValueError(f"nPredicts={args.nPredicts} not divisible by "
                              f"model_axis_size={model_axis}")
@@ -653,30 +821,56 @@ def main(argv):
               f'{len(seq_val)} val')
 
     # --augment_on_device: the chip augments after upload; the host ships
-    # clean (dedup/int16-wire-friendly) windows and the dataset applies no
-    # host augmentation.
+    # clean (dedup/int16-wire-friendly) windows for every device-ported
+    # augmentation. Types with no device implementation stay on the host
+    # pipeline (hybrid split): the host chain runs first, then the device
+    # chain on top — note the reference applies a combined chain in listed
+    # order, so a hybrid split with a host type listed AFTER a device type
+    # reorders the composition.
     device_augment = None
+    host_aug_types = args.augment_type
     if getattr(args, 'augment_on_device', False) and (
             args.augment_past or args.augment_future) \
             and args.augment_type and args.augment_type != 'none':
-        from .data.augment_device import make_device_augment
+        from .data.augment_device import (DEVICE_AUGMENTATIONS,
+                                          make_device_augment)
+        dev_types = [t for t in args.augment_type
+                     if t in DEVICE_AUGMENTATIONS]
+        host_aug_types = [t for t in args.augment_type
+                          if t not in DEVICE_AUGMENTATIONS]
         chain = make_device_augment(
-            args.augment_type, shift_max=int(args.shift_max),
-            bandreject_scaler=args.bandreject_scaler, t_ms=args.t_ms)
+            dev_types, shift_max=int(args.shift_max),
+            bandreject_scaler=args.bandreject_scaler, t_ms=args.t_ms,
+            noise_dataset=noise_dataset,
+            snr_min=args.min_snr_in_db, snr_max=args.max_snr_in_db,
+            batch_size=batch_size,
+            ir_paths=args.pathImpulseResponses,
+            ir_prob=args.impulse_response_prob,
+            ir_batch_wise=args.ir_batch_wise)
         if chain is not None:
             device_augment = (chain, args.augment_past, args.augment_future,
                               args.past_equal_future)
-            print("Augmentations run ON DEVICE: %s" % args.augment_type)
+            print("Augmentations run ON DEVICE: %s" % dev_types)
+            if host_aug_types:
+                print("Augmentations kept ON HOST (no device port): %s"
+                      % host_aug_types)
 
     print(f'\nLoading audio data at {args.pathDB}')
+    # Hybrid split: host pipeline handles only the types the device chain
+    # doesn't cover (all of them when --augment_on_device is off).
+    use_host_aug = device_augment is None or bool(host_aug_types)
+    host_args = args
+    if device_augment is not None and host_aug_types:
+        host_args = argparse.Namespace(**vars(args))
+        host_args.augment_type = host_aug_types
     train_dataset = AudioBatchData(
         args.pathDB, args.sizeWindow, seq_train, phone_labels, len(speakers),
         nProcessLoader=args.n_process_loader,
         MAX_SIZE_LOADED=args.max_size_loaded,
-        augment_future=args.augment_future and device_augment is None,
-        augment_past=args.augment_past and device_augment is None,
-        augmentation=(None if device_augment is not None
-                      else augmentation_factory(args, noise_dataset)),
+        augment_future=args.augment_future and use_host_aug,
+        augment_past=args.augment_past and use_host_aug,
+        augmentation=(augmentation_factory(host_args, noise_dataset)
+                      if use_host_aug else None),
         keep_temporality=args.samplingType == "temporalsamespeaker",
         signal_quality_path=args.signal_quality_path,
         signal_quality_step=args.signal_quality_step,
@@ -699,13 +893,28 @@ def main(argv):
     else:
         model_bundle = fl.init_model(args, seed=args.random_seed or 0)
 
+    # Mesh. Built BEFORE the criterion: the global-negatives pool size must
+    # be the mesh's ACTUAL data-axis extent — with --model_axis_size>1 the
+    # data axis has nGPU/model_axis devices, and under multi-host it spans
+    # every process; sizing the pool from nGPU would make the criterion's
+    # promise_in_bounds gather read out of bounds silently. Multi-host: the
+    # mesh must span every device in the pod (shard_map's psum is the
+    # gradient all-reduce); nGPU only sizes single-host meshes.
+    if model_axis > 1:
+        from .parallel.mesh import make_mesh_2d
+        mesh = make_mesh_2d(args.nGPU // model_axis, model_axis)
+    elif args.distributed and jax.process_count() > 1:
+        mesh = make_mesh(-1)
+    else:
+        mesh = make_mesh(args.data_axis_size if args.data_axis_size > 0
+                         else args.nGPU)
+    print(f"Mesh: {mesh}")
+
     # Criterion
-    mesh_size = (args.data_axis_size if args.data_axis_size > 0
-                 else args.nGPU)
     criterion = get_criterion(
         args, 160, len(speakers), n_phones,
-        pool_axis_size=mesh_size if getattr(args, 'global_negatives',
-                                            False) else 1)
+        pool_axis_size=mesh.shape['data']
+        if getattr(args, 'global_negatives', False) else 1)
     criterion_vars = init_criterion_vars(criterion, args, model_bundle)
     if args.load is not None and args.loadCriterion:
         state_dict = load_torch_checkpoint(args.load[0])
@@ -716,22 +925,11 @@ def main(argv):
         if unmatched:
             print(f"(criterion: skipped {len(unmatched)} keys)")
 
-    # Mesh & optimizer. Multi-host: the mesh must span every device in the
-    # pod (shard_map's psum is the gradient all-reduce); nGPU only sizes
-    # single-host meshes.
     criterion_local = None
     if model_axis > 1:
-        from .parallel.mesh import make_mesh_2d
-        mesh = make_mesh_2d(args.nGPU // model_axis, model_axis)
         criterion_local = criterion.clone(
             n_predicts=args.nPredicts // model_axis, head_axis='model',
             n_predicts_total=args.nPredicts, n_skipped=0)
-    elif args.distributed and jax.process_count() > 1:
-        mesh = make_mesh(-1)
-    else:
-        mesh = make_mesh(args.data_axis_size if args.data_axis_size > 0
-                         else args.nGPU)
-    print(f"Mesh: {mesh}")
     tx = make_optimizer(args)
     state = create_train_state(model_bundle.variables, criterion_vars, tx)
 
@@ -803,7 +1001,8 @@ def main(argv):
     if criterion_local is not None:
         from .training import build_steps_2d
         ts2, vs2 = build_steps_2d(model_bundle.module, criterion_local, tx,
-                                  mesh, state, n_skipped=args.n_skipped)
+                                  mesh, state, n_skipped=args.n_skipped,
+                                  device_augment=device_augment)
 
         def train_step(state, batch, labels=None, rng=None, quality=None,
                        mask_indices=None):
@@ -838,10 +1037,24 @@ def main(argv):
             device_augment=device_augment)
     args._spd = spd
 
+    # Non-mesh-divisible tail batches (single-host only; see TailRunner).
+    tail_runner = None
+    if jax.process_count() == 1:
+        if criterion_local is not None:
+            from .training import shard_state_2d
+            restore_fn = lambda s: shard_state_2d(mesh, s)  # noqa: E731
+        else:
+            from .parallel.mesh import replicate as _rep
+            restore_fn = lambda s: _rep(mesh, s)            # noqa: E731
+        tail_runner = TailRunner(model_bundle.module, criterion, tx, args,
+                                 mesh, restore_fn,
+                                 device_augment=device_augment)
+
     run(train_dataset, val_dataset, batch_size, args.samplingType, state,
         train_step, val_step, mesh, args, args.nEpoch,
         args.pathCheckpoint if args.is_local_master else None,
-        lr_fn, logs, model_bundle, criterion, multi_step=multi_step)
+        lr_fn, logs, model_bundle, criterion, multi_step=multi_step,
+        tail_runner=tail_runner)
 
 
 def _merge(base, override):

@@ -330,7 +330,8 @@ def shard_state_2d(mesh: Mesh, state: TrainState) -> TrainState:
 
 def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
                    tx: optax.GradientTransformation, mesh: Mesh,
-                   state_template: TrainState, n_skipped: int = 0):
+                   state_template: TrainState, n_skipped: int = 0,
+                   device_augment=None):
     """Head-sharded model parallelism (extension beyond the reference's
     DP-only design): train/val steps over a ('data','model') mesh.
 
@@ -355,7 +356,6 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
     def forward(params, batch, rng, train):
         b = batch.shape[0]
         past, future = batch[:, 0, 0, :], batch[:, 1, 0, :]
-        combined = jnp.concatenate([past, future], axis=0)
         model_vars = {'params': params['model']}
 
         def encode(m, x):
@@ -367,6 +367,19 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
         d_idx = jax.lax.axis_index('data')
         key = jax.random.fold_in(jax.random.fold_in(rng, d_idx), 0)
         k_drop, k_neg, k_drop2 = jax.random.split(key, 3)
+
+        # --augment_on_device under head sharding: the key folds in only the
+        # data index, so every 'model' rank augments identically and the
+        # replicated encoder compute stays consistent across head shards.
+        if device_augment is not None and train:
+            aug_fn, aug_past, aug_future, same = device_augment
+            k_aug = jax.random.fold_in(key, 3)
+            if aug_past:
+                past = aug_fn(past, k_aug)
+            if aug_future:
+                future = aug_fn(future, k_aug if same
+                                else jax.random.fold_in(k_aug, 1))
+        combined = jnp.concatenate([past, future], axis=0)
         # Head dropout differs per model rank (distinct heads live there);
         # k_drop (encoder/AR) and k_neg (negatives) stay identical across
         # 'model' so the replicated encoder compute and the shared negative

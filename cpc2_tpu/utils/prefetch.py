@@ -17,13 +17,20 @@ import threading
 
 class PrefetchIterator:
     """Iterates `iterable` on a daemon thread, buffering up to `depth`
-    items. Order-preserving; exceptions re-raise at the consuming site."""
+    items. Order-preserving; exceptions re-raise at the consuming site.
+
+    `transform`, when given, runs on the worker thread per item BEFORE
+    queueing — the hook that moves per-batch host work (and device
+    staging: `jax.device_put` is thread-safe and asynchronous) off the
+    dispatch thread, double-buffering batch N+1's upload behind step N's
+    compute."""
 
     _DONE = object()
 
-    def __init__(self, iterable, depth: int = 2):
+    def __init__(self, iterable, depth: int = 2, transform=None):
         self._queue: queue.Queue = queue.Queue(maxsize=max(depth, 1))
         self._error = None
+        self._transform = transform
         self._thread = threading.Thread(
             target=self._worker, args=(iterable,), daemon=True)
         self._thread.start()
@@ -31,6 +38,8 @@ class PrefetchIterator:
     def _worker(self, iterable):
         try:
             for item in iterable:
+                if self._transform is not None:
+                    item = self._transform(item)
                 self._queue.put(item)
         except BaseException as exc:  # re-raised on the consumer thread
             self._error = exc
@@ -50,8 +59,11 @@ class PrefetchIterator:
         return item
 
 
-def prefetch(iterable, depth: int = 2):
+def prefetch(iterable, depth: int = 2, transform=None):
     """Background-prefetch `iterable` (depth <= 0 disables)."""
     if depth <= 0:
-        return iter(iterable)
-    return PrefetchIterator(iterable, depth)
+        it = iter(iterable)
+        if transform is None:
+            return it
+        return map(transform, it)
+    return PrefetchIterator(iterable, depth, transform=transform)

@@ -232,3 +232,99 @@ def test_n_skipped_trajectory_matches_dp():
         np.testing.assert_allclose(np.asarray(losses1),
                                    np.asarray(losses2), rtol=0, atol=2e-5,
                                    err_msg=f"step {step}")
+
+
+def test_global_negatives_2d_matches_1d():
+    """--global_negatives under head sharding: the negative pool is sized by
+    the DATA axis extent (2), not the device count (4) — the round-2
+    advisor finding was a silent out-of-bounds gather from sizing it off
+    nGPU. With the pool sized right, the (2 data x 2 model) trajectory
+    matches the 1-D 2-device global-negatives run."""
+    args = get_default_cpc_config()
+    args.hiddenEncoder = args.hiddenGar = 32
+    args.nPredicts, args.negativeSamplingExt = 4, 6
+    args.sizeWindow = 4160
+    args.batchSizeGPU = 2
+    args.rnnMode, args.arMode = 'linear', 'GRU'
+    args.global_negatives = True
+
+    bundle = fl.init_model(args, seed=0)
+    criterion = get_criterion(args, 160, n_speakers=4, n_phones=None,
+                              pool_axis_size=2)
+    assert criterion.global_negatives and criterion.pool_axis_size == 2
+    criterion_vars = init_criterion_vars(criterion, args, bundle)
+    tx = make_optimizer(args)
+    state0 = create_train_state(bundle.variables, criterion_vars, tx)
+    crit_local = criterion.clone(n_predicts=2, head_axis='model',
+                                 n_predicts_total=4)
+
+    rs = np.random.RandomState(7)
+    bn = rs.randn(4, 2, 1, args.sizeWindow).astype(np.float32)
+    lab = np.zeros((4,), np.int32)
+
+    mesh1 = make_mesh(2)
+    ts1, _ = build_steps(bundle.module, criterion, tx, mesh1)
+    s1 = replicate(mesh1, state0)
+    b1, l1 = shard_batch(mesh1, bn, lab)
+
+    mesh2 = make_mesh_2d(2, 2)
+    s2 = shard_state_2d(mesh2, jax.tree.map(jnp.array, state0))
+    ts2, _ = build_steps_2d(bundle.module, crit_local, tx, mesh2, s2)
+    b2 = shard_batch(mesh2, bn)
+
+    key = jax.random.PRNGKey(5)
+    for step in range(5):
+        s1, losses1, accs1 = ts1(s1, b1, l1, key)
+        s2, losses2, accs2 = ts2(s2, b2, key)
+        np.testing.assert_allclose(np.asarray(losses1),
+                                   np.asarray(losses2), rtol=0, atol=2e-5,
+                                   err_msg=f"step {step}")
+        np.testing.assert_array_equal(np.asarray(accs1), np.asarray(accs2))
+
+
+def test_device_augment_2d_matches_1d():
+    """--augment_on_device under head sharding: augmentation keys fold in
+    only the data index, so the 2-D trajectory matches the 1-D one with the
+    same device chain (time_dropout is keyed, deterministic per step)."""
+    from cpc2_tpu.data.augment_device import make_device_augment
+    args = get_default_cpc_config()
+    args.hiddenEncoder = args.hiddenGar = 32
+    args.nPredicts, args.negativeSamplingExt = 4, 6
+    args.sizeWindow = 4160
+    args.batchSizeGPU = 2
+    args.rnnMode, args.arMode = 'linear', 'GRU'
+
+    bundle = fl.init_model(args, seed=0)
+    criterion = get_criterion(args, 160, n_speakers=4, n_phones=None)
+    criterion_vars = init_criterion_vars(criterion, args, bundle)
+    tx = make_optimizer(args)
+    state0 = create_train_state(bundle.variables, criterion_vars, tx)
+    crit_local = criterion.clone(n_predicts=2, head_axis='model',
+                                 n_predicts_total=4)
+
+    chain = make_device_augment(['time_dropout'], t_ms=60)
+    device_augment = (chain, True, False, False)
+
+    rs = np.random.RandomState(11)
+    bn = rs.randn(4, 2, 1, args.sizeWindow).astype(np.float32)
+    lab = np.zeros((4,), np.int32)
+
+    mesh1 = make_mesh(2)
+    ts1, _ = build_steps(bundle.module, criterion, tx, mesh1,
+                         device_augment=device_augment)
+    s1 = replicate(mesh1, state0)
+    b1, l1 = shard_batch(mesh1, bn, lab)
+
+    mesh2 = make_mesh_2d(2, 2)
+    s2 = shard_state_2d(mesh2, jax.tree.map(jnp.array, state0))
+    ts2, _ = build_steps_2d(bundle.module, crit_local, tx, mesh2, s2,
+                            device_augment=device_augment)
+    b2 = shard_batch(mesh2, bn)
+
+    key = jax.random.PRNGKey(9)
+    for step in range(4):
+        s1, losses1, _ = ts1(s1, b1, l1, key)
+        s2, losses2, _ = ts2(s2, b2, key)
+        np.testing.assert_allclose(np.asarray(losses1),
+                                   np.asarray(losses2), rtol=0, atol=2e-5,
+                                   err_msg=f"step {step}")

@@ -73,3 +73,88 @@ def test_two_process_step_matches_single_process():
     np.testing.assert_array_equal(l0, l1)
     # ...and it is the loss the single-host path computes on that batch.
     np.testing.assert_allclose(l0, lb, atol=1e-5)
+
+
+def test_two_process_train_cli(tmp_path):
+    """The FULL training CLI end-to-end as a 2-process jax.distributed job
+    (VERDICT round-2 item 8): per-host file shards through
+    `filter_distributed`, per-host loaders feeding the global batch via
+    the stager, gradient psum across processes, and a reference-format
+    checkpoint written by rank 0 only. Exact single-process equality is
+    covered at the step level by test_two_process_step_matches_single_
+    process; batch COMPOSITION differs by construction here (independent
+    per-host samplers), so the assertions are: both ranks finish, identical
+    logged metrics on both ranks (replicated state stayed in sync), rank-0
+    artifacts exist and strict-load.
+    """
+    import json
+    # corpus: 4 train files (2 per host, equal lengths so per-host loaders
+    # stay in lock step) + 2 val files (1 per host, equal lengths)
+    sys.path.insert(0, REPO)
+    from cpc2_tpu.data.audio_io import save_wav
+    from cpc2_tpu.data.corpus import findAllSeqs
+    rs = np.random.RandomState(0)
+    root = tmp_path / 'db'
+    names_train, names_val = [], []
+    for i in range(4):
+        d = root / f's{i}' / 'c'
+        d.mkdir(parents=True)
+        n = 4160 * 6 + 2500
+        t = np.arange(n) / 16000.0
+        x = (0.3 * np.sin(2 * np.pi * (130 + 40 * i) * t)
+             + 0.05 * rs.randn(n)).astype(np.float32)
+        save_wav(str(d / f's{i}-t.wav'), x, 16000)
+        names_train.append(f's{i}-t')
+    for i in range(2):
+        d = root / f's{i}' / 'c'
+        n = 4160 * 8
+        t = np.arange(n) / 16000.0
+        x = (0.2 * np.sin(2 * np.pi * (200 + 30 * i) * t)
+             + 0.05 * rs.randn(n)).astype(np.float32)
+        save_wav(str(d / f's{i}-v.wav'), x, 16000)
+        names_val.append(f's{i}-v')
+    (tmp_path / 'train.txt').write_text('\n'.join(names_train) + '\n')
+    (tmp_path / 'val.txt').write_text('\n'.join(names_val) + '\n')
+    # pre-warm the corpus cache so the two workers don't race writing it
+    findAllSeqs(str(root), extension='.wav', loadCache=False)
+
+    env = _worker_env()
+    port = str(_free_port())
+    ckpts = [tmp_path / 'ck0', tmp_path / 'ck1']
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'multihost_train_worker.py')
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), port, str(root),
+         str(ckpts[pid]), str(tmp_path / 'train.txt'),
+         str(tmp_path / 'val.txt')],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}\n{err[-4000:]}"
+        assert 'WORKER_DONE' in out
+
+    # rank 0 wrote the artifacts; rank 1 did not
+    assert (ckpts[0] / 'checkpoint_0.pt').exists()
+    assert (ckpts[0] / 'checkpoint_logs.json').exists()
+    assert not (ckpts[1] / 'checkpoint_0.pt').exists()
+
+    with open(ckpts[0] / 'checkpoint_logs.json') as f:
+        logs = json.load(f)
+    assert np.isfinite(np.asarray(logs['locLoss_train'])).all()
+
+    # metrics identical on both ranks: the psum'd losses each rank logged
+    # must match line for line (replicated optimizer stayed in sync)
+    def metric_lines(out):
+        return [ln for ln in out.splitlines()
+                if 'Average training loss' in ln or ln.startswith(' ')]
+    m0 = [ln for ln in outs[0][0].splitlines() if 'locLoss' in ln
+          or 'locAcc' in ln]
+    m1 = [ln for ln in outs[1][0].splitlines() if 'locLoss' in ln
+          or 'locAcc' in ln]
+    assert m0 == m1 and m0, (m0[:3], m1[:3])
+
+    # the checkpoint strict-loads back through our loader
+    from cpc2_tpu import feature_loader as fl
+    bundle, hg, he = fl.loadModel([str(ckpts[0] / 'checkpoint_0.pt')])
+    assert (hg, he) == (16, 16)

@@ -163,3 +163,54 @@ class TestStepsPerDispatch:
             assert a.keys() == b.keys()
             for k in a:
                 np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
+
+
+class TestTailBatches:
+
+    def test_every_tail_batch_runs(self, tmp_path, capsys):
+        """samespeaker sampling yields ragged per-speaker tail batches (the
+        uniform sampler drops tails in the reference too,
+        `dataset.py:362`). A speaker with 5 windows at global batch 4
+        leaves a 1-window batch — NOT divisible by the 2-device mesh — and
+        it must train through the single-device TailRunner program instead
+        of being dropped (reference runs every batch,
+        `cpc/train.py:145-187`)."""
+        from cpc2_tpu.data.audio_io import save_wav
+        root = tmp_path / 'db'
+        rs = np.random.RandomState(5)
+        # Window counts shrink by one whenever the random epoch offset is
+        # positive (reference `dataset.py:719-721`): s1 has 6 raw windows
+        # -> 5 effective -> batches [4, 1]; s2 has 5 -> 4 -> one exact
+        # batch. The 1-window batch is indivisible by the 2-device mesh.
+        spec = {'s1': 4160 * 6 + 2500, 's2': 4160 * 5 + 2500,
+                's3': 4160 * 6 + 2500}
+        for spk, n in spec.items():
+            d = root / spk / 'c1'
+            d.mkdir(parents=True)
+            t = np.arange(n) / 16000.0
+            x = (0.3 * np.sin(2 * np.pi * 180 * t)
+                 + 0.05 * rs.randn(n)).astype(np.float32)
+            save_wav(str(d / f'{spk}-0.wav'), x, 16000)
+        train_list = tmp_path / 'train.txt'
+        val_list = tmp_path / 'val.txt'
+        train_list.write_text('s1-0\ns2-0\n')
+        val_list.write_text('s3-0\n')
+        ckpt = tmp_path / 'ck'
+        train.main(['--pathDB', str(root), '--file_extension', '.wav',
+                    '--pathTrain', str(train_list),
+                    '--pathVal', str(val_list),
+                    '--pathCheckpoint', str(ckpt),
+                    '--hiddenEncoder', '16', '--hiddenGar', '16',
+                    '--nPredicts', '2', '--negativeSamplingExt', '4',
+                    '--sizeWindow', '4160', '--nGPU', '2',
+                    '--batchSizeGPU', '2', '--rnnMode', 'linear',
+                    '--arMode', 'GRU', '--samplingType', 'samespeaker',
+                    '--nEpoch', '1', '--save_step', '1', '--random_seed',
+                    '11', '--logging_step', '50'])
+        out = capsys.readouterr().out
+        assert '(dropped' not in out, out
+        assert 'ragged tail batches' in out, out
+        with open(ckpt / 'checkpoint_logs.json') as f:
+            logs = json.load(f)
+        assert np.isfinite(np.asarray(logs['locLoss_train'])).all()
+        assert np.isfinite(np.asarray(logs['locLoss_val'])).all()
