@@ -106,6 +106,14 @@ def update_base_parser(parser):
     parser.add_argument("--out", type=str, default=None,
                         help="Path where the results should be saved")
     parser.add_argument("--level_gru", type=int, default=None)
+    parser.add_argument("--abx_seed", type=int, default=None,
+                        help="Seed the triplet-group subsampler (extension "
+                        "beyond the reference): on corpora that trigger "
+                        "max_size_group/max_x_across subsampling the score "
+                        "is otherwise stochastic — the reference draws "
+                        "from the unseeded global `random` "
+                        "(`abx_iterators.py:285`). Default None keeps the "
+                        "reference-identical unseeded behavior.")
 
 
 def parse_args(argv):
@@ -185,6 +193,12 @@ def main(argv):
     modes = ["within", "across"] if args.mode == 'all' else [args.mode]
     distance_mode = 'cosine'
     step_feature = 1 / args.feature_size
+
+    if getattr(args, 'abx_seed', None) is not None:
+        # Makes the group subsampling draws reproducible; with no
+        # subsampling triggered the score is unaffected.
+        import random
+        random.seed(args.abx_seed)
 
     seq_list, _ = findAllSeqs(args.path_dataset,
                               extension=args.file_extension)

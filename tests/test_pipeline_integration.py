@@ -116,6 +116,37 @@ class TestPipeline:
         assert 0.0 <= scores['across'] <= 1.0
         assert (out / 'ABX_scores.json').exists()
 
+    def test_abx_seed_reproducible(self, corpus, checkpoint, tmp_path):
+        """--abx_seed makes the triplet-group subsampler deterministic: two
+        seeded runs with max_size_group small enough to force subsampling
+        produce bit-identical scores (default stays reference-identical
+        unseeded)."""
+        from cpc2_tpu.eval import eval_ABX
+        root, names = corpus
+        lines = ["#file onset offset #phone prev next speaker"]
+        for s, spk in enumerate(['s1', 's2', 's3']):
+            for i in range(3):
+                fid = f'{spk}-c-{i:04d}'
+                for j, ph in enumerate(['aa', 'bb']):
+                    for rep in range(2):
+                        onset = 0.15 + 0.4 * j + 0.9 * rep
+                        lines.append(f"{fid} {onset} {onset + 0.2} {ph} "
+                                     f"p n {spk}")
+        item = tmp_path / "seeded.item"
+        item.write_text("\n".join(lines) + "\n")
+
+        def run(seed, tag):
+            out = tmp_path / f"abx-{tag}"
+            return eval_ABX.main(
+                ['from_checkpoint', str(checkpoint), str(item), str(root),
+                 '--file_extension', '.wav', '--out', str(out),
+                 '--mode', 'all', '--max_size_group', '3',
+                 '--max_x_across', '1', '--abx_seed', str(seed)])
+
+        a = run(123, 'a')
+        b = run(123, 'b')
+        assert a == b, (a, b)
+
     def test_zerospeech_export(self, corpus, checkpoint, tmp_path):
         from cpc2_tpu.eval import build_zeroSpeech_features
         root, names = corpus
