@@ -11,13 +11,12 @@ import argparse
 dependencies = ['jax', 'flax', 'torch']
 
 
-def CPC_audio(pretrained=False, **kwargs):
-    """
-    Contrast predictive learning model for audio data
-    pretrained: if True, load a model trained on libri-light 60k
-    (https://arxiv.org/abs/1912.07875)
-    **kwargs : see cpc2_tpu/config.py for the list of possible arguments
-    """
+def _bundle_from_hub_payload(checkpoint):
+    """Build a ModelBundle from an FB-hub-layout payload: a dict with
+    `config` (the training args) and `weights` (a flat CPCModel torch state
+    dict, `gEncoder.*`/`gAR.*` keys — what the reference feeds to
+    `model.load_state_dict`, `hubconf.py:22-35`). Exercised offline against
+    a committed miniature payload (`tests/fixtures/hub_mini_60k.pt`)."""
     import dataclasses
     from cpc2_tpu.config import get_default_cpc_config
     from cpc2_tpu.io.checkpoint import load_args
@@ -25,25 +24,43 @@ def CPC_audio(pretrained=False, **kwargs):
     from cpc2_tpu import feature_loader as fl
 
     loc_args = get_default_cpc_config()
-    checkpoint = None
-    if pretrained:
-        import torch
-        checkpoint_url = ('https://dl.fbaipublicfiles.com/librilight/'
-                          'CPC_checkpoints/60k_epoch4-d0f474de.pt')
-        checkpoint = torch.hub.load_state_dict_from_url(checkpoint_url,
-                                                        progress=False)
-        load_args(loc_args, argparse.Namespace(**checkpoint["config"]))
-    else:
-        load_args(loc_args, argparse.Namespace(**kwargs))
-
+    load_args(loc_args, argparse.Namespace(**checkpoint["config"]))
     bundle = fl.init_model(loc_args)
-    if pretrained:
-        params, batch_stats, unmatched = params_from_torch_state_dict(
-            checkpoint["weights"], bundle.variables['params'])
-        variables = dict(bundle.variables)
-        variables['params'] = fl._merge_trees(bundle.variables['params'],
-                                              params)
-        if batch_stats:
-            variables['batch_stats'] = batch_stats
-        bundle = dataclasses.replace(bundle, variables=variables)
-    return bundle
+    params, batch_stats, _unmatched = params_from_torch_state_dict(
+        checkpoint["weights"], bundle.variables['params'])
+    variables = dict(bundle.variables)
+    variables['params'] = fl._merge_trees(bundle.variables['params'],
+                                          params)
+    if batch_stats:
+        variables['batch_stats'] = batch_stats
+    return dataclasses.replace(bundle, variables=variables)
+
+
+def CPC_audio(pretrained=False, pretrained_path=None, **kwargs):
+    """
+    Contrast predictive learning model for audio data
+    pretrained: if True, load a model trained on libri-light 60k
+    (https://arxiv.org/abs/1912.07875)
+    pretrained_path: load the pretrained payload from a local file instead
+    of the FB URL (extension; useful offline)
+    **kwargs : see cpc2_tpu/config.py for the list of possible arguments
+    """
+    from cpc2_tpu.config import get_default_cpc_config
+    from cpc2_tpu.io.checkpoint import load_args
+    from cpc2_tpu import feature_loader as fl
+
+    if pretrained or pretrained_path is not None:
+        import torch
+        if pretrained_path is not None:
+            checkpoint = torch.load(pretrained_path, map_location='cpu',
+                                    weights_only=False)
+        else:
+            checkpoint_url = ('https://dl.fbaipublicfiles.com/librilight/'
+                              'CPC_checkpoints/60k_epoch4-d0f474de.pt')
+            checkpoint = torch.hub.load_state_dict_from_url(checkpoint_url,
+                                                            progress=False)
+        return _bundle_from_hub_payload(checkpoint)
+
+    loc_args = get_default_cpc_config()
+    load_args(loc_args, argparse.Namespace(**kwargs))
+    return fl.init_model(loc_args)

@@ -131,6 +131,56 @@ class TestHubExport:
         c, e, _, _ = bundle.apply(jnp.zeros((1, 4160), jnp.float32))
         assert c.shape == (1, 26, 24) and e.shape == (1, 26, 24)
 
+    def test_cpc_audio_pretrained_payload(self):
+        """The pretrained conversion path, fed the committed miniature
+        payload in the exact FB libri-light layout
+        (`tests/fixtures/hub_mini_60k.pt`, see scripts/make_hub_fixture.py)
+        — only the literal HTTP fetch stays untested offline."""
+        import os
+        import numpy as np
+        import pytest
+        torch = pytest.importorskip("torch")
+        import hubconf
+        fixture = os.path.join(os.path.dirname(__file__), 'fixtures',
+                               'hub_mini_60k.pt')
+        bundle = hubconf.CPC_audio(pretrained=True,
+                                   pretrained_path=fixture)
+        assert bundle.hidden_encoder == 32
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(1, 4160).astype(np.float32))
+        c, e, _, _ = bundle.apply(x)
+        assert c.shape == (1, 26, 32)
+        assert np.isfinite(np.asarray(c)).all()
+        # the converted params are the payload's, not fresh init:
+        # round-trip back to torch layout and compare every key
+        from cpc2_tpu.io.torch_ckpt import params_to_torch_state_dict
+        payload = torch.load(fixture, weights_only=False)
+        back = params_to_torch_state_dict(bundle.variables['params'],
+                                          norm_mode='layerNorm')
+        for k, v in payload['weights'].items():
+            np.testing.assert_allclose(np.asarray(back[k]), v.numpy(),
+                                       atol=1e-6, err_msg=k)
+
+    def test_hub_fixture_is_exact_fb_layout(self):
+        """Strict-load the fixture's flat `gEncoder.*`/`gAR.*` weights into
+        real torch modules mirroring the reference CPCModel — pins the
+        committed payload to the layout `model.load_state_dict` expects
+        (`/root/reference/hubconf.py:33-34`)."""
+        import os
+        import pytest
+        torch = pytest.importorskip("torch")
+        from tests.test_parity_torch import build_torch_encoder
+        fixture = os.path.join(os.path.dirname(__file__), 'fixtures',
+                               'hub_mini_60k.pt')
+        weights = torch.load(fixture, weights_only=False)['weights']
+        enc_sd = {k[len('gEncoder.'):]: v for k, v in weights.items()
+                  if k.startswith('gEncoder.')}
+        ar_sd = {k[len('gAR.baseNet.'):]: v for k, v in weights.items()
+                 if k.startswith('gAR.baseNet.')}
+        assert enc_sd and ar_sd
+        build_torch_encoder(32).load_state_dict(enc_sd)   # strict
+        torch.nn.LSTM(32, 32, batch_first=True).load_state_dict(ar_sd)
+
 
 class TestQuantizedUnitsABXFeatures:
     """`eval/eval_ABX_clustering.py:QuantizedClustering` — features from a
