@@ -705,12 +705,14 @@ def main(argv):
     if model_axis > 1:
         if (getattr(args, 'supervised', False)
                 or args.cpc_mode in ('bert', 'none')
-                or args.multihead_rnn or args.mask_prob > 0
-                or args.signal_quality_path is not None
+                or args.multihead_rnn
                 or args.samplingType == 'sequential'
                 or getattr(args, 'steps_per_dispatch', 1) > 1):
-            raise ValueError("--model_axis_size > 1 supports the plain "
-                             "unsupervised CPC path only")
+            raise ValueError("--model_axis_size > 1 supports the "
+                             "unsupervised CPC path only (signal-quality "
+                             "weighting, masking and augmentation "
+                             "compose; BERT/supervised/multihead/"
+                             "sequential-carry do not)")
         if args.distributed:
             # batch sizing and state placement assume a single-process
             # 2-D mesh; multi-host head sharding is not wired.
@@ -1002,15 +1004,19 @@ def main(argv):
         from .training import build_steps_2d
         ts2, vs2 = build_steps_2d(model_bundle.module, criterion_local, tx,
                                   mesh, state, n_skipped=args.n_skipped,
-                                  device_augment=device_augment)
+                                  device_augment=device_augment,
+                                  has_quality=args.signal_quality_path
+                                  is not None, uses_mask=uses_mask)
 
         def train_step(state, batch, labels=None, rng=None, quality=None,
                        mask_indices=None):
-            return ts2(state, batch, rng)
+            return ts2(state, batch, rng, quality=quality,
+                       mask_indices=mask_indices)
 
         def val_step(state, batch, labels=None, rng=None, quality=None,
                      mask_indices=None):
-            return vs2(state, batch, rng)
+            return vs2(state, batch, rng, quality=quality,
+                       mask_indices=mask_indices)
     else:
         train_step, val_step = build_steps(
             model_bundle.module, criterion, tx, mesh,

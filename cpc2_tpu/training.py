@@ -331,7 +331,8 @@ def shard_state_2d(mesh: Mesh, state: TrainState) -> TrainState:
 def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
                    tx: optax.GradientTransformation, mesh: Mesh,
                    state_template: TrainState, n_skipped: int = 0,
-                   device_augment=None):
+                   device_augment=None, has_quality: bool = False,
+                   uses_mask: bool = False):
     """Head-sharded model parallelism (extension beyond the reference's
     DP-only design): train/val steps over a ('data','model') mesh.
 
@@ -350,10 +351,12 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
     heads dominate the step (see docs/performance.md) and the encoder is
     cheap.
 
-    Scope: the unsupervised flagship path (no phone labels, no signal
-    quality, no masking, no hidden carry).
+    Scope: the unsupervised CPC path (no phone labels, no BERT mode, no
+    hidden carry). Signal-quality loss weighting and wav2vec-style span
+    masking compose (the per-window weight and the mask are identical
+    across head shards, so each rank's loss terms stay exact).
     """
-    def forward(params, batch, rng, train):
+    def forward(params, batch, quality, rng, train, mask_indices):
         b = batch.shape[0]
         past, future = batch[:, 0, 0, :], batch[:, 1, 0, :]
         model_vars = {'params': params['model']}
@@ -389,12 +392,18 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
         encoded = model.apply(model_vars, combined, method=encode,
                               rngs={'dropout': k_drop})
         e = encoded[b:]
-        c, _ = model.apply(model_vars, encoded[:b], method=context,
+        ar_input = encoded[:b]
+        if uses_mask and mask_indices is not None \
+                and 'mask_emb' in params['model']:
+            mask_emb = params['model']['mask_emb']
+            ar_input = jnp.where(mask_indices[:b][..., None], mask_emb,
+                                 ar_input)
+        c, _ = model.apply(model_vars, ar_input, method=context,
                            rngs={'dropout': k_drop})
         # LOCAL head columns: (1, K_local)
         return criterion_local.apply(
-            {'params': params['criterion']}, c, e, None, None, train=train,
-            rngs={'negatives': k_neg, 'dropout': k_drop2})
+            {'params': params['criterion']}, c, e, None, quality,
+            train=train, rngs={'negatives': k_neg, 'dropout': k_drop2})
 
     def gather_cols(x):
         # (1, K_local) -> (1, K_total) for reference-format logging
@@ -406,10 +415,11 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
 
     k_local = criterion_local.n_predicts
 
-    def train_body(state: TrainState, batch, rng):
+    def train_body(state: TrainState, batch, quality, rng, mask_indices):
         def loss_fn(params):
             losses, accs = forward(
-                params, batch, jax.random.fold_in(rng, state.step), True)
+                params, batch, quality,
+                jax.random.fold_in(rng, state.step), True, mask_indices)
             # ranks cover disjoint head subsets: the global loss is the
             # psum of these local sums, so local-sum grads + the 'model'
             # psum below ARE the full gradient. n_skipped heads are
@@ -435,31 +445,32 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
                                step=state.step + 1)
         return new_state, losses, accs
 
-    def val_body(state: TrainState, batch, rng):
-        losses, accs = forward(state.params, batch,
-                               jax.random.fold_in(rng, state.step), False)
+    def val_body(state: TrainState, batch, quality, rng, mask_indices):
+        losses, accs = forward(state.params, batch, quality,
+                               jax.random.fold_in(rng, state.step), False,
+                               mask_indices)
         return (gather_cols(jax.lax.pmean(losses, 'data')),
                 gather_cols(jax.lax.pmean(accs, 'data')))
 
     rep = P()
     data_spec = P('data')
     state_specs = head_shard_specs(state_template)
+    n_in = (state_specs, data_spec, data_spec if has_quality else rep,
+            rep, data_spec if uses_mask else rep)
 
     train_jit = jax.jit(
-        shard_map(train_body, mesh=mesh,
-                  in_specs=(state_specs, data_spec, rep),
+        shard_map(train_body, mesh=mesh, in_specs=n_in,
                   out_specs=(state_specs, rep, rep)),
         donate_argnums=(0,))
     val_jit = jax.jit(
-        shard_map(val_body, mesh=mesh,
-                  in_specs=(state_specs, data_spec, rep),
+        shard_map(val_body, mesh=mesh, in_specs=n_in,
                   out_specs=(rep, rep)))
 
-    def train_step(state, batch, rng):
-        return train_jit(state, batch, rng)
+    def train_step(state, batch, rng, quality=None, mask_indices=None):
+        return train_jit(state, batch, quality, rng, mask_indices)
 
-    def val_step(state, batch, rng):
-        return val_jit(state, batch, rng)
+    def val_step(state, batch, rng, quality=None, mask_indices=None):
+        return val_jit(state, batch, quality, rng, mask_indices)
 
     return train_step, val_step
 

@@ -328,3 +328,99 @@ def test_device_augment_2d_matches_1d():
         np.testing.assert_allclose(np.asarray(losses1),
                                    np.asarray(losses2), rtol=0, atol=2e-5,
                                    err_msg=f"step {step}")
+
+
+def test_quality_weighting_2d_matches_1d():
+    """Signal-quality loss weighting composes with head sharding: the
+    per-window sigmoid weight is identical across model ranks, so the 2-D
+    trajectory matches the 1-D one given the same quality vectors."""
+    args = get_default_cpc_config()
+    args.hiddenEncoder = args.hiddenGar = 32
+    args.nPredicts, args.negativeSamplingExt = 4, 6
+    args.sizeWindow = 4160
+    args.batchSizeGPU = 2
+    args.rnnMode, args.arMode = 'linear', 'GRU'
+    args.signal_quality_mode = 'snr'
+
+    bundle = fl.init_model(args, seed=0)
+    criterion = get_criterion(args, 160, n_speakers=4, n_phones=None)
+    assert criterion.growth_rate is not None
+    criterion_vars = init_criterion_vars(criterion, args, bundle)
+    tx = make_optimizer(args)
+    state0 = create_train_state(bundle.variables, criterion_vars, tx)
+    crit_local = criterion.clone(n_predicts=2, head_axis='model',
+                                 n_predicts_total=4)
+
+    rs = np.random.RandomState(13)
+    bn = rs.randn(4, 2, 1, args.sizeWindow).astype(np.float32)
+    lab = np.zeros((4,), np.int32)
+    qual = rs.rand(4, 3).astype(np.float32)     # (B, n_quality_frames)
+
+    mesh1 = make_mesh(2)
+    ts1, _ = build_steps(bundle.module, criterion, tx, mesh1,
+                         has_quality=True)
+    s1 = replicate(mesh1, state0)
+    b1, l1, q1 = shard_batch(mesh1, bn, lab, qual)
+
+    mesh2 = make_mesh_2d(2, 2)
+    s2 = shard_state_2d(mesh2, jax.tree.map(jnp.array, state0))
+    ts2, _ = build_steps_2d(bundle.module, crit_local, tx, mesh2, s2,
+                            has_quality=True)
+    b2, q2 = shard_batch(mesh2, bn, qual)
+
+    key = jax.random.PRNGKey(2)
+    for step in range(4):
+        s1, losses1, _ = ts1(s1, b1, l1, key, quality=q1)
+        s2, losses2, _ = ts2(s2, b2, key, quality=q2)
+        np.testing.assert_allclose(np.asarray(losses1),
+                                   np.asarray(losses2), rtol=0, atol=2e-5,
+                                   err_msg=f"step {step}")
+
+
+def test_masking_2d_matches_1d():
+    """wav2vec-style span masking composes with head sharding: the same
+    host-computed mask + the replicated mask_emb reproduce the 1-D
+    masked trajectory."""
+    from cpc2_tpu.models.cpc import compute_mask_indices
+    args = get_default_cpc_config()
+    args.hiddenEncoder = args.hiddenGar = 32
+    args.nPredicts, args.negativeSamplingExt = 4, 6
+    args.sizeWindow = 4160
+    args.batchSizeGPU = 2
+    args.rnnMode, args.arMode = 'linear', 'GRU'
+    args.mask_prob, args.mask_length = 0.3, 3
+
+    bundle = fl.init_model(args, seed=0)
+    assert 'mask_emb' in bundle.variables['params']
+    criterion = get_criterion(args, 160, n_speakers=4, n_phones=None)
+    criterion_vars = init_criterion_vars(criterion, args, bundle)
+    tx = make_optimizer(args)
+    state0 = create_train_state(bundle.variables, criterion_vars, tx)
+    crit_local = criterion.clone(n_predicts=2, head_axis='model',
+                                 n_predicts_total=4)
+
+    rs = np.random.RandomState(17)
+    bn = rs.randn(4, 2, 1, args.sizeWindow).astype(np.float32)
+    lab = np.zeros((4,), np.int32)
+    frames = 4160 // 160
+    mask = compute_mask_indices((8, frames), 0.3, 3, min_masks=2)
+
+    mesh1 = make_mesh(2)
+    ts1, _ = build_steps(bundle.module, criterion, tx, mesh1,
+                         uses_mask=True)
+    s1 = replicate(mesh1, state0)
+    b1, l1, m1 = shard_batch(mesh1, bn, lab, mask)
+
+    mesh2 = make_mesh_2d(2, 2)
+    s2 = shard_state_2d(mesh2, jax.tree.map(jnp.array, state0))
+    ts2, _ = build_steps_2d(bundle.module, crit_local, tx, mesh2, s2,
+                            uses_mask=True)
+    b2, m2 = shard_batch(mesh2, bn, mask)
+
+    key = jax.random.PRNGKey(4)
+    for step in range(4):
+        s1, losses1, _ = ts1(s1, b1, l1, key, mask_indices=m1)
+        s2, losses2, _ = ts2(s2, b2, key, mask_indices=m2)
+        np.testing.assert_allclose(np.asarray(losses1),
+                                   np.asarray(losses2), rtol=0, atol=2e-5,
+                                   err_msg=f"step {step}")
