@@ -214,3 +214,45 @@ class TestTailBatches:
             logs = json.load(f)
         assert np.isfinite(np.asarray(logs['locLoss_train'])).all()
         assert np.isfinite(np.asarray(logs['locLoss_val'])).all()
+
+
+def test_staging_runs_on_prefetch_thread(tmp_path, monkeypatch):
+    """Double-buffered device staging: the WireStager upload for full
+    batches happens on the prefetch worker thread, not the dispatch
+    thread (train_epoch's _prep transform)."""
+    import threading
+    from cpc2_tpu import train as train_mod
+    from cpc2_tpu.data.audio_io import save_wav
+    from cpc2_tpu.parallel.mesh import WireStager
+
+    idents = []
+
+    class RecordingStager(WireStager):
+        def put(self, sequence):
+            idents.append(threading.get_ident())
+            return super().put(sequence)
+
+    monkeypatch.setattr(train_mod, 'WireStager', RecordingStager)
+
+    root = tmp_path / 'db'
+    d = root / 's1' / 'c1'
+    d.mkdir(parents=True)
+    rs = np.random.RandomState(2)
+    for i in range(3):
+        n = 4160 * 5
+        t = np.arange(n) / 16000.0
+        x = (0.3 * np.sin(2 * np.pi * (160 + 60 * i) * t)
+             + 0.05 * rs.randn(n)).astype(np.float32)
+        save_wav(str(d / f's1-{i}.wav'), x, 16000)
+    train_mod.main(['--pathDB', str(root), '--file_extension', '.wav',
+                    '--pathCheckpoint', str(tmp_path / 'ck'),
+                    '--hiddenEncoder', '16', '--hiddenGar', '16',
+                    '--nPredicts', '2', '--negativeSamplingExt', '4',
+                    '--sizeWindow', '4160', '--nGPU', '2',
+                    '--batchSizeGPU', '2', '--rnnMode', 'linear',
+                    '--arMode', 'GRU', '--samplingType', 'uniform',
+                    '--nEpoch', '1', '--save_step', '1',
+                    '--logging_step', '20'])
+    main_thread = threading.get_ident()
+    staged_off_main = [t for t in idents if t != main_thread]
+    assert staged_off_main, "no staging happened on the worker thread"
