@@ -237,6 +237,14 @@ def set_tpu_config(parser):
                        'split, host chain applied first). On a '
                        'single-core host this removes the augmentation '
                        'bottleneck (~90 -> ~15 ms/batch measured).')
+    group.add_argument('--pitch_algo', type=str, default='vocoder',
+                       choices=['vocoder', 'wsola'],
+                       help='Host pitch-shift algorithm: phase vocoder '
+                       '(default; what the device fast path uses too) or '
+                       'WSOLA with sox tempo\'s music defaults — the '
+                       'algorithm family sox itself uses, for a training '
+                       'distribution closer to the WavAugment recipe '
+                       '(docs/augmentation_parity.md).')
     group.add_argument('--adam_mu_dtype', type=str, default='fp32',
                        choices=['fp32', 'bf16'],
                        help='Dtype of Adam\'s first moment. bf16 halves '

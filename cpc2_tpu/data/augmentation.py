@@ -142,10 +142,63 @@ def _phase_vocoder(spec, rate, hop):
     return out
 
 
-def pitch_shift(x: np.ndarray, cents: float, quick: bool = False
-                ) -> np.ndarray:
+def _wsola_stretch(x: np.ndarray, out_len: int, sr: float = SAMPLE_RATE,
+                   segment_ms: float = 82.0, search_ms: float = 14.68,
+                   overlap_ms: float = 12.0) -> np.ndarray:
+    """WSOLA time-stretch to `out_len` samples — the algorithm family
+    behind sox `tempo`/`pitch` (music defaults: 82/14.68/12 ms). Output
+    segments are copied from the input at rate-scaled positions, each
+    shifted within +-search to maximize cross-correlation with the tail
+    of what was already written, then crossfaded over the overlap.
+
+    Matches the committed oracle (`tests/fixtures/augment_oracles.npz`,
+    scripts/make_augment_fixtures.py) — see docs/augmentation_parity.md."""
+    seg = int(segment_ms * sr / 1000)
+    ovr = int(overlap_ms * sr / 1000)
+    search = int(search_ms * sr / 1000)
+    hop = seg - ovr
+    rate = len(x) / float(out_len)
+    out = np.zeros(out_len + seg)
+    ramp = np.linspace(0.0, 1.0, ovr)
+
+    pos, tail = 0, None
+    while pos < out_len:
+        want = int(round(pos * rate))
+        if want + seg > len(x):
+            chunk = np.zeros(seg)
+            chunk[:len(x) - want] = x[want:] if want < len(x) else 0.0
+            best = want
+        elif tail is None:
+            best, chunk = want, x[want:want + seg]
+        else:
+            lo = max(0, want - search)
+            hi = min(len(x) - seg, want + search)
+            if hi <= lo:
+                best = max(0, min(want, len(x) - seg))
+            else:
+                cands = np.lib.stride_tricks.sliding_window_view(
+                    x[lo:hi + ovr], ovr)[:hi - lo + 1]
+                best = lo + int(np.argmax(cands @ tail))
+            chunk = x[best:best + seg]
+        if tail is None:
+            out[pos:pos + seg] = chunk
+        else:
+            out[pos:pos + ovr] += tail * (1 - ramp) + chunk[:ovr] * ramp
+            out[pos + ovr:pos + seg] = chunk[ovr:]
+        tail = (x[best + hop:best + hop + ovr]
+                if best + hop + ovr <= len(x) else chunk[-ovr:])
+        pos += hop
+    return out[:out_len]
+
+
+def pitch_shift(x: np.ndarray, cents: float, quick: bool = False,
+                algo: str = 'vocoder') -> np.ndarray:
     """Shift pitch by `cents` (1/100 semitone) keeping duration, like sox
-    `pitch` + `rate`. Input/output (C, W)."""
+    `pitch` + `rate`. Input/output (C, W).
+
+    algo: 'vocoder' (phase vocoder, the batched-device-friendly default)
+    or 'wsola' (sox's own stretch family; closer to the WavAugment
+    training distribution — docs/augmentation_parity.md)."""
     if abs(cents) < 1:
         return x.astype(np.float32)
     factor = 2.0 ** (cents / 1200.0)
@@ -159,6 +212,9 @@ def pitch_shift(x: np.ndarray, cents: float, quick: bool = False
             stretched = np.interp(
                 np.arange(0, w, 1.0 / factor) / factor * factor,
                 np.arange(w), x[ch])
+        elif algo == 'wsola':
+            stretched = _wsola_stretch(x[ch].astype(np.float64),
+                                       int(round(w * factor)))
         else:
             spec = _stft(x[ch], n_fft, hop, win)
             spec2 = _phase_vocoder(spec, 1.0 / factor, hop)
@@ -177,13 +233,15 @@ def pitch_shift(x: np.ndarray, cents: float, quick: bool = False
 class PitchAugment:
     """`:64-100` — random shift ~ U{-shift_max, shift_max} cents."""
 
-    def __init__(self, quick: bool = False, shift_max: int = 300):
+    def __init__(self, quick: bool = False, shift_max: int = 300,
+                 algo: str = 'vocoder'):
         self.quick = quick
         self.shift_max = shift_max
+        self.algo = algo
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
         shift = np.random.randint(-self.shift_max, self.shift_max)
-        return pitch_shift(x, shift, quick=self.quick)
+        return pitch_shift(x, shift, quick=self.quick, algo=self.algo)
 
 
 # ---------------------------------------------------------------------------
@@ -276,8 +334,10 @@ class ReverbDropout:
 class PitchDropout:
     """pitch + time dropout (`:103-132`)."""
 
-    def __init__(self, T_ms: int = 100, shift_max: int = 300):
-        self.pitch = PitchAugment(quick=True, shift_max=shift_max)
+    def __init__(self, T_ms: int = 100, shift_max: int = 300,
+                 algo: str = 'vocoder'):
+        self.pitch = PitchAugment(quick=True, shift_max=shift_max,
+                                  algo=algo)
         self.dropout = TimeDropoutAugment(T_ms)
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
@@ -446,7 +506,8 @@ def get_augment(augment_type, **kwargs):
                                     kwargs['additive_noise_sampling'])
     elif augment_type == 'pitch':
         return PitchAugment(quick=kwargs['pitch_quick'],
-                            shift_max=kwargs['shift_max'])
+                            shift_max=kwargs['shift_max'],
+                            algo=kwargs.get('pitch_algo', 'vocoder'))
     elif augment_type == 'artificial_reverb':
         return ReverbAugment()
     elif augment_type == 'time_dropout':
@@ -456,7 +517,8 @@ def get_augment(augment_type, **kwargs):
     elif augment_type == 'random_noise':
         return RandomAdditiveNoiseAugment(kwargs['additive_noise_snr'])
     elif augment_type == 'pitch_dropout':
-        return PitchDropout(kwargs['t_ms'], shift_max=kwargs['shift_max'])
+        return PitchDropout(kwargs['t_ms'], shift_max=kwargs['shift_max'],
+                            algo=kwargs.get('pitch_algo', 'vocoder'))
     elif augment_type == 'natural_reverb':
         return NaturalReverb(ir_paths=kwargs['pathImpulseResponses'],
                              p=kwargs['impulse_response_prob'],
@@ -501,7 +563,8 @@ def augmentation_factory(args, noise_dataset=None, applied_on_noise=False):
                     "ir_sample_rate": args.ir_sample_rate,
                     "batchSize": batchSize,
                     "ir_batch_wise": ir_batch_wise,
-                    "shift_max": args.shift_max}
+                    "shift_max": args.shift_max,
+                    "pitch_algo": getattr(args, 'pitch_algo', 'vocoder')}
         return CombinedTransforms(augment_type, **aug_args)
     augment_type = augment_type[0]
 
@@ -509,7 +572,8 @@ def augmentation_factory(args, noise_dataset=None, applied_on_noise=False):
         return BandrejectAugment(scaler=args.bandreject_scaler)
     elif augment_type in ['pitch', 'pitch_quick']:
         return PitchAugment(quick=args.augment_type == 'pitch_quick',
-                            shift_max=args.shift_max)
+                            shift_max=args.shift_max,
+                            algo=getattr(args, 'pitch_algo', 'vocoder'))
     elif augment_type == 'artificial_reverb':
         return ReverbAugment()
     elif augment_type == 'time_dropout':
@@ -524,7 +588,8 @@ def augmentation_factory(args, noise_dataset=None, applied_on_noise=False):
     elif augment_type == 'artificial_reverb_dropout':
         return ReverbDropout(args.t_ms)
     elif augment_type == 'pitch_dropout':
-        return PitchDropout(args.t_ms, shift_max=args.shift_max)
+        return PitchDropout(args.t_ms, shift_max=args.shift_max,
+                            algo=getattr(args, 'pitch_algo', 'vocoder'))
     elif augment_type == 'natural_reverb':
         return NaturalReverb(ir_paths=args.pathImpulseResponses,
                              p=args.impulse_response_prob,

@@ -154,3 +154,31 @@ class TestPitchOracle:
         corr_host = np.corrcoef(ex, env(host))[0, 1]
         assert corr_wsola > 0.8, corr_wsola
         assert corr_host > 0.55, corr_host
+
+
+class TestWsolaHostImplementation:
+    """`--pitch_algo wsola`: the framework's WSOLA matches the committed
+    sox-family oracle, closing the algorithm-family gap for users who want
+    the sox training distribution."""
+
+    @pytest.mark.parametrize('ci', [0, 1, 2, 3])
+    @pytest.mark.parametrize('name', INPUTS)
+    def test_matches_oracle(self, oracles, ci, name):
+        cents = float(oracles[f'cents_{ci}'])
+        x = oracles[f'in_{name}']
+        got = ha.pitch_shift(x[None].astype(np.float64), cents,
+                             algo='wsola')[0]
+        ref = oracles[f'wsola_{ci}_{name}']
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() < 5e-3 * scale, (ci, name)
+
+    def test_factory_wiring(self):
+        import argparse
+        from cpc2_tpu.config import get_default_cpc_config
+        args = get_default_cpc_config()
+        args.augment_type = ['pitch']
+        args.augment_past = True
+        args.pitch_algo = 'wsola'
+        args.nGPU, args.batchSizeGPU = 1, 2
+        aug = ha.augmentation_factory(args)
+        assert isinstance(aug, ha.PitchAugment) and aug.algo == 'wsola'
