@@ -836,10 +836,19 @@ def main(argv):
             and args.augment_type and args.augment_type != 'none':
         from .data.augment_device import (DEVICE_AUGMENTATIONS,
                                           make_device_augment)
-        dev_types = [t for t in args.augment_type
-                     if t in DEVICE_AUGMENTATIONS]
+
+        def _device_ok(t):
+            if t not in DEVICE_AUGMENTATIONS:
+                return False
+            # the device pitch port is the phase vocoder; an explicit
+            # --pitch_algo wsola keeps pitch on the host pipeline
+            if t.startswith('pitch') and \
+                    getattr(args, 'pitch_algo', 'vocoder') == 'wsola':
+                return False
+            return True
+        dev_types = [t for t in args.augment_type if _device_ok(t)]
         host_aug_types = [t for t in args.augment_type
-                          if t not in DEVICE_AUGMENTATIONS]
+                          if not _device_ok(t)]
         chain = make_device_augment(
             dev_types, shift_max=int(args.shift_max),
             bandreject_scaler=args.bandreject_scaler, t_ms=args.t_ms,
