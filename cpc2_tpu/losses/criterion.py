@@ -394,10 +394,16 @@ class CPCUnsupervisedCriterion(BaseCriterion):
                                 preferred_element_type=jnp.float32) / d
         from ..ops.infonce_pallas import (negative_scores_pallas,
                                           use_pallas_negatives)
-        if use_pallas_negatives() and z_flat.shape[0] <= 4096:
+        if use_pallas_negatives() and z_flat.shape[0] <= 1024:
             # Fused Pallas kernel: the encoding pool stays in VMEM; the
             # backward is dense matmuls instead of a scatter-add (which
-            # profiled 1.2 ms/step — `ops/infonce_pallas.py`).
+            # profiled 1.2 ms/step — `ops/infonce_pallas.py`). The kernel
+            # scores every (query, pool-row) pair, so its cost is
+            # QUADRATIC in the pool: profitable at the default recipe's
+            # 1024-row pool (batch 8 x 128 frames), a measured blowup at
+            # 2048/4096 rows (16.2/42.1 ms/step at batch 16/32 vs a
+            # near-linear gather path). Larger pools take the XLA
+            # row-gather below.
             neg = negative_scores_pallas(preds, z_flat, neg_idx_wn) / d
         else:
             # XLA path: gather whole rows (B, W, N, D) — the backward

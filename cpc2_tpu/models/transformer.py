@@ -67,19 +67,73 @@ class ScaledDotProductAttention(nn.Module):
         q, k, v = self._prepare(q), self._prepare(k), self._prepare(v)
         s = self.size_seq
 
+        if self.relpos:
+            from ..ops.attention_pallas import (fused_relpos_attention,
+                                                use_fused_attention)
+            if use_fused_attention(s, dk):
+                # Fused Pallas path (OPT-IN via CPC2_FUSED_ATTENTION=1):
+                # the whole (S, S) logits/softmax/dropout chain lives in
+                # VMEM per attention unit and the backward recomputes it —
+                # no (N, S, S) HBM tensors at all
+                # (`ops/attention_pallas.py`, measured SLOWER than the
+                # XLA paths on v5-lite at this recipe's shapes — see
+                # use_fused_attention). Dropout masks come from the
+                # on-chip PRNG (distribution-identical, realization
+                # differs — same stance as `--prng rbg`).
+                krelpos = self.param('Krelpos', _krelpos_init(dk), (dk, s))
+                offs = jnp.clip(
+                    jnp.arange(s)[:, None] - jnp.arange(s)[None, :],
+                    0, s - 1)
+                w2 = jnp.take(krelpos[:, ::-1], offs, axis=1)  # (dk, s, s)
+                rate = 0.0 if deterministic else float(self.dropout)
+                if rate > 0.0:
+                    seed = jax.random.randint(
+                        self.make_rng('dropout'), (1, 1), 0,
+                        np.iinfo(np.int32).max, dtype=jnp.int32)
+                else:
+                    seed = jnp.zeros((1, 1), jnp.int32)
+                out = fused_relpos_attention(q, k, v, w2, seed,
+                                             dropout_rate=rate)
+                return out.reshape(n, -1, dk)[:, :s_orig]
+
         qk = jnp.einsum('bik,bjk->bij', q, k,
                         preferred_element_type=jnp.float32)
 
         if self.relpos:
             krelpos = self.param('Krelpos', _krelpos_init(dk), (dk, s))
-            bsz = q.shape[0]
-            qp = jnp.einsum('bik,kj->bij', q, krelpos,
-                            preferred_element_type=jnp.float32)
-            # Zero-diagonal shift trick (`transformers.py:61-66`): prepend a
-            # zero column, reshape (S, S+1) -> (S+1, S), drop the first row.
-            z = jnp.zeros((bsz, s, 1), qp.dtype)
-            qp = jnp.concatenate([z, qp], axis=2)
-            qk = qk + qp.reshape(bsz, s + 1, s)[:, 1:, :]
+            if q.shape[0] >= 256:
+                # Causal-equivalent form of the reference's zero-diagonal
+                # shift (`transformers.py:61-66`). The shift computes
+                # rel[r, c] = q[r] . Krelpos[:, s-1-(r-c)] at every c <= r,
+                # and garbage (next row's values / zeros) at c > r —
+                # positions the causal mask sends to -inf anyway. Gathering
+                # the small (dk, s) table into a static (dk, s, s) tensor
+                # and contracting once yields the same masked logits
+                # WITHOUT materializing the (N, S, S) qp tensor three more
+                # times in the pad+reshape+slice chain. Profitable only
+                # once those materializations dominate: same-session bench,
+                # batch 64 (N=512 units/head call) 65.4 -> 62.2 ms/step,
+                # but batch 8 (N=64) REGRESSES 6.3 -> 7.3 ms — at small N
+                # XLA fuses the shift chain well and the extra
+                # (N,S,dk)x(dk,S,S) batched contraction costs more than it
+                # saves. Equivalence (logits and grads) is pinned by
+                # tests/test_parity_torch.py.
+                offs = jnp.clip(
+                    jnp.arange(s)[:, None] - jnp.arange(s)[None, :],
+                    0, s - 1)
+                w2 = jnp.take(krelpos[:, ::-1], offs, axis=1)  # (dk, s, s)
+                qk = qk + jnp.einsum('brd,drc->brc', q, w2,
+                                     preferred_element_type=jnp.float32)
+            else:
+                # Reference formulation: zero-diagonal shift trick
+                # (`transformers.py:61-66`) — prepend a zero column,
+                # reshape (S, S+1) -> (S+1, S), drop the first row.
+                bsz = q.shape[0]
+                qp = jnp.einsum('bik,kj->bij', q, krelpos,
+                                preferred_element_type=jnp.float32)
+                z = jnp.zeros((bsz, s, 1), qp.dtype)
+                qp = jnp.concatenate([z, qp], axis=2)
+                qk = qk + qp.reshape(bsz, s + 1, s)[:, 1:, :]
 
         # Causal mask: -inf above the diagonal.
         causal = np.triu(np.full((s, s), -np.inf, np.float32), k=1)

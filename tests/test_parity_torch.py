@@ -245,6 +245,43 @@ class TestTransformerParity:
 
 class TestFullModelParity:
 
+    def test_relpos_reformulation_matches_shift_trick(self):
+        """The causal-equivalent relpos form in ScaledDotProductAttention
+        (static (dk, s, s) gather + one contraction) must match the
+        reference's zero-diagonal shift trick (`transformers.py:61-66`)
+        in BOTH the masked logits and the Krelpos/q gradients."""
+        import math
+        rs = np.random.RandomState(1)
+        s, dk, bsz = 12, 4, 3
+        q = jnp.asarray(rs.randn(bsz, s, dk).astype(np.float32))
+        krel = jnp.asarray(rs.randn(dk, s).astype(np.float32))
+        causal = jnp.asarray(np.triu(np.full((s, s), -np.inf, np.float32), 1))
+
+        def logits_shift(krelpos, qq):
+            qp = jnp.einsum('bik,kj->bij', qq, krelpos)
+            z = jnp.zeros((bsz, s, 1), qp.dtype)
+            qp = jnp.concatenate([z, qp], axis=2)
+            qk = qp.reshape(bsz, s + 1, s)[:, 1:, :]
+            return jax.nn.softmax(qk / math.sqrt(dk) + causal, axis=2)
+
+        def logits_w2(krelpos, qq):
+            offs = jnp.clip(jnp.arange(s)[:, None] - jnp.arange(s)[None, :],
+                            0, s - 1)
+            w2 = jnp.take(krelpos[:, ::-1], offs, axis=1)
+            qk = jnp.einsum('brd,drc->brc', qq, w2)
+            return jax.nn.softmax(qk / math.sqrt(dk) + causal, axis=2)
+
+        np.testing.assert_allclose(np.asarray(logits_shift(krel, q)),
+                                   np.asarray(logits_w2(krel, q)),
+                                   atol=1e-6)
+        g_shift = jax.grad(lambda kk, qq: (logits_shift(kk, qq) ** 2).sum(),
+                           argnums=(0, 1))(krel, q)
+        g_w2 = jax.grad(lambda kk, qq: (logits_w2(kk, qq) ** 2).sum(),
+                        argnums=(0, 1))(krel, q)
+        for a, b in zip(g_shift, g_w2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
     def test_cpc_model_features(self):
         """Encoder+GRU features match a torch pipeline end-to-end."""
         c = 16
