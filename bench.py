@@ -63,6 +63,10 @@ def main():
     parser.add_argument('--adam_mu_dtype', type=str, default='fp32',
                         choices=['fp32', 'bf16'],
                         help='Adam first-moment dtype (see config flag)')
+    parser.add_argument('--neg_pool_group', type=int, default=0,
+                        help='sample negatives within groups of this many '
+                        'batch elements (reference DataParallel '
+                        'semantics; see the training CLI flag)')
     parser.add_argument('--prng', type=str, default='rbg',
                         choices=['rbg', 'threefry'],
                         help='JAX PRNG implementation for dropout masks / '
@@ -89,6 +93,7 @@ def main():
     args.batchSizeGPU = args_cli.batch
     args.head_remat = args_cli.head_remat
     args.adam_mu_dtype = args_cli.adam_mu_dtype
+    args.neg_pool_group = args_cli.neg_pool_group
 
     mesh = make_mesh(1)  # one chip
     bundle = fl.init_model(args, seed=0)

@@ -270,6 +270,17 @@ def set_tpu_config(parser):
                        'across the data-parallel mesh (all_gather over '
                        'ICI) instead of the local shard. Extension beyond '
                        'the reference, whose DDP samples per-rank.')
+    group.add_argument('--neg_pool_group', type=int, default=0,
+                       help='Sample each window\'s InfoNCE negatives '
+                       'within its group of this many contiguous batch '
+                       'elements instead of the whole per-chip batch '
+                       '(0 = whole batch). --neg_pool_group 8 at batch '
+                       'G*8 reproduces the reference\'s G-GPU '
+                       'DataParallel semantics (each GPU samples within '
+                       'its own batchSizeGPU=8 shard) on one chip, and '
+                       'keeps every pool small enough for the fused '
+                       'VMEM scoring kernel at any batch size. '
+                       'Mutually exclusive with --global_negatives.')
     group.add_argument('--host_prefetch', type=int, default=2,
                        help='Host-side loader prefetch depth (batches '
                        'prepared on a background thread while the device '

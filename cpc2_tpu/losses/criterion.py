@@ -232,17 +232,30 @@ class MultiHeadPredictionNetwork(nn.Module):
 
 def sample_negative_indices(rng: Array, batch_size: int, seq_size: int,
                             n_negative: int, window_size: int,
-                            pool_batch: Optional[int] = None) -> Array:
+                            pool_batch: Optional[int] = None,
+                            pool_group: Optional[int] = None) -> Array:
     """Negative sample flat indices into z.reshape(B*S, D), reference
     semantics (`criterion.py:237-267`): per (b, n, w) draw a random batch
     element and a random frame `(U[1,S) + w) mod S`. Returns (B, N, W) int32.
 
     `pool_batch` widens the batch-element draw beyond the local batch (the
     global-negatives extension: the pool spans the whole data-parallel
-    batch)."""
+    batch). `pool_group` NARROWS it instead: batch element b draws only
+    from its group of `pool_group` contiguous elements — the semantics of
+    the reference's DataParallel/DDP runs, where each of the nGPU workers
+    samples negatives within its own batchSizeGPU-window shard
+    (`criterion.py:247-267` sees only the local shard). Mutually
+    exclusive with `pool_batch`."""
     k1, k2 = jax.random.split(rng)
     shape = (batch_size, n_negative, window_size)
-    batch_idx = jax.random.randint(k1, shape, 0, pool_batch or batch_size)
+    if pool_group:
+        assert pool_batch is None and batch_size % pool_group == 0
+        group_base = ((jnp.arange(batch_size, dtype=jnp.int32) // pool_group)
+                      * pool_group)[:, None, None]
+        batch_idx = group_base + jax.random.randint(k1, shape, 0, pool_group)
+    else:
+        batch_idx = jax.random.randint(k1, shape, 0,
+                                       pool_batch or batch_size)
     seq_idx = jax.random.randint(k2, shape, 1, seq_size)
     base = jnp.arange(window_size, dtype=jnp.int32)[None, None, :]
     seq_idx = jnp.remainder(seq_idx + base, seq_size)
@@ -288,6 +301,16 @@ class CPCUnsupervisedCriterion(BaseCriterion):
     # over ICI inside the shard_map program. Requires being traced with the
     # axis bound (init clones with global_negatives=False).
     global_negatives: bool = False
+    # Extension: sample each batch element's negatives within its group of
+    # `neg_pool_group` contiguous elements instead of the whole local batch
+    # (0 = whole batch). A single chip running batch G*g with groups of g
+    # then trains with EXACTLY the reference's G-GPU DataParallel
+    # semantics (each GPU's criterion samples within its own
+    # batchSizeGPU=g shard, reference `criterion.py:247-267`) — and every
+    # group's pool stays small enough for the VMEM all-scores kernel, so
+    # large batches keep the batch-8 per-window step cost (see the
+    # grouped branch in __call__).
+    neg_pool_group: int = 0
     data_axis: str = 'data'
     pool_axis_size: int = 1
     head_remat: bool = False
@@ -363,13 +386,24 @@ class CPCUnsupervisedCriterion(BaseCriterion):
             pool_batch = b * self.pool_axis_size
             shard_offset = jax.lax.axis_index(self.data_axis) * b * s
 
+        group = self.neg_pool_group
+        if group:
+            assert not (self.global_negatives and self.pool_axis_size > 1), \
+                "neg_pool_group and global_negatives are mutually exclusive"
+        if group and (b <= group or b % group):
+            # Batches at or below the group size (init dummies, ragged
+            # tails) pool over the whole batch — exactly what a reference
+            # DataParallel worker holding a short tail shard does.
+            group = 0
         if negative_indices is not None:
             neg_idx = negative_indices
         else:
             rng = self.make_rng('negatives')
             neg_idx = sample_negative_indices(rng, b, s,
                                               self.negative_sampling_ext, w,
-                                              pool_batch=pool_batch)
+                                              pool_batch=(None if group
+                                                          else pool_batch),
+                                              pool_group=group or None)
         k_p = self.n_predicts
         if self.head_axis is not None:
             # absolute head block offset of this model-axis shard
@@ -394,7 +428,26 @@ class CPCUnsupervisedCriterion(BaseCriterion):
                                 preferred_element_type=jnp.float32) / d
         from ..ops.infonce_pallas import (negative_scores_pallas,
                                           use_pallas_negatives)
-        if use_pallas_negatives() and z_flat.shape[0] <= 1024:
+        if (group and group < b and use_pallas_negatives()
+                and group * s <= 1024 and negative_indices is None):
+            # (negative_indices is None: the rebase below is only valid
+            # for indices we drew group-local ourselves; caller-supplied
+            # indices take the general gather path.)
+            # Grouped pools: every batch element's negatives live in its
+            # own group's (group*s)-row pool, so the VMEM all-scores
+            # kernel applies PER GROUP regardless of the total batch —
+            # vmap prepends the group axis to the kernel grid. Indices
+            # are rebased from local-batch-flat to group-flat rows.
+            n_groups = b // group
+            n_neg = self.negative_sampling_ext
+            base = (jnp.arange(n_groups, dtype=jnp.int32)
+                    * (group * s))[:, None, None, None]
+            neg = jax.vmap(negative_scores_pallas)(
+                preds.reshape(n_groups, group, k_p, w, d),
+                z_flat.reshape(n_groups, group * s, d),
+                neg_idx_wn.reshape(n_groups, group, w, n_neg) - base,
+            ).reshape(b, k_p, w, n_neg) / d
+        elif use_pallas_negatives() and z_flat.shape[0] <= 1024:
             # Fused Pallas kernel: the encoding pool stays in VMEM; the
             # backward is dense matmuls instead of a scatter-add (which
             # profiled 1.2 ms/step — `ops/infonce_pallas.py`). The kernel

@@ -70,6 +70,7 @@ def get_criterion(args, downsampling, n_speakers, n_phones,
             inflection_point_x=args.inflection_point_x,
             global_negatives=getattr(args, 'global_negatives', False),
             pool_axis_size=pool_axis_size,
+            neg_pool_group=getattr(args, 'neg_pool_group', 0),
             head_remat=getattr(args, 'head_remat', False))
     elif getattr(args, 'pathPhone', None) is not None:
         if not getattr(args, 'CTC', False):
@@ -1164,6 +1165,17 @@ def parse_args(argv):
         sys.exit()
 
     assert args.bandreject_scaler >= 0
+
+    if getattr(args, 'neg_pool_group', 0):
+        if getattr(args, 'global_negatives', False):
+            raise ValueError("--neg_pool_group and --global_negatives are "
+                             "mutually exclusive (one narrows the negative "
+                             "pool, the other widens it)")
+        per_shard = args.batchSizeGPU
+        if per_shard % args.neg_pool_group:
+            raise ValueError(
+                f"--neg_pool_group {args.neg_pool_group} must divide the "
+                f"per-shard batch (batchSizeGPU={per_shard})")
 
     if args.samplingType == "temporalsamespeaker" and \
             (args.pathTrain is not None or args.pathVal is not None):
