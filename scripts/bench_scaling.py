@@ -77,6 +77,9 @@ def main():
     ap.add_argument('--precisions', type=str, nargs='+',
                     default=['bf16mix', 'bf16'])
     ap.add_argument('--steps', type=int, default=150)
+    ap.add_argument('--neg_pool_group', type=int, default=0,
+                    help='pass --neg_pool_group to every config '
+                    '(reference DataParallel pool semantics)')
     ap.add_argument('--peak_tflops', type=float, default=197.0,
                     help='chip peak bf16 TFLOP/s for the MFU estimate '
                     '(v5p ~459, v5e ~197, v4 ~275)')
@@ -86,7 +89,11 @@ def main():
     base_ahh = None
     for precision in args.precisions:
         for batch in args.batches:
-            res, ms = run_config(batch, precision, args.steps)
+            extra = (['--neg_pool_group',
+                      str(args.neg_pool_group)]
+                     if args.neg_pool_group else [])
+            res, ms = run_config(batch, precision, args.steps,
+                                 extra)
             ahh = res['value']
             if base_ahh is None:
                 base_ahh = ahh if (batch == 8 and

@@ -24,7 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_trace(trace_dir, steps, batch):
+def run_trace(trace_dir, steps, batch, neg_pool_group=0):
     import jax
     from cpc2_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -39,6 +39,7 @@ def run_trace(trace_dir, steps, batch):
 
     args = get_default_cpc_config()
     args.batchSizeGPU = batch
+    args.neg_pool_group = neg_pool_group
     mesh = make_mesh(1)
     bundle = fl.init_model(args, seed=0)
     criterion = get_criterion(args, 160, n_speakers=64, n_phones=None)
@@ -111,6 +112,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--steps', type=int, default=30)
     ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--neg_pool_group', type=int, default=0)
     ap.add_argument('--trace_dir', type=str, default='/tmp/tpu_trace')
     ap.add_argument('--top', type=int, default=25)
     ap.add_argument('--reuse', action='store_true',
@@ -120,7 +122,8 @@ def main():
     if not args.reuse:
         import shutil
         shutil.rmtree(args.trace_dir, ignore_errors=True)
-        run_trace(args.trace_dir, args.steps, args.batch)
+        run_trace(args.trace_dir, args.steps, args.batch,
+                  args.neg_pool_group)
 
     events = load_events(args.trace_dir)
     per_op = collections.Counter()
