@@ -707,13 +707,12 @@ def main(argv):
         if (getattr(args, 'supervised', False)
                 or args.cpc_mode in ('bert', 'none')
                 or args.multihead_rnn
-                or args.samplingType == 'sequential'
                 or getattr(args, 'steps_per_dispatch', 1) > 1):
             raise ValueError("--model_axis_size > 1 supports the "
                              "unsupervised CPC path only (signal-quality "
-                             "weighting, masking and augmentation "
-                             "compose; BERT/supervised/multihead/"
-                             "sequential-carry do not)")
+                             "weighting, masking, augmentation and the "
+                             "sequential-sampling hidden carry compose; "
+                             "BERT/supervised/multihead do not)")
         if args.distributed:
             # batch sizing and state placement assume a single-process
             # 2-D mesh; multi-host head sharding is not wired.
@@ -1016,17 +1015,29 @@ def main(argv):
                                   mesh, state, n_skipped=args.n_skipped,
                                   device_augment=device_augment,
                                   has_quality=args.signal_quality_path
-                                  is not None, uses_mask=uses_mask)
+                                  is not None, uses_mask=uses_mask,
+                                  keep_hidden=keep_hidden)
 
-        def train_step(state, batch, labels=None, rng=None, quality=None,
-                       mask_indices=None):
-            return ts2(state, batch, rng, quality=quality,
-                       mask_indices=mask_indices)
+        if keep_hidden:
+            def train_step(state, batch, labels=None, rng=None,
+                           quality=None, mask_indices=None, hidden=None):
+                return ts2(state, batch, rng, quality=quality,
+                           mask_indices=mask_indices, hidden=hidden)
 
-        def val_step(state, batch, labels=None, rng=None, quality=None,
-                     mask_indices=None):
-            return vs2(state, batch, rng, quality=quality,
-                       mask_indices=mask_indices)
+            def val_step(state, batch, labels=None, rng=None, quality=None,
+                         mask_indices=None, hidden=None):
+                return vs2(state, batch, rng, quality=quality,
+                           mask_indices=mask_indices, hidden=hidden)
+        else:
+            def train_step(state, batch, labels=None, rng=None,
+                           quality=None, mask_indices=None):
+                return ts2(state, batch, rng, quality=quality,
+                           mask_indices=mask_indices)
+
+            def val_step(state, batch, labels=None, rng=None, quality=None,
+                         mask_indices=None):
+                return vs2(state, batch, rng, quality=quality,
+                           mask_indices=mask_indices)
     else:
         train_step, val_step = build_steps(
             model_bundle.module, criterion, tx, mesh,

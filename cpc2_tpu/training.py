@@ -332,7 +332,7 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
                    tx: optax.GradientTransformation, mesh: Mesh,
                    state_template: TrainState, n_skipped: int = 0,
                    device_augment=None, has_quality: bool = False,
-                   uses_mask: bool = False):
+                   uses_mask: bool = False, keep_hidden: bool = False):
     """Head-sharded model parallelism (extension beyond the reference's
     DP-only design): train/val steps over a ('data','model') mesh.
 
@@ -351,12 +351,16 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
     heads dominate the step (see docs/performance.md) and the encoder is
     cheap.
 
-    Scope: the unsupervised CPC path (no phone labels, no BERT mode, no
-    hidden carry). Signal-quality loss weighting and wav2vec-style span
-    masking compose (the per-window weight and the mask are identical
-    across head shards, so each rank's loss terms stay exact).
+    Scope: the unsupervised CPC path (no phone labels, no BERT mode).
+    Signal-quality loss weighting, wav2vec-style span masking, and the
+    sequential-sampling hidden carry (`keep_hidden`, the reference's
+    `keepHidden=True`) compose: the per-window weight, the mask, and the
+    carried hidden are identical across head shards (the carry comes from
+    the replicated AR compute keyed only by the data index), so each
+    rank's loss terms stay exact.
     """
-    def forward(params, batch, quality, rng, train, mask_indices):
+    def forward(params, batch, quality, rng, train, mask_indices,
+                hidden=None):
         b = batch.shape[0]
         past, future = batch[:, 0, 0, :], batch[:, 1, 0, :]
         model_vars = {'params': params['model']}
@@ -365,7 +369,7 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
             return m.gEncoder(x, train=train)
 
         def context(m, z):
-            return m.gAR(z, hidden=None, train=train)
+            return m.gAR(z, hidden=hidden, train=train)
 
         d_idx = jax.lax.axis_index('data')
         key = jax.random.fold_in(jax.random.fold_in(rng, d_idx), 0)
@@ -398,12 +402,18 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
             mask_emb = params['model']['mask_emb']
             ar_input = jnp.where(mask_indices[:b][..., None], mask_emb,
                                  ar_input)
-        c, _ = model.apply(model_vars, ar_input, method=context,
-                           rngs={'dropout': k_drop})
+        c, new_hidden = model.apply(model_vars, ar_input, method=context,
+                                    rngs={'dropout': k_drop})
+        if not keep_hidden:
+            new_hidden = None
+        elif new_hidden is not None:
+            # reference detaches the carried hidden (`model.py:196-201`)
+            new_hidden = jax.lax.stop_gradient(new_hidden)
         # LOCAL head columns: (1, K_local)
-        return criterion_local.apply(
+        losses, accs = criterion_local.apply(
             {'params': params['criterion']}, c, e, None, quality,
             train=train, rngs={'negatives': k_neg, 'dropout': k_drop2})
+        return losses, accs, new_hidden
 
     def gather_cols(x):
         # (1, K_local) -> (1, K_total) for reference-format logging
@@ -415,11 +425,13 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
 
     k_local = criterion_local.n_predicts
 
-    def train_body(state: TrainState, batch, quality, rng, mask_indices):
+    def train_body(state: TrainState, batch, quality, rng, mask_indices,
+                   hidden):
         def loss_fn(params):
-            losses, accs = forward(
+            losses, accs, new_hidden = forward(
                 params, batch, quality,
-                jax.random.fold_in(rng, state.step), True, mask_indices)
+                jax.random.fold_in(rng, state.step), True, mask_indices,
+                hidden)
             # ranks cover disjoint head subsets: the global loss is the
             # psum of these local sums, so local-sum grads + the 'model'
             # psum below ARE the full gradient. n_skipped heads are
@@ -428,9 +440,10 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
             k_abs = (jax.lax.axis_index('model') * k_local
                      + jnp.arange(k_local))
             trained = jnp.where(k_abs[None, :] >= n_skipped, losses, 0.0)
-            return jnp.sum(trained), (losses, accs)
+            return jnp.sum(trained), (losses, accs, new_hidden)
 
-        grads, (losses, accs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (losses, accs, new_hidden) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
         grads = jax.tree_util.tree_map_with_path(
             lambda p, g: (jax.lax.pmean(g, 'data') if is_head(p)
                           else jax.lax.pmean(jax.lax.psum(g, 'model'),
@@ -443,34 +456,51 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
         new_state = TrainState(params=new_params, opt_state=new_opt,
                                batch_stats=state.batch_stats,
                                step=state.step + 1)
-        return new_state, losses, accs
+        return new_state, losses, accs, new_hidden
 
-    def val_body(state: TrainState, batch, quality, rng, mask_indices):
-        losses, accs = forward(state.params, batch, quality,
-                               jax.random.fold_in(rng, state.step), False,
-                               mask_indices)
+    def val_body(state: TrainState, batch, quality, rng, mask_indices,
+                 hidden):
+        losses, accs, new_hidden = forward(
+            state.params, batch, quality,
+            jax.random.fold_in(rng, state.step), False, mask_indices,
+            hidden)
         return (gather_cols(jax.lax.pmean(losses, 'data')),
-                gather_cols(jax.lax.pmean(accs, 'data')))
+                gather_cols(jax.lax.pmean(accs, 'data')), new_hidden)
 
     rep = P()
     data_spec = P('data')
+    # The carry is data-sharded and replicated over 'model' (every head
+    # shard runs the same replicated AR on the same data shard).
+    hid_spec = P(None, 'data') if keep_hidden else rep
     state_specs = head_shard_specs(state_template)
     n_in = (state_specs, data_spec, data_spec if has_quality else rep,
-            rep, data_spec if uses_mask else rep)
+            rep, data_spec if uses_mask else rep, hid_spec)
 
     train_jit = jax.jit(
         shard_map(train_body, mesh=mesh, in_specs=n_in,
-                  out_specs=(state_specs, rep, rep)),
+                  out_specs=(state_specs, rep, rep, hid_spec)),
         donate_argnums=(0,))
     val_jit = jax.jit(
         shard_map(val_body, mesh=mesh, in_specs=n_in,
-                  out_specs=(rep, rep)))
+                  out_specs=(rep, rep, hid_spec)))
 
-    def train_step(state, batch, rng, quality=None, mask_indices=None):
-        return train_jit(state, batch, quality, rng, mask_indices)
+    if keep_hidden:
+        def train_step(state, batch, rng, quality=None, mask_indices=None,
+                       hidden=None):
+            return train_jit(state, batch, quality, rng, mask_indices,
+                             hidden)
 
-    def val_step(state, batch, rng, quality=None, mask_indices=None):
-        return val_jit(state, batch, quality, rng, mask_indices)
+        def val_step(state, batch, rng, quality=None, mask_indices=None,
+                     hidden=None):
+            return val_jit(state, batch, quality, rng, mask_indices, hidden)
+    else:
+        def train_step(state, batch, rng, quality=None, mask_indices=None):
+            return train_jit(state, batch, quality, rng, mask_indices,
+                             None)[:3]
+
+        def val_step(state, batch, rng, quality=None, mask_indices=None):
+            return val_jit(state, batch, quality, rng, mask_indices,
+                           None)[:2]
 
     return train_step, val_step
 

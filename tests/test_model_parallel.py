@@ -424,3 +424,54 @@ def test_masking_2d_matches_1d():
         np.testing.assert_allclose(np.asarray(losses1),
                                    np.asarray(losses2), rtol=0, atol=2e-5,
                                    err_msg=f"step {step}")
+
+
+def test_hidden_carry_2d_matches_1d():
+    """Sequential-sampling hidden carry (the reference's keepHidden,
+    `cpc/model.py:196-201`) composes with head sharding: the carry comes
+    from the replicated AR compute, so threading it through the 2-D step
+    matches the 1-D keep_hidden trajectory, including the carried state."""
+    from cpc2_tpu.training import init_hidden
+    args, bundle, criterion, crit_local, tx, state0 = _setup('linear')
+    bn, lab = _batch(args, n_data=2)
+
+    mesh1 = make_mesh(2)
+    ts1, vs1 = build_steps(bundle.module, criterion, tx, mesh1,
+                           keep_hidden=True)
+    s1 = replicate(mesh1, state0)
+    b1, l1 = shard_batch(mesh1, bn, lab)
+
+    mesh2 = make_mesh_2d(2, 2)
+    s2 = shard_state_2d(mesh2, jax.tree.map(jnp.array, state0))
+    ts2, vs2 = build_steps_2d(bundle.module, crit_local, tx, mesh2, s2,
+                              keep_hidden=True)
+    b2 = shard_batch(mesh2, bn)
+
+    key = jax.random.PRNGKey(0)
+    h1 = init_hidden(None, args, bn.shape[0])
+    h2 = init_hidden(None, args, bn.shape[0])
+    for step in range(5):
+        s1, losses1, accs1, h1 = ts1(s1, b1, l1, key, hidden=h1)
+        s2, losses2, accs2, h2 = ts2(s2, b2, key, hidden=h2)
+        np.testing.assert_allclose(np.asarray(losses1),
+                                   np.asarray(losses2), rtol=0, atol=2e-5,
+                                   err_msg=f"step {step}")
+        np.testing.assert_array_equal(np.asarray(accs1),
+                                      np.asarray(accs2))
+        # the carried hidden itself matches (GRU: single array)
+        for a, b in zip(jax.tree_util.tree_leaves(h1),
+                        jax.tree_util.tree_leaves(h2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=2e-5,
+                                       err_msg=f"hidden at step {step}")
+        assert np.abs(np.asarray(jax.tree_util.tree_leaves(h1)[0])).max() \
+            > 0  # the carry is actually live, not zeros
+
+    lv1, av1, hv1 = vs1(s1, b1, l1, key, hidden=h1)
+    lv2, av2, hv2 = vs2(s2, b2, key, hidden=h2)
+    np.testing.assert_allclose(np.asarray(lv1), np.asarray(lv2),
+                               rtol=0, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(hv1),
+                    jax.tree_util.tree_leaves(hv2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5)
