@@ -243,6 +243,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
     n_examples = 0
     logs, last_logs = {}, None
     it = 0
+    last_it = 0
     dropped = 0
     pending_losses, pending_accs = [], []
     keep_hidden = getattr(args, '_keep_hidden', False)
@@ -389,8 +390,15 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 print(f"{1000.0 * elapsed / logging_step:.1f} ms per batch, "
                       f"{1000.0 * elapsed / max(n_examples, 1):.1f} ms / "
                       f"example")
-                loc_logs = utils.update_logs(logs, it, last_logs)
+                # window mean: divide the window's sum by the number of
+                # optimizer steps accumulated IN the window (the reference
+                # divides by loggingStep, `cpc/train.py:160-164`; passing
+                # the cumulative `it` here made window N read ~1/N of the
+                # true value)
+                loc_logs = utils.update_logs(logs, max(it - last_it, 1),
+                                             last_logs)
                 last_logs = deepcopy(logs)
+                last_it = it
                 utils.show_logs("Training loss", loc_logs)
                 start_time, n_examples = new_time, 0
 

@@ -256,3 +256,44 @@ def test_staging_runs_on_prefetch_thread(tmp_path, monkeypatch):
     main_thread = threading.get_ident()
     staged_off_main = [t for t in idents if t != main_thread]
     assert staged_off_main, "no staging happened on the worker thread"
+
+
+def test_logging_window_means_do_not_decay(tmp_path, capsys):
+    """Mid-epoch logging windows print the WINDOW mean (the reference
+    divides the window delta by loggingStep, `cpc/train.py:160-164`).
+    A regression divided by the cumulative step count instead, so window
+    N read ~1/N of the true loss — assert successive windows of a
+    near-constant-loss run stay on the same scale."""
+    import re
+    from cpc2_tpu.data.audio_io import save_wav
+
+    root = tmp_path / 'db'
+    d = root / 's1' / 'c1'
+    d.mkdir(parents=True)
+    rs = np.random.RandomState(5)
+    for i in range(4):
+        n = 4160 * 8
+        t = np.arange(n) / 16000.0
+        x = (0.3 * np.sin(2 * np.pi * (140 + 45 * i) * t)
+             + 0.05 * rs.randn(n)).astype(np.float32)
+        save_wav(str(d / f's1-{i}.wav'), x, 16000)
+    train.main(['--pathDB', str(root), '--file_extension', '.wav',
+                '--pathCheckpoint', str(tmp_path / 'ck'),
+                '--hiddenEncoder', '16', '--hiddenGar', '16',
+                '--nPredicts', '2', '--negativeSamplingExt', '4',
+                '--sizeWindow', '4160', '--nGPU', '2',
+                '--batchSizeGPU', '2', '--rnnMode', 'linear',
+                '--arMode', 'GRU', '--samplingType', 'uniform',
+                '--learningRate', '0', '--nEpoch', '1', '--save_step', '1',
+                '--random_seed', '7', '--logging_step', '2'])
+    out = capsys.readouterr().out
+    window_means = [np.mean([float(v) for v in re.findall(r'[\d.]+', m)])
+                    for m in re.findall(r'locLoss_train((?:\s+[\d.]+)+)',
+                                        out)]
+    assert len(window_means) >= 3, out
+    # lr=0: every window sees the same params, so window means must match
+    # (up to negative-sampling noise); under the 1/N bug window 3 reads
+    # ~window1/3.
+    first = window_means[0]
+    for i, w in enumerate(window_means[1:-1], start=2):
+        assert w > 0.55 * first, (i, window_means, out)
