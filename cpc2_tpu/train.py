@@ -714,12 +714,12 @@ def main(argv):
     if model_axis > 1:
         if (getattr(args, 'supervised', False)
                 or args.cpc_mode in ('bert', 'none')
-                or args.multihead_rnn
-                or getattr(args, 'steps_per_dispatch', 1) > 1):
+                or args.multihead_rnn):
             raise ValueError("--model_axis_size > 1 supports the "
                              "unsupervised CPC path only (signal-quality "
-                             "weighting, masking, augmentation and the "
-                             "sequential-sampling hidden carry compose; "
+                             "weighting, masking, augmentation, "
+                             "--steps_per_dispatch and the sequential-"
+                             "sampling hidden carry compose; "
                              "BERT/supervised/multihead do not)")
         if args.distributed:
             # batch sizing and state placement assume a single-process
@@ -1063,7 +1063,14 @@ def main(argv):
         print("--steps_per_dispatch > 1 is incompatible with the "
               "sequential-sampling hidden carry; using 1")
         spd = 1
-    if spd > 1:
+    if spd > 1 and criterion_local is not None:
+        from .training import build_multi_step_2d
+        multi_step = build_multi_step_2d(
+            model_bundle.module, criterion_local, tx, mesh, state, spd,
+            n_skipped=args.n_skipped, device_augment=device_augment,
+            has_quality=args.signal_quality_path is not None,
+            uses_mask=uses_mask)
+    elif spd > 1:
         from .training import build_multi_step
         multi_step = build_multi_step(
             model_bundle.module, criterion, tx, mesh, spd,

@@ -332,7 +332,8 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
                    tx: optax.GradientTransformation, mesh: Mesh,
                    state_template: TrainState, n_skipped: int = 0,
                    device_augment=None, has_quality: bool = False,
-                   uses_mask: bool = False, keep_hidden: bool = False):
+                   uses_mask: bool = False, keep_hidden: bool = False,
+                   _return_bodies: bool = False):
     """Head-sharded model parallelism (extension beyond the reference's
     DP-only design): train/val steps over a ('data','model') mesh.
 
@@ -467,6 +468,9 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
         return (gather_cols(jax.lax.pmean(losses, 'data')),
                 gather_cols(jax.lax.pmean(accs, 'data')), new_hidden)
 
+    if _return_bodies:
+        return train_body, val_body
+
     rep = P()
     data_spec = P('data')
     # The carry is data-sharded and replicated over 'model' (every head
@@ -565,6 +569,64 @@ def build_multi_step(model: nn.Module, criterion: nn.Module,
                    mask_indices=None):
         assert batches.shape[0] == n_inner, (batches.shape, n_inner)
         return multi_jit(state, batches, labels, quality, rng, mask_indices)
+
+    return multi_step
+
+
+def build_multi_step_2d(model: nn.Module, criterion_local: nn.Module,
+                        tx: optax.GradientTransformation, mesh: Mesh,
+                        state_template: TrainState, n_inner: int,
+                        n_skipped: int = 0, device_augment=None,
+                        has_quality: bool = False, uses_mask: bool = False):
+    """`build_multi_step` for the head-sharded ('data','model') mesh: one
+    host dispatch = `n_inner` optimizer steps, scanned inside the same
+    shard_map program as `build_steps_2d` (whose per-shard train body —
+    including its 'model'-psum gradient assembly and all_gather logging
+    columns — is reused verbatim as the scan body, so trajectories match
+    the 2-D single-step path to fp-fusion tolerance).
+
+    Composes the two extensions the reference has neither of: dispatch
+    amortization (`--steps_per_dispatch`) and model-axis head sharding
+    (`--model_axis_size`). The hidden carry stays single-step, like the
+    1-D multi-step path.
+    """
+    train_body, _ = build_steps_2d(
+        model, criterion_local, tx, mesh, state_template,
+        n_skipped=n_skipped, device_augment=device_augment,
+        has_quality=has_quality, uses_mask=uses_mask, keep_hidden=False,
+        _return_bodies=True)
+
+    def multi_body(state: TrainState, batches, quality, rng, mask_indices):
+        xs = {'batch': batches}
+        if quality is not None:
+            xs['quality'] = quality
+        if mask_indices is not None:
+            xs['mask'] = mask_indices
+
+        def scan_fn(st, x):
+            new_st, losses, accs, _ = train_body(
+                st, x['batch'], x.get('quality'), rng, x.get('mask'), None)
+            return new_st, (losses, accs)
+
+        state, (losses, accs) = jax.lax.scan(scan_fn, state, xs)
+        return state, losses, accs
+
+    rep = P()
+    stacked = P(None, 'data')
+    state_specs = head_shard_specs(state_template)
+    n_in = (state_specs, stacked, stacked if has_quality else rep, rep,
+            stacked if uses_mask else rep)
+    multi_jit = jax.jit(
+        shard_map(multi_body, mesh=mesh, in_specs=n_in,
+                  out_specs=(state_specs, rep, rep)),
+        donate_argnums=(0,))
+
+    def multi_step(state, batches, labels, rng, quality=None,
+                   mask_indices=None):
+        # labels accepted for signature parity with the 1-D multi_step;
+        # the unsupervised 2-D path has no label input.
+        assert batches.shape[0] == n_inner, (batches.shape, n_inner)
+        return multi_jit(state, batches, quality, rng, mask_indices)
 
     return multi_step
 
