@@ -285,4 +285,16 @@ def set_tpu_config(parser):
                        help='Host-side loader prefetch depth (batches '
                        'prepared on a background thread while the device '
                        'computes). 0 disables.')
+    group.add_argument('--corpus_on_device', action='store_true',
+                       help='Keep each data pack resident in accelerator '
+                       'HBM (uploaded once, as int16 when the audio sits '
+                       'on the PCM16 grid) and gather training windows on '
+                       'device from per-step offset vectors. Removes the '
+                       'per-step audio upload — the real-data bottleneck '
+                       'on remote/tunneled accelerators. Identical '
+                       'training trajectory to the host path. Needs the '
+                       'pack (--max_size_loaded) to fit in HBM beside the '
+                       'model, and clean host windows: host-side '
+                       'augmentation is rejected (--augment_on_device '
+                       'composes). Single-process only.')
     return parser

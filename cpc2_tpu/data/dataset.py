@@ -400,6 +400,47 @@ class AudioBatchData:
             res = res + (q,)
         return res
 
+    def get_batch_meta(self, indices):
+        """Labels/quality for a batch of window offsets WITHOUT gathering
+        the waveforms — the companion of `--corpus_on_device`, where the
+        audio is resident on the accelerator (`parallel/mesh.DeviceCorpus`)
+        and only the tiny per-window metadata crosses from the host. Tuple
+        structure matches `get_batch(indices)[1:]`."""
+        idx = np.asarray(indices, dtype=np.int64)
+        if self.phoneSize > 0:
+            id_phone = idx // self.phoneSize
+            steps = np.arange(self.phoneStep, dtype=np.int64)
+            phone = self._phone_label_arr[id_phone[:, None] + steps[None, :]]
+        speaker = (np.searchsorted(np.asarray(self.speakerLabel), idx,
+                                   side='right') - 1).astype(np.int64)
+        if self.phoneSize > 0 and not self.doubleLabels:
+            label = phone
+        else:
+            label = speaker
+        res = (label,)
+        if self.doubleLabels and self.phoneSize > 0:
+            res = res + (phone,)
+        if self.signal_quality_path:
+            q = np.stack([self.getSignalQuality(int(i)) for i in idx])
+            res = res + (q,)
+        return res
+
+    def gather_windows(self, indices):
+        """Host-side clean-window gather: (B, 2, 1, W) float32 with the
+        past/future views duplicated, NO transform/augmentation (used for
+        the rare ragged-tail batches under `--corpus_on_device`, whose
+        fixed-shape device gather programs only exist for the main batch
+        size)."""
+        if self.transform is not None or (
+                self.augmentation is not None
+                and (self.augment_past or self.augment_future)):
+            raise ValueError("gather_windows is for clean (untransformed, "
+                             "unaugmented-on-host) corpora only")
+        idx = np.asarray(indices, dtype=np.int64)
+        window = np.arange(self.sizeWindow, dtype=np.int64)
+        wave = self.data[idx[:, None] + window[None, :]][:, None, :]
+        return np.stack([wave, wave], axis=1).astype(np.float32)
+
     def getNSpeakers(self):
         return len(self.speakers)
 
@@ -435,7 +476,8 @@ class AudioBatchData:
     def getDataLoader(self, batchSize: int, type: str, randomOffset: bool,
                       numWorkers: int = 0, onLoop: int = -1, nLoops: int = -1,
                       remove_artefacts: bool = False,
-                      batch_size_per_gpu: Optional[int] = None):
+                      batch_size_per_gpu: Optional[int] = None,
+                      yield_indices: bool = False):
         """Iterator over batches for one epoch
         (reference `dataset.py:366-408`)."""
         tot_size = self.totSize // (self.sizeWindow * batchSize)
@@ -458,7 +500,8 @@ class AudioBatchData:
                                        batch_size_per_gpu)
 
         return AudioLoader(self, sampler_call, nLoops, self.loadNextPack,
-                           tot_size, numWorkers, remove_artefacts)
+                           tot_size, numWorkers, remove_artefacts,
+                           yield_indices=yield_indices)
 
 
 class AudioLoader:
@@ -467,7 +510,8 @@ class AudioLoader:
 
     def __init__(self, dataset: AudioBatchData, samplerCall: Callable,
                  nLoop: int, updateCall: Callable, size: int,
-                 numWorkers: int = 0, remove_artefacts: bool = False):
+                 numWorkers: int = 0, remove_artefacts: bool = False,
+                 yield_indices: bool = False):
         self.samplerCall = samplerCall
         self.updateCall = updateCall
         self.nLoop = nLoop
@@ -475,6 +519,9 @@ class AudioLoader:
         self.dataset = dataset
         self.numWorkers = numWorkers
         self.remove_artefacts = remove_artefacts
+        # yield (offsets, *labels) instead of gathered waveforms —
+        # `--corpus_on_device` keeps the audio resident on the accelerator
+        self.yield_indices = yield_indices
 
     def __len__(self):
         return self.size
@@ -518,7 +565,11 @@ class AudioLoader:
         for batch_idx in sampler:
             if len(batch_idx) == 0:
                 continue
-            yield self.dataset.get_batch(batch_idx)
+            if self.yield_indices:
+                yield ((np.asarray(batch_idx, dtype=np.int64),)
+                       + self.dataset.get_batch_meta(batch_idx))
+            else:
+                yield self.dataset.get_batch(batch_idx)
 
     def __iter__(self):
         for i in range(self.nLoop):

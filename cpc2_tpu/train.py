@@ -35,7 +35,8 @@ from .losses import (CPCUnsupervisedCriterion, CTCPhoneCriterion,
 from .models.cpc import compute_bert_mask, compute_mask_indices
 from .models.encoder import encoded_seq_len
 from .parallel.distributed import init_distributed_mode
-from .parallel.mesh import WireStager, make_mesh, shard_batch
+from .parallel.mesh import (DeviceCorpus, WireStager, make_mesh,
+                            shard_batch)
 from .utils.prefetch import prefetch
 from .training import (build_steps, create_train_state,
                        make_optimizer, set_learning_rate)
@@ -238,7 +239,7 @@ class TailRunner:
 
 def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 rng, frames, expected_batch, multi_step=None,
-                tail_runner=None):
+                tail_runner=None, device_corpus=None):
     start_time = time.perf_counter()
     n_examples = 0
     logs, last_logs = {}, None
@@ -288,9 +289,21 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         def _prep(full_data):
             sequence, label, quality, mask = _stack_batch(
                 full_data, frames, args, True)
-            if sequence.shape[0] != expected_batch:
+            if device_corpus is not None:
+                # `--corpus_on_device`: `sequence` is the (B,) window-offset
+                # vector (loader built with yield_indices=True); the audio
+                # batch is gathered ON the accelerator from the resident
+                # pack. Ragged tails gather on host — their fixed-shape
+                # device programs don't exist.
+                if sequence.shape[0] != expected_batch:
+                    seq = data_loader.dataset.gather_windows(sequence)
+                    return ('ragged', seq, label, quality, mask)
+                device_corpus.ensure(data_loader.dataset.data)
+                staged = device_corpus.put(sequence)
+            elif sequence.shape[0] != expected_batch:
                 return ('ragged', sequence, label, quality, mask)
-            staged = stager.put(sequence)
+            else:
+                staged = stager.put(sequence)
             lab = shard_batch(mesh, np.asarray(label).astype(np.int32))
             qual = (shard_batch(mesh, quality.astype(np.float32))
                     if quality is not None else None)
@@ -472,7 +485,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
 
 
 def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
-              expected_batch, tail_runner=None):
+              expected_batch, tail_runner=None, device_corpus=None):
     logs = {}
     it = 0
     ragged = []
@@ -486,6 +499,9 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
         sequence, label, quality, mask = _stack_batch(full_data, frames,
                                                       args, False)
         if sequence.shape[0] != expected_batch:
+            if device_corpus is not None:
+                # offsets -> host windows for the ragged-tail programs
+                sequence = data_loader.dataset.gather_windows(sequence)
             if (not keep_hidden and sequence.shape[0] > 0
                     and sequence.shape[0] % mesh.devices.size == 0):
                 ragged.append((sequence, label, mask))
@@ -493,7 +509,11 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
                     and tail_runner is not None):
                 tail_runner.add((sequence, label, None, mask))
             continue
-        batch = stager.put(sequence)
+        if device_corpus is not None:
+            device_corpus.ensure(data_loader.dataset.data)
+            batch = device_corpus.put(sequence)
+        else:
+            batch = stager.put(sequence)
         label = shard_batch(mesh, np.asarray(label).astype(np.int32))
         if mask is not None:
             mask = shard_batch(mesh, mask)
@@ -551,6 +571,15 @@ def run(train_dataset, val_dataset, batch_size, sampling_mode, state,
     frames = encoded_seq_len(args.sizeWindow)
     rng = jax.random.PRNGKey(args.random_seed or 0)
 
+    # --corpus_on_device: corpora live in HBM across epochs (one upload per
+    # pack, not per epoch); loaders yield window offsets instead of audio.
+    yield_indices = bool(getattr(args, 'corpus_on_device', False))
+    corpus_train = corpus_val = None
+    if yield_indices:
+        corpus_train = DeviceCorpus(mesh, args.sizeWindow)
+        if val_dataset is not None:
+            corpus_val = DeviceCorpus(mesh, args.sizeWindow)
+
     for epoch in range(start_epoch, n_epoch):
         print(f"Starting epoch {epoch}")
         utils.cpu_stats()
@@ -560,9 +589,11 @@ def run(train_dataset, val_dataset, batch_size, sampling_mode, state,
         train_loader = train_dataset.getDataLoader(
             batch_size, sampling_mode, True, numWorkers=0,
             remove_artefacts=args.no_artefacts,
-            batch_size_per_gpu=args.batchSizeGPU)
+            batch_size_per_gpu=args.batchSizeGPU,
+            yield_indices=yield_indices)
         val_loader = (val_dataset.getDataLoader(batch_size, 'sequential',
-                                                False, numWorkers=0)
+                                                False, numWorkers=0,
+                                                yield_indices=yield_indices)
                       if val_dataset is not None else [])
 
         print("Training dataset %d batches, Validation dataset %d batches, "
@@ -573,11 +604,13 @@ def run(train_dataset, val_dataset, batch_size, sampling_mode, state,
         state, loc_logs_train = train_epoch(
             train_loader, state, train_step, mesh, args,
             logs["logging_step"], jax.random.fold_in(rng, epoch), frames,
-            batch_size, multi_step=multi_step, tail_runner=tail_runner)
+            batch_size, multi_step=multi_step, tail_runner=tail_runner,
+            device_corpus=corpus_train)
         loc_logs_val = (val_epoch(val_loader, state, val_step, mesh, args,
                                   jax.random.fold_in(rng, 2**20 + epoch),
                                   frames, batch_size,
-                                  tail_runner=tail_runner)
+                                  tail_runner=tail_runner,
+                                  device_corpus=corpus_val)
                         if val_dataset is not None else {})
 
         print(f'Ran {epoch + 1} epochs '
@@ -682,7 +715,8 @@ def main(argv):
                                       "restart", "world_size", "global_rank",
                                       "local_rank", "n_nodes", "node_id",
                                       "n_gpu_per_node", "max_size_loaded",
-                                      "nEpoch", "save_step"})
+                                      "nEpoch", "save_step",
+                                      "corpus_on_device"})
             args.load, load_optimizer = [data], True
             args.loadCriterion = True
 
@@ -874,10 +908,25 @@ def main(argv):
                 print("Augmentations kept ON HOST (no device port): %s"
                       % host_aug_types)
 
-    print(f'\nLoading audio data at {args.pathDB}')
     # Hybrid split: host pipeline handles only the types the device chain
     # doesn't cover (all of them when --augment_on_device is off).
     use_host_aug = device_augment is None or bool(host_aug_types)
+
+    if getattr(args, 'corpus_on_device', False):
+        if args.distributed and jax.process_count() > 1:
+            raise ValueError("--corpus_on_device is single-process only: "
+                             "per-host packs differ, so a replicated "
+                             "device corpus would be incoherent across "
+                             "processes")
+        if (args.augment_past or args.augment_future) and use_host_aug \
+                and args.augment_type and args.augment_type != 'none':
+            raise ValueError(
+                "--corpus_on_device needs clean host windows, but "
+                f"host-side augmentations are active ({host_aug_types}). "
+                "Use --augment_on_device with device-ported types, or "
+                "drop --corpus_on_device.")
+
+    print(f'\nLoading audio data at {args.pathDB}')
     host_args = args
     if device_augment is not None and host_aug_types:
         host_args = argparse.Namespace(**vars(args))
@@ -1062,6 +1111,12 @@ def main(argv):
     if spd > 1 and keep_hidden:
         print("--steps_per_dispatch > 1 is incompatible with the "
               "sequential-sampling hidden carry; using 1")
+        spd = 1
+    if spd > 1 and getattr(args, 'corpus_on_device', False):
+        # the multi-step path stacks host batches per dispatch group; the
+        # device-resident corpus removes the host batches it would stack
+        print("--steps_per_dispatch > 1 is incompatible with "
+              "--corpus_on_device; using 1")
         spd = 1
     if spd > 1 and criterion_local is not None:
         from .training import build_multi_step_2d
