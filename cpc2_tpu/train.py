@@ -489,6 +489,7 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
     logs = {}
     it = 0
     ragged = []
+    pending = []
     stager = WireStager(mesh)
     keep_hidden = getattr(args, '_keep_hidden', False)
     hidden = None
@@ -523,12 +524,19 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
         else:
             all_losses, all_acc = val_step(state, batch, label, rng,
                                            mask_indices=mask)
-        if "locLoss_val" not in logs:
-            logs["locLoss_val"] = np.zeros(all_losses.shape[1])
-            logs["locAcc_val"] = np.zeros(all_losses.shape[1])
+        # metrics stay on device until the end of the pass: one fetch for
+        # the whole val set instead of a device sync per batch (each sync
+        # is a full round-trip on remote-dispatch backends)
         it += 1
-        logs["locLoss_val"] += np.asarray(all_losses).mean(0)
-        logs["locAcc_val"] += np.asarray(all_acc).mean(0)
+        pending.append((all_losses, all_acc))
+
+    if pending:
+        losses_all = np.asarray(jnp.stack([p[0] for p in pending]))
+        accs_all = np.asarray(jnp.stack([p[1] for p in pending]))
+        logs.setdefault("locLoss_val", np.zeros(losses_all.shape[-1]))
+        logs.setdefault("locAcc_val", np.zeros(losses_all.shape[-1]))
+        logs["locLoss_val"] += losses_all.mean(1, dtype=np.float64).sum(0)
+        logs["locAcc_val"] += accs_all.mean(1, dtype=np.float64).sum(0)
 
     # Ragged val tail batches: their own program at their natural size, so
     # the val metrics cover the same examples the reference's do.
