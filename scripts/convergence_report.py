@@ -44,13 +44,20 @@ def fresh_init_checkpoint(out_path, seed=123):
     from cpc2_tpu.io.torch_ckpt import (params_to_torch_state_dict,
                                         save_checkpoint)
     args = get_default_cpc_config()
+    # train-only flags loadModel's config resolution expects in the json
+    args.load = None
+    args.loadCriterion = False
     bundle = fl.init_model(args, seed=seed)
     sd = params_to_torch_state_dict(bundle.variables['params'],
                                     norm_mode=args.normMode)
     save_checkpoint(sd, {}, {}, None, out_path)
-    with open(os.path.join(os.path.dirname(out_path),
-                           'checkpoint_args.json'), 'w') as f:
+    ckpt_dir = os.path.dirname(out_path)
+    with open(os.path.join(ckpt_dir, 'checkpoint_args.json'), 'w') as f:
         json.dump(vars(args), f)
+    # loadModel resolves args via get_checkpoint_data, which requires the
+    # logs side file too
+    with open(os.path.join(ckpt_dir, 'checkpoint_logs.json'), 'w') as f:
+        json.dump({'epoch': []}, f)
     return out_path
 
 
@@ -99,8 +106,12 @@ def strict_load_into_torch(ckpt):
     ar_sd = {k[len('gAR.baseNet.'):]: v
              for k, v in state['gEncoder'].items()
              if k.startswith('gAR.baseNet.')}
-    build_torch_encoder(256).load_state_dict(enc_sd)
-    torch.nn.LSTM(256, 256, batch_first=True).load_state_dict(ar_sd)
+    dim = enc_sd['conv0.weight'].shape[0]
+    build_torch_encoder(dim).load_state_dict(enc_sd)
+    gates = ar_sd['weight_ih_l0'].shape[0] // dim   # 4 = LSTM, 3 = GRU
+    rnn = (torch.nn.LSTM if gates == 4 else torch.nn.GRU)(
+        dim, dim, batch_first=True)
+    rnn.load_state_dict(ar_sd)
     return True
 
 
