@@ -132,6 +132,47 @@ class TestDeviceCorpusUnit:
 
 class TestGetBatchMeta:
 
+    def test_quality_vectors_match_get_batch(self, tmp_path):
+        """Signal-quality composition: get_batch_meta returns the same
+        per-window quality slices the host gather path feeds the
+        criterion's loss weighting."""
+        torch = pytest.importorskip("torch")
+        from cpc2_tpu.data.audio_io import save_wav
+        from cpc2_tpu.data.corpus import find_all_seqs
+        from cpc2_tpu.data.dataset import AudioBatchData
+        root = tmp_path / 'qdb'
+        qdir = tmp_path / 'quality'
+        rs = np.random.RandomState(1)
+        for spk in ['a', 'b']:
+            (root / spk / 'c').mkdir(parents=True)
+            (qdir / spk / 'c').mkdir(parents=True)
+            n = 32000
+            x = (0.2 * np.sin(np.arange(n) * 0.05)
+                 + 0.02 * rs.randn(n)).astype(np.float32)
+            save_wav(str(root / spk / 'c' / f'{spk}-0.wav'), x, 16000)
+            est = n // 1600
+            torch.save([torch.from_numpy(rs.uniform(0, 30, (est, 1))
+                                         .astype(np.float32)),
+                        torch.from_numpy(rs.uniform(0, 60, (est, 1))
+                                         .astype(np.float32))],
+                       str(qdir / spk / 'c' / f'{spk}-0.pt'))
+        with open(qdir / 'min_max.csv', 'w') as f:
+            f.write("min_snr,max_snr,min_c50,max_c50\n0,30,0,60\n")
+        seqs, speakers = find_all_seqs(str(root), extension='.wav',
+                                       loadCache=False)
+        ds = AudioBatchData(str(root), 3200, seqs, None, len(speakers),
+                            nProcessLoader=1,
+                            signal_quality_path=str(qdir),
+                            signal_quality_step=1600,
+                            signal_quality_mode='snr')
+        idx = [0, 3200, 40000]
+        full = ds.get_batch(idx)
+        meta = ds.get_batch_meta(idx)
+        np.testing.assert_array_equal(np.asarray(full[1]),
+                                      np.asarray(meta[0]))
+        np.testing.assert_array_equal(np.asarray(full[2]),
+                                      np.asarray(meta[1]))
+
     def test_matches_get_batch(self, mini_corpus):
         from cpc2_tpu.data.corpus import find_all_seqs
         from cpc2_tpu.data.dataset import AudioBatchData
