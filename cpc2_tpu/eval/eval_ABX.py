@@ -168,10 +168,15 @@ def main(argv):
 
         def feature_function(x):
             if not _cache:
+                # only the files the .item file references: an item file
+                # over a held-out split must not trigger feature
+                # extraction of the whole corpus
+                from .abx.abx_iterators import load_item_file
+                needed = set(load_item_file(args.path_item_file)[0].keys())
                 _seqs, _ = findAllSeqs(args.path_dataset,
                                        extension=args.file_extension)
                 paths = [str(Path(args.path_dataset) / p)
-                         for (_, p) in _seqs]
+                         for (_, p) in _seqs if Path(p).stem in needed]
                 if args.debug:
                     paths = paths[:1000]
                 _cache.update(build_feature_files(
