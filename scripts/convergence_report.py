@@ -121,6 +121,9 @@ def main():
     ap.add_argument('--ckpt_dir', required=True)
     ap.add_argument('--work', default='/tmp/conv_eval')
     ap.add_argument('--lin_files', type=int, default=200)
+    ap.add_argument('--lin_epochs', type=int, default=10,
+                    help='probe training epochs (the frozen probes are '
+                    'cheap; 3 epochs leaves them visibly undertrained)')
     args = ap.parse_args()
 
     os.makedirs(args.work, exist_ok=True)
@@ -159,10 +162,12 @@ def main():
         abx = run_abx(ckpt, args.corpus, os.path.join(args.work,
                                                       f'abx_{tag}'))
         spk = run_linear_sep(ckpt, args.corpus,
-                             os.path.join(args.work, f'spk_{tag}'))
+                             os.path.join(args.work, f'spk_{tag}'),
+                             n_epoch=args.lin_epochs)
         pho = run_linear_sep(ckpt, args.corpus,
                              os.path.join(args.work, f'pho_{tag}'),
-                             path_phone=phone_file)
+                             path_phone=phone_file,
+                             n_epoch=args.lin_epochs)
         rows.append((tag, abx.get('within'), abx.get('across'), spk, pho))
 
     print("\n### Representation quality: fresh init vs trained\n")
