@@ -77,6 +77,21 @@ class TestTrajectoryEquivalence:
             np.asarray(dev['locLoss_train'], np.float64), rtol=0, atol=0)
 
 
+class TestModelParallelComposition:
+
+    def test_matches_host_path_on_2d_mesh(self, mini_corpus, tmp_path):
+        """--corpus_on_device over the ('data','model') head-sharded mesh:
+        the staged batch shards over 'data' exactly like the host path."""
+        extra = ['--samplingType', 'uniform', '--nGPU', '4',
+                 '--model_axis_size', '2']
+        host = _run(mini_corpus, tmp_path / 'h2d', extra)
+        dev = _run(mini_corpus, tmp_path / 'd2d',
+                   extra + ['--corpus_on_device'])
+        np.testing.assert_allclose(
+            np.asarray(host['locLoss_train'], np.float64),
+            np.asarray(dev['locLoss_train'], np.float64), rtol=0, atol=0)
+
+
 class TestGuards:
 
     def test_rejects_host_augmentation(self, mini_corpus, tmp_path):
