@@ -183,7 +183,12 @@ def _wsola_stretch(x: np.ndarray, out_len: int, sr: float = SAMPLE_RATE,
         if tail is None:
             out[pos:pos + seg] = chunk
         else:
-            out[pos:pos + ovr] += tail * (1 - ramp) + chunk[:ovr] * ramp
+            # Crossfade REPLACES the previous segment's tail (already
+            # written at [pos, pos+ovr) by the prior iteration): the blend
+            # is (1-ramp)*prev + ramp*new with unity gain. `+=` here would
+            # double-count the resident tail — a +6 dB artifact over every
+            # overlap window.
+            out[pos:pos + ovr] = tail * (1 - ramp) + chunk[:ovr] * ramp
             out[pos + ovr:pos + seg] = chunk[ovr:]
         tail = (x[best + hop:best + hop + ovr]
                 if best + hop + ovr <= len(x) else chunk[-ovr:])

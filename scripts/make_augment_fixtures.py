@@ -87,15 +87,32 @@ def freeverb_lfilter(x, reverberance, hf_damping, room):
 def wsola_stretch(x, out_len, segment_ms=82.0, search_ms=14.68,
                   overlap_ms=12.0):
     """WSOLA time-stretch of x to out_len samples (sox tempo's documented
-    music defaults)."""
+    music defaults).
+
+    Deliberately a DIFFERENT synthesis formulation from the framework's
+    `_wsola_stretch` (which writes segments sequentially and crossfades in
+    place): here every selected segment is accumulated under a trapezoid
+    window and the output is normalized by the summed window weight. For
+    unity-gain crossfades the two formulations are mathematically
+    identical, so a synthesis bug in either one (e.g. double-counting an
+    overlap) shows up as a fixture mismatch instead of cancelling out.
+    """
     seg = int(segment_ms * SR / 1000)
     ovr = int(overlap_ms * SR / 1000)
     search = int(search_ms * SR / 1000)
     hop = seg - ovr
     f = len(x) / float(out_len)
-    out = np.zeros(out_len + seg)
-    fade_in = np.linspace(0.0, 1.0, ovr)
-    fade_out = 1.0 - fade_in
+
+    # trapezoid synthesis window: ramp up over ovr, flat, ramp down over ovr;
+    # the first segment starts flat (nothing before it to crossfade with)
+    win = np.ones(seg)
+    win[:ovr] = np.linspace(0.0, 1.0, ovr)
+    win[seg - ovr:] = 1.0 - np.linspace(0.0, 1.0, ovr)
+    win_first = np.ones(seg)
+    win_first[seg - ovr:] = win[seg - ovr:]
+
+    acc = np.zeros(out_len + 2 * seg)
+    wsum = np.zeros(out_len + 2 * seg)
 
     pos_out = 0
     prev_tail = None
@@ -105,32 +122,27 @@ def wsola_stretch(x, out_len, segment_ms=82.0, search_ms=14.68,
             chunk = np.zeros(seg)
             avail = x[target:]
             chunk[:len(avail)] = avail
-            best = target
         elif prev_tail is None:
-            best = target
-            chunk = x[best:best + seg]
+            chunk = x[target:target + seg]
         else:
             lo = max(0, target - search)
             hi = min(len(x) - seg, target + search)
             if hi <= lo:
                 best = max(0, min(target, len(x) - seg))
             else:
-                # best overlap alignment by cross-correlation
+                # best overlap alignment by cross-correlation against the
+                # natural continuation of the previous segment
                 n_cand = hi - lo + 1
                 windows = np.lib.stride_tricks.sliding_window_view(
                     x[lo:hi + ovr], ovr)[:n_cand]
-                scores = windows @ prev_tail
-                best = lo + int(np.argmax(scores))
+                best = lo + int(np.argmax(windows @ prev_tail))
             chunk = x[best:best + seg]
-        if prev_tail is not None:
-            out[pos_out:pos_out + ovr] += (prev_tail * fade_out
-                                           + chunk[:ovr] * fade_in)
-            out[pos_out + ovr:pos_out + seg] = chunk[ovr:]
-        else:
-            out[pos_out:pos_out + seg] = chunk
-        prev_tail = x[best + hop:best + hop + ovr] if \
-            best + hop + ovr <= len(x) else chunk[-ovr:]
+        w = win_first if prev_tail is None else win
+        acc[pos_out:pos_out + seg] += w * chunk
+        wsum[pos_out:pos_out + seg] += w
+        prev_tail = chunk[-ovr:]
         pos_out += hop
+    out = acc / np.maximum(wsum, 1e-12)
     return out[:out_len]
 
 

@@ -172,6 +172,16 @@ class TestWsolaHostImplementation:
         scale = np.abs(ref).max()
         assert np.abs(got - ref).max() < 5e-3 * scale, (ci, name)
 
+    def test_unity_gain_on_constant(self):
+        # Regression: the crossfade must REPLACE the previous segment's
+        # resident tail, not accumulate onto it — a `+=` there reads +6 dB
+        # (2.0 on a unit constant) over every overlap window.
+        x = np.ones(8192)
+        y = ha._wsola_stretch(x, 9000)
+        interior = y[:7000]
+        assert np.abs(interior - 1.0).max() < 1e-9, \
+            np.abs(interior - 1.0).max()
+
     def test_factory_wiring(self):
         import argparse
         from cpc2_tpu.config import get_default_cpc_config
