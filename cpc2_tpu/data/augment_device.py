@@ -468,7 +468,9 @@ def make_device_augment(augment_types: Sequence[str],
                         batch_size: int = 8,
                         ir_paths: Optional[str] = None,
                         ir_prob: float = 1.0,
-                        ir_batch_wise: bool = False) -> Optional[Callable]:
+                        ir_batch_wise: bool = False,
+                        noise_sampling: str = 'uniform'
+                        ) -> Optional[Callable]:
     """Composable device transform covering the full host
     `augmentation_factory` vocabulary. Returns `f(x, key) -> x` over (B, W)
     windows, or None for an empty list.
@@ -507,8 +509,12 @@ def make_device_augment(augment_types: Sequence[str],
             if noise_dataset is None:
                 raise RuntimeError('Noise dataset is needed for the '
                                    'additive noise')
+            # noise_sampling carries --temporal_additive_noise through to
+            # the pool loader (host factory maps the flag to the
+            # temporalsamespeaker sampler, augmentation.py:557)
             chain.append(make_additive_noise(noise_dataset, snr_min,
-                                             snr_max, batch_size))
+                                             snr_max, batch_size,
+                                             sampling=noise_sampling))
         else:
             raise ValueError(
                 f"augmentation {name!r} has no device implementation "

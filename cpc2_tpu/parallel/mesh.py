@@ -175,14 +175,21 @@ class DeviceCorpus:
     def __init__(self, mesh: Mesh, size_window: int):
         self._mesh = mesh
         self._w = int(size_window)
-        self._data_id = None
+        self._host_data = None
         self._corpus = None
         self._i16 = False
         self._gather = {}
 
     def ensure(self, data) -> None:
-        """Upload `data` (the pack's flat 1-D waveform) if not resident."""
-        if self._data_id == id(data):
+        """Upload `data` (the pack's flat 1-D waveform) if not resident.
+
+        Residency is keyed on an `is` check against a STRONG reference to
+        the cached pack: holding the array itself (not its `id()`) is what
+        makes the check sound — after a pack swap frees the old array, a
+        new pack allocated at the recycled address would otherwise be
+        mistaken for the resident one and training would silently gather
+        stale audio."""
+        if data is self._host_data:
             return
         arr = np.asarray(data, np.float32)
         if arr.size >= 2 ** 31:
@@ -198,7 +205,7 @@ class DeviceCorpus:
             and float(rounded.max(initial=0.0)) <= 32767.0)
         wire = rounded.astype(np.int16) if self._i16 else arr
         self._corpus = jax.device_put(wire, NamedSharding(self._mesh, P()))
-        self._data_id = id(data)
+        self._host_data = data
 
     def put(self, indices):
         """Stage the batch at `indices` as a (B, 2, 1, W) float32 global

@@ -333,7 +333,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
             # reference (`cpc/train.py:145-187`).
             _, sequence, label, quality, mask = item
             if (not keep_hidden and sequence.shape[0] > 0
-                    and sequence.shape[0] % mesh.devices.size == 0):
+                    and sequence.shape[0] % mesh.shape['data'] == 0):
                 ragged.append((sequence, label, quality, mask))
             elif (not keep_hidden and sequence.shape[0] > 0
                     and tail_runner is not None):
@@ -345,7 +345,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
             _, sequence, label, quality, mask = item
             if sequence.shape[0] != expected_batch:
                 if (not keep_hidden and sequence.shape[0] > 0
-                        and sequence.shape[0] % mesh.devices.size == 0):
+                        and sequence.shape[0] % mesh.shape['data'] == 0):
                     ragged.append((sequence, label, quality, mask))
                 elif (not keep_hidden and sequence.shape[0] > 0
                         and tail_runner is not None):
@@ -504,7 +504,7 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
                 # offsets -> host windows for the ragged-tail programs
                 sequence = data_loader.dataset.gather_windows(sequence)
             if (not keep_hidden and sequence.shape[0] > 0
-                    and sequence.shape[0] % mesh.devices.size == 0):
+                    and sequence.shape[0] % mesh.shape['data'] == 0):
                 ragged.append((sequence, label, mask))
             elif (not keep_hidden and sequence.shape[0] > 0
                     and tail_runner is not None):
@@ -693,16 +693,41 @@ def _save_training_checkpoint(state, best_params, model_bundle, args, path):
         save_checkpoint(model_sd, crit_sd, opt_plain, best_sd, path)
 
 
+def _peek_distributed(argv) -> bool:
+    """True when this run will end up in distributed mode — either a literal
+    `--distributed` flag, or a checkpoint auto-resume whose saved
+    `checkpoint_args.json` carries distributed=true (restarting a pod run
+    with just `--pathCheckpoint <dir>` is the documented resume idiom; the
+    restored flag must trigger the same early bootstrap). File IO only —
+    must not touch the JAX backend."""
+    if '--distributed' in argv:
+        return True
+    if '--restart' in argv:
+        return False
+    path = None
+    for i, a in enumerate(argv):
+        if a == '--pathCheckpoint' and i + 1 < len(argv):
+            path = argv[i + 1]
+        elif a.startswith('--pathCheckpoint='):
+            path = a.split('=', 1)[1]
+    if path is None:
+        return False
+    cdata = get_checkpoint_data(path)
+    if cdata is None:
+        return False
+    return bool(getattr(cdata[2], 'distributed', False))
+
+
 def main(argv):
     from .utils.cache import enable_compilation_cache
     enable_compilation_cache()
     # Multi-host bootstrap must run BEFORE the first backend touch:
     # parse_args counts jax.devices(), which initializes the local backend,
     # and jax.distributed.initialize refuses to run after that. Peek argv
-    # and bootstrap first; the discovered rank fields are copied onto args
-    # after parsing.
+    # (and, on auto-resume, the saved checkpoint args) and bootstrap first;
+    # the discovered rank fields are copied onto args after parsing.
     dist_boot = None
-    if '--distributed' in argv:
+    if _peek_distributed(argv):
         dist_boot = argparse.Namespace()
         init_distributed_mode(dist_boot)
     args = parse_args(argv)
@@ -907,7 +932,9 @@ def main(argv):
             batch_size=batch_size,
             ir_paths=args.pathImpulseResponses,
             ir_prob=args.impulse_response_prob,
-            ir_batch_wise=args.ir_batch_wise)
+            ir_batch_wise=args.ir_batch_wise,
+            noise_sampling=("temporalsamespeaker"
+                            if args.temporal_additive_noise else "uniform"))
         if chain is not None:
             device_augment = (chain, args.augment_past, args.augment_future,
                               args.past_equal_future)

@@ -86,7 +86,6 @@ def main():
     args = ap.parse_args()
 
     rows = []
-    base_ahh = None
     for precision in args.precisions:
         for batch in args.batches:
             extra = (['--neg_pool_group',
@@ -95,9 +94,6 @@ def main():
             res, ms = run_config(batch, precision, args.steps,
                                  extra)
             ahh = res['value']
-            if base_ahh is None:
-                base_ahh = ahh if (batch == 8 and
-                                   precision == args.precisions[0]) else None
             flops = recipe_flops_per_step(batch)
             mfu = flops / (ms / 1000.0) / (args.peak_tflops * 1e12) * 100
             rows.append((precision, batch, ms, ahh, mfu,
@@ -105,9 +101,12 @@ def main():
             print(f"done: {precision} b={batch}: {ms:.2f} ms/step, "
                   f"{ahh:.0f} ah/h, ~{mfu:.1f}% MFU", file=sys.stderr)
 
+    # scaling column anchors on batch 8 when present, else the first row
+    # (and says so in the header)
     b8 = next((r[3] for r in rows if r[1] == 8), rows[0][3])
+    anchor = 'batch-8' if any(r[1] == 8 for r in rows) else 'first row'
     print('\n| precision | per-chip batch | ms/step | audio-h/h/chip | '
-          'x vs batch-8 | est. MFU | vs torch-GPU est. |')
+          f'x vs {anchor} | est. MFU | vs torch-GPU est. |')
     print('|---|---|---|---|---|---|---|')
     for precision, batch, ms, ahh, mfu, vsb in rows:
         print(f'| {precision} | {batch} | {ms:.2f} | {ahh:,.0f} | '

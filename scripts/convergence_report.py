@@ -32,8 +32,14 @@ import numpy as np
 
 
 def latest_checkpoint(ckpt_dir):
+    # numeric epochs only: sibling files like checkpoint_last.pt (written
+    # by the clustering driver) or user copies must not crash the scan
     cands = [(int(f.split('_')[-1][:-3]), f) for f in os.listdir(ckpt_dir)
-             if f.startswith('checkpoint_') and f.endswith('.pt')]
+             if f.startswith('checkpoint_') and f.endswith('.pt')
+             and f.split('_')[-1][:-3].isdigit()]
+    if not cands:
+        raise FileNotFoundError(
+            f"no checkpoint_<epoch>.pt files in {ckpt_dir}")
     return os.path.join(ckpt_dir, max(cands)[1]), max(cands)[0]
 
 

@@ -378,3 +378,26 @@ class TestDeviceAdditiveNoise:
             ad.make_device_augment(['additive'])
         with _pytest.raises(RuntimeError):
             ad.make_device_augment(['natural_reverb'])
+
+    def test_temporal_sampling_reaches_pool_loader(self, tmp_path):
+        """--temporal_additive_noise must change how the device noise pool
+        is drawn (host factory maps the flag to the temporalsamespeaker
+        sampler, augmentation.py:557); the factory plumbs it through as
+        noise_sampling."""
+        ds = self._noise_dataset(tmp_path)
+        seen = []
+        orig = ds.getDataLoader
+
+        def spy(batch_size, sampling, *a, **kw):
+            seen.append((sampling, kw.get('remove_artefacts')))
+            return orig(batch_size, sampling, *a, **kw)
+
+        ds.getDataLoader = spy
+        fn = ad.make_device_augment(['additive'], noise_dataset=ds,
+                                    batch_size=4,
+                                    noise_sampling='temporalsamespeaker')
+        assert fn is not None
+        assert seen == [('temporalsamespeaker', True)]
+        seen.clear()
+        ad.make_device_augment(['additive'], noise_dataset=ds, batch_size=4)
+        assert seen == [('uniform', False)]

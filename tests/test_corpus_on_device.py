@@ -144,6 +144,24 @@ class TestDeviceCorpusUnit:
         out = np.asarray(corpus.put(np.array([0, 8])))
         np.testing.assert_allclose(out, 0.25)
 
+    def test_pack_swap_with_recycled_id(self):
+        # Residency must key on object identity via a STRONG reference, not
+        # id(): after the loader frees pack A, the allocator can hand pack B
+        # the same address, and an id() cache would gather stale audio.
+        mesh = make_mesh(2)
+        corpus = DeviceCorpus(mesh, 16)
+        corpus.ensure(np.zeros(100, np.float32))
+        # Each loop frees the previous pack and allocates a same-sized one;
+        # an id() cache hits recycled addresses within a few iterations and
+        # serves a stale pack's values.
+        for i in range(50):
+            b = np.full(100, 0.01 * (i + 1), np.float32)
+            corpus.ensure(b)
+            out = np.asarray(corpus.put(np.array([0, 8])))
+            np.testing.assert_allclose(out, 0.01 * (i + 1), rtol=1e-6)
+            del b
+        assert corpus._host_data is not None
+
 
 class TestGetBatchMeta:
 

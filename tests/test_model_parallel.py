@@ -183,6 +183,56 @@ class TestHeadSharding:
         wp = [k for k in sd['cpcCriterion'] if 'wPrediction' in k]
         assert wp, list(sd['cpcCriterion'])[:5]
 
+    def test_ragged_tail_runs_on_main_mesh(self, tmp_path, capsys,
+                                           monkeypatch):
+        """A tail batch divisible by the DATA axis but not by the total
+        device count must run through the main-mesh ragged program, not be
+        diverted to the single-device TailRunner (whose state round-trip
+        and 1-device negative pool are the fallback of last resort).
+        Mesh (2 data x 2 model), samespeaker tail of 2."""
+        import json
+        from cpc2_tpu import train
+        from cpc2_tpu.data.audio_io import save_wav
+        root = tmp_path / 'db'
+        rs = np.random.RandomState(7)
+        # s1: 7 raw windows -> 6 effective after the random epoch offset
+        # -> samespeaker batches [4, 2] at global batch 4; the 2-window
+        # tail divides the data axis (2) but not devices.size (4).
+        spec = {'s1': 4160 * 7 + 2500, 's2': 4160 * 5 + 2500,
+                's3': 4160 * 5 + 2500}
+        for spk, n in spec.items():
+            d = root / spk / 'c1'
+            d.mkdir(parents=True)
+            t = np.arange(n) / 16000.0
+            x = (0.3 * np.sin(2 * np.pi * 170 * t)
+                 + 0.05 * rs.randn(n)).astype(np.float32)
+            save_wav(str(d / f'{spk}-0.wav'), x, 16000)
+        (tmp_path / 'train.txt').write_text('s1-0\ns2-0\n')
+        (tmp_path / 'val.txt').write_text('s3-0\n')
+        tail_adds = []
+        monkeypatch.setattr(train.TailRunner, 'add',
+                            lambda self, item: tail_adds.append(item))
+        ckpt = tmp_path / 'ck'
+        train.main(['--pathDB', str(root), '--file_extension', '.wav',
+                    '--pathTrain', str(tmp_path / 'train.txt'),
+                    '--pathVal', str(tmp_path / 'val.txt'),
+                    '--pathCheckpoint', str(ckpt),
+                    '--hiddenEncoder', '32', '--hiddenGar', '32',
+                    '--nPredicts', '4', '--negativeSamplingExt', '8',
+                    '--sizeWindow', '4160', '--nGPU', '4',
+                    '--model_axis_size', '2', '--batchSizeGPU', '2',
+                    '--rnnMode', 'linear', '--arMode', 'GRU',
+                    '--samplingType', 'samespeaker', '--nEpoch', '1',
+                    '--save_step', '1', '--random_seed', '11',
+                    '--logging_step', '50'])
+        out = capsys.readouterr().out
+        assert 'ragged tail batches' in out, out
+        assert '(dropped' not in out, out
+        assert not tail_adds      # main-mesh program, not TailRunner
+        with open(ckpt / 'checkpoint_logs.json') as f:
+            logs = json.load(f)
+        assert np.isfinite(np.asarray(logs['locLoss_train'])).all()
+
     def test_model_axis_rejects_unsupported(self):
         from cpc2_tpu import train
         with pytest.raises((ValueError, SystemExit)):

@@ -158,3 +158,44 @@ def test_two_process_train_cli(tmp_path):
     from cpc2_tpu import feature_loader as fl
     bundle, hg, he = fl.loadModel([str(ckpts[0] / 'checkpoint_0.pt')])
     assert (hg, he) == (16, 16)
+
+
+class TestPeekDistributed:
+    """The early multi-host bootstrap must fire for BOTH ways a run becomes
+    distributed: a literal --distributed flag, and an auto-resume whose
+    saved checkpoint_args.json carries distributed=true (restarting a pod
+    run with only --pathCheckpoint). Bootstrapping after parse_args touches
+    the backend is too late — jax.distributed.initialize refuses."""
+
+    @staticmethod
+    def _write_ckpt_dir(tmp_path, distributed):
+        import json
+        d = tmp_path / 'ck'
+        d.mkdir()
+        (d / 'checkpoint_0.pt').write_bytes(b'')
+        (d / 'checkpoint_logs.json').write_text('{}')
+        (d / 'checkpoint_args.json').write_text(
+            json.dumps({'distributed': distributed}))
+        return str(d)
+
+    def test_literal_flag(self):
+        from cpc2_tpu.train import _peek_distributed
+        assert _peek_distributed(['--distributed', '--pathDB', 'x'])
+
+    def test_restored_from_checkpoint_args(self, tmp_path):
+        from cpc2_tpu.train import _peek_distributed
+        ck = self._write_ckpt_dir(tmp_path, True)
+        assert _peek_distributed(['--pathDB', 'x', '--pathCheckpoint', ck])
+        assert _peek_distributed(['--pathCheckpoint=' + ck])
+
+    def test_negatives(self, tmp_path):
+        from cpc2_tpu.train import _peek_distributed
+        single = self._write_ckpt_dir(tmp_path, False)
+        assert not _peek_distributed(['--pathCheckpoint', single])
+        # --restart ignores the saved config entirely
+        (tmp_path / 'r').mkdir()
+        dist = self._write_ckpt_dir(tmp_path / 'r', True)
+        assert not _peek_distributed(['--pathCheckpoint', dist, '--restart'])
+        assert not _peek_distributed(['--pathDB', 'x'])
+        assert not _peek_distributed(
+            ['--pathCheckpoint', str(tmp_path / 'missing')])
