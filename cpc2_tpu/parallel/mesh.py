@@ -148,6 +148,22 @@ class WireStager:
         return self._restore_fn(mode)(staged)
 
 
+def device_gather_windows(corpus, indices, size_window: int):
+    """Gather a (B, 2, 1, W) float32 batch from a device-resident flat
+    waveform at per-window `indices` — the device-side half of the
+    `DeviceCorpus` wire format (int16 packs rescale bit-exactly; past and
+    future views duplicate like `WireStager`'s dedup mode). Pure jnp: also
+    usable INSIDE a larger program (the multi-step scan body)."""
+    import jax.numpy as jnp
+    win = jax.vmap(
+        lambda i: jax.lax.dynamic_slice(corpus, (i,), (size_window,))
+    )(indices)
+    if corpus.dtype == jnp.int16:
+        win = win.astype(jnp.float32) / 32768.0
+    x = win[:, None, None, :]
+    return jnp.concatenate([x, x], axis=1)
+
+
 class DeviceCorpus:
     """Device-resident corpus (`--corpus_on_device`): each data pack's flat
     waveform uploads to HBM ONCE; per-step host->device traffic becomes a
@@ -207,30 +223,31 @@ class DeviceCorpus:
         self._corpus = jax.device_put(wire, NamedSharding(self._mesh, P()))
         self._host_data = data
 
-    def put(self, indices):
+    @property
+    def resident(self):
+        """The device-resident pack array (None before the first ensure).
+        Callers that buffer work across pack swaps hold this reference so
+        in-flight offsets keep addressing the pack they were drawn from."""
+        return self._corpus
+
+    def put(self, indices, corpus=None):
         """Stage the batch at `indices` as a (B, 2, 1, W) float32 global
         array sharded over the 'data' axis (same layout `WireStager.put`
-        returns)."""
-        if self._corpus is None:
+        returns). `corpus` overrides the resident pack (used to drain
+        offsets buffered before a pack swap)."""
+        corpus = corpus if corpus is not None else self._corpus
+        if corpus is None:
             raise RuntimeError("DeviceCorpus.put before ensure()")
         idx = np.asarray(indices, dtype=np.int32)
-        key = (idx.shape[0], self._i16)
+        key = (idx.shape[0], str(corpus.dtype))
         if key not in self._gather:
-            import jax.numpy as jnp
-            w, i16 = self._w, self._i16
+            w = self._w
             out_sharding = NamedSharding(self._mesh,
                                          P('data', None, None, None))
-
-            def gather(corpus, ii):
-                win = jax.vmap(
-                    lambda i: jax.lax.dynamic_slice(corpus, (i,), (w,)))(ii)
-                if i16:
-                    win = win.astype(jnp.float32) / 32768.0
-                x = win[:, None, None, :]
-                return jnp.concatenate([x, x], axis=1)
-
-            self._gather[key] = jax.jit(gather, out_shardings=out_sharding)
-        return self._gather[key](self._corpus, shard_batch(self._mesh, idx))
+            self._gather[key] = jax.jit(
+                lambda c, ii: device_gather_windows(c, ii, w),
+                out_shardings=out_sharding)
+        return self._gather[key](corpus, shard_batch(self._mesh, idx))
 
 
 def replicate(mesh: Mesh, tree):

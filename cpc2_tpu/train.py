@@ -278,6 +278,50 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         return multi_step(state, batches, labs, rng, quality=quals,
                           mask_indices=masks)
 
+    # --corpus_on_device x --steps_per_dispatch: groups of (B,) offset
+    # vectors dispatch as ONE (spd, B) int32 program whose scan body
+    # gathers each step's batch from the resident pack. Items carry the
+    # pack array they index into so a mid-group pack swap (prefetch thread
+    # runs ahead) drains the old group against the right pack first.
+    idx_buffer = []
+
+    def _dispatch_idx(state):
+        from .training import shard_stacked_batch
+        corpus_ref = idx_buffer[0][0]
+        offs = np.stack([b[1] for b in idx_buffer])
+        labs = np.stack([b[2] for b in idx_buffer])
+        quals = (np.stack([b[3] for b in idx_buffer])
+                 if idx_buffer[0][3] is not None else None)
+        masks = (np.stack([b[4] for b in idx_buffer])
+                 if idx_buffer[0][4] is not None else None)
+        offs, labs = shard_stacked_batch(mesh, offs, labs)
+        if quals is not None:
+            quals = shard_stacked_batch(mesh, quals)
+        if masks is not None:
+            masks = shard_stacked_batch(mesh, masks)
+        idx_buffer.clear()
+        return multi_step(state, corpus_ref, offs, labs, rng,
+                          quality=quals, mask_indices=masks)
+
+    def _drain_idx(state):
+        """Run a partial offset group (pack boundary / epoch tail) through
+        the single-step program — identical math, natural group size."""
+        nonlocal it
+        for corpus_ref, offs, lab, qual, msk in idx_buffer:
+            batch = device_corpus.put(offs, corpus=corpus_ref)
+            lab = shard_batch(mesh, lab)
+            qual = shard_batch(mesh, qual) if qual is not None else None
+            msk = shard_batch(mesh, msk) if msk is not None else None
+            state, all_losses, all_acc = train_step(
+                state, batch, lab, rng, quality=qual, mask_indices=msk)
+            if all_losses.size > 0:
+                it += 1
+                pending_losses.append(
+                    all_losses.reshape(-1, all_losses.shape[-1]))
+                pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
+        idx_buffer.clear()
+        return state
+
     profile_dir = getattr(args, 'profile_dir', None)
 
     # Single-step path: _stack_batch AND the WireStager upload run ON the
@@ -309,6 +353,19 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                     if quality is not None else None)
             msk = shard_batch(mesh, mask) if mask is not None else None
             return ('staged', sequence.shape[0], staged, lab, qual, msk)
+    elif device_corpus is not None:
+        def _prep(full_data):
+            sequence, label, quality, mask = _stack_batch(
+                full_data, frames, args, True)
+            if sequence.shape[0] != expected_batch:
+                seq = data_loader.dataset.gather_windows(sequence)
+                return ('ragged', seq, label, quality, mask)
+            device_corpus.ensure(data_loader.dataset.data)
+            return ('idx', device_corpus.resident,
+                    np.asarray(sequence, np.int32),
+                    np.asarray(label).astype(np.int32),
+                    None if quality is None else quality.astype(np.float32),
+                    mask)
     else:
         def _prep(full_data):
             return ('host',) + _stack_batch(full_data, frames, args, True)
@@ -364,6 +421,20 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
             else:
                 state, all_losses, all_acc = _dispatch_stacked(state)
                 # (spd, 1, nPredicts) -> (spd, nPredicts)
+                all_losses = all_losses.reshape(spd, -1)
+                all_acc = all_acc.reshape(spd, -1)
+        elif item[0] == 'idx':
+            _, corpus_ref, offsets, label, quality, mask = item
+            if idx_buffer and idx_buffer[0][0] is not corpus_ref:
+                # pack swapped mid-group: drain the old pack's offsets
+                # through the single-step program against their own pack
+                state = _drain_idx(state)
+            n_examples += offsets.shape[0]
+            idx_buffer.append((corpus_ref, offsets, label, quality, mask))
+            if len(idx_buffer) < spd:
+                all_losses = None
+            else:
+                state, all_losses, all_acc = _dispatch_idx(state)
                 all_losses = all_losses.reshape(spd, -1)
                 all_acc = all_acc.reshape(spd, -1)
         else:
@@ -432,6 +503,11 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
             pending_losses.append(all_losses.reshape(-1,
                                                      all_losses.shape[-1]))
             pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
+
+    # Offset-group tail (corpus_on_device x steps_per_dispatch): fewer
+    # than spd offset vectors left — single-step program, same math.
+    if idx_buffer:
+        state = _drain_idx(state)
 
     # Tail: fewer than spd batches left — run them through the single-step
     # program (identical math) instead of dropping them.
@@ -1147,11 +1223,11 @@ def main(argv):
         print("--steps_per_dispatch > 1 is incompatible with the "
               "sequential-sampling hidden carry; using 1")
         spd = 1
-    if spd > 1 and getattr(args, 'corpus_on_device', False):
-        # the multi-step path stacks host batches per dispatch group; the
-        # device-resident corpus removes the host batches it would stack
-        print("--steps_per_dispatch > 1 is incompatible with "
-              "--corpus_on_device; using 1")
+    if (spd > 1 and getattr(args, 'corpus_on_device', False)
+            and criterion_local is not None):
+        # the 2-D multi-step program has no in-scan corpus gather
+        print("--steps_per_dispatch > 1 with --corpus_on_device is not "
+              "wired on the 2-D head-sharded mesh; using 1")
         spd = 1
     if spd > 1 and criterion_local is not None:
         from .training import build_multi_step_2d
@@ -1166,7 +1242,13 @@ def main(argv):
             model_bundle.module, criterion, tx, mesh, spd,
             has_quality=args.signal_quality_path is not None,
             uses_mask=uses_mask, remat=getattr(args, 'remat', False),
-            device_augment=device_augment)
+            device_augment=device_augment,
+            # --corpus_on_device composes: the scan body gathers each
+            # step's batch from the HBM-resident pack, so one dispatch of
+            # (spd, B) int32 offsets drives spd optimizer steps
+            gather_window=(args.sizeWindow
+                           if getattr(args, 'corpus_on_device', False)
+                           else None))
     args._spd = spd
 
     # Non-mesh-divisible tail batches (single-host only; see TailRunner).

@@ -513,7 +513,7 @@ def build_multi_step(model: nn.Module, criterion: nn.Module,
                      tx: optax.GradientTransformation, mesh: Mesh,
                      n_inner: int, has_quality: bool = False,
                      uses_mask: bool = False, remat: bool = False,
-                     device_augment=None):
+                     device_augment=None, gather_window: int = None):
     """One host dispatch = `n_inner` optimizer steps (`lax.scan` over the
     per-step body inside a single jitted shard_map program).
 
@@ -530,6 +530,14 @@ def build_multi_step(model: nn.Module, criterion: nn.Module,
     (n_inner, B, 2, 1, W) and losses/accs carry a leading n_inner axis.
     Stateful AR carry (keep_hidden) is not supported here — sequential
     sampling needs per-step host batches anyway.
+
+    gather_window: composes with `--corpus_on_device`. When set, the
+    returned step is `multi_step(state, corpus, offsets, labels, rng, ...)`
+    where `corpus` is the device-resident flat pack (replicated) and
+    `offsets` is (n_inner, B) int32 window starts: each scanned step
+    gathers its own batch from HBM (`mesh.device_gather_windows` —
+    bit-identical to `DeviceCorpus.put`), so one dispatch of ~n_inner*B*4
+    wire bytes drives n_inner optimizer steps with no per-step host work.
     """
     train_body, _ = build_steps(model, criterion, tx, mesh,
                                 has_quality=has_quality, uses_mask=uses_mask,
@@ -537,7 +545,7 @@ def build_multi_step(model: nn.Module, criterion: nn.Module,
                                 device_augment=device_augment,
                                 _return_bodies=True)
 
-    def multi_body(state: TrainState, batches, labels, quality, rng,
+    def multi_body(state: TrainState, corpus, batches, labels, quality, rng,
                    mask_indices):
         # lax.scan needs uniform pytrees: scan over the stacked operands
         # that exist, close over the Nones.
@@ -548,8 +556,12 @@ def build_multi_step(model: nn.Module, criterion: nn.Module,
             xs['mask'] = mask_indices
 
         def scan_fn(st, x):
+            batch = x['batch']
+            if gather_window is not None:
+                from .parallel.mesh import device_gather_windows
+                batch = device_gather_windows(corpus, batch, gather_window)
             new_st, losses, accs, _ = train_body(
-                st, x['batch'], x['labels'], x.get('quality'), rng,
+                st, batch, x['labels'], x.get('quality'), rng,
                 x.get('mask'), None)
             return new_st, (losses, accs)
 
@@ -558,17 +570,28 @@ def build_multi_step(model: nn.Module, criterion: nn.Module,
 
     rep = P()
     stacked = P(None, 'data')
-    n_in = (rep, stacked, stacked,
+    n_in = (rep, rep, stacked, stacked,
             stacked if has_quality else rep, rep,
             stacked if uses_mask else rep)
     multi_sm = shard_map(multi_body, mesh=mesh, in_specs=n_in,
                          out_specs=(rep, rep, rep))
     multi_jit = jax.jit(multi_sm, donate_argnums=(0,))
 
-    def multi_step(state, batches, labels, rng, quality=None,
-                   mask_indices=None):
-        assert batches.shape[0] == n_inner, (batches.shape, n_inner)
-        return multi_jit(state, batches, labels, quality, rng, mask_indices)
+    if gather_window is not None:
+        def multi_step(state, corpus, offsets, labels, rng, quality=None,
+                       mask_indices=None):
+            assert offsets.shape[0] == n_inner, (offsets.shape, n_inner)
+            return multi_jit(state, corpus, offsets, labels, quality, rng,
+                             mask_indices)
+    else:
+        # placeholder corpus operand keeps ONE program shape either way
+        _corpus = jnp.zeros((0,), jnp.float32)
+
+        def multi_step(state, batches, labels, rng, quality=None,
+                       mask_indices=None):
+            assert batches.shape[0] == n_inner, (batches.shape, n_inner)
+            return multi_jit(state, _corpus, batches, labels, quality, rng,
+                             mask_indices)
 
     return multi_step
 

@@ -92,6 +92,28 @@ class TestModelParallelComposition:
             np.asarray(dev['locLoss_train'], np.float64), rtol=0, atol=0)
 
 
+class TestStepsPerDispatchComposition:
+
+    def test_spd_matches_single_step(self, mini_corpus, tmp_path):
+        """--corpus_on_device x --steps_per_dispatch: one (spd, B) int32
+        offset dispatch drives spd scanned steps, each gathering its batch
+        from the HBM-resident pack inside the program. Trajectory matches
+        the single-step device-corpus path to fp-fusion tolerance. The
+        small --max_size_loaded forces multiple packs, exercising the
+        mid-group drain at pack boundaries (buffered offsets must index
+        the pack they were drawn from)."""
+        extra = ['--samplingType', 'uniform', '--corpus_on_device',
+                 '--max_size_loaded', '500000']
+        one = _run(mini_corpus, tmp_path / 'spd1', extra)
+        three = _run(mini_corpus, tmp_path / 'spd3',
+                     extra + ['--steps_per_dispatch', '3'])
+        for key in ('locLoss_train', 'locAcc_train', 'locLoss_val',
+                    'locAcc_val'):
+            np.testing.assert_allclose(
+                np.asarray(one[key], np.float64),
+                np.asarray(three[key], np.float64), atol=2e-5, err_msg=key)
+
+
 class TestGuards:
 
     def test_rejects_host_augmentation(self, mini_corpus, tmp_path):
