@@ -460,7 +460,17 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                                                      all_losses.shape[-1]))
             pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
 
-            if (step + 1) % logging_step == 0:
+            # Window boundary: `it` counts optimizer steps actually
+            # accounted (a multi-step dispatch lands spd at once), so the
+            # trigger and the ms/batch divisor use the REAL step count.
+            # At spd=1 this fires exactly every `logging_step` items —
+            # identical to the reference cadence; at spd>1 with
+            # logging_step % spd != 0 the old `(step+1) % logging_step`
+            # check only fired at the LCM (e.g. every 200 steps for
+            # 50/8) and then divided by logging_step, inflating the
+            # printed ms/batch 4x.
+            if it - last_it >= logging_step:
+                window_steps = it - last_it
                 logs["locLoss_train"] += np.asarray(
                     jnp.concatenate(pending_losses)).sum(0)
                 logs["locAcc_train"] += np.asarray(
@@ -469,9 +479,9 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 jax.block_until_ready(state.params)
                 new_time = time.perf_counter()
                 elapsed = new_time - start_time
-                print(f"Update {step + 1}")
+                print(f"Update {it}")
                 print(f"elapsed: {elapsed:.1f} s")
-                print(f"{1000.0 * elapsed / logging_step:.1f} ms per batch, "
+                print(f"{1000.0 * elapsed / window_steps:.1f} ms per batch, "
                       f"{1000.0 * elapsed / max(n_examples, 1):.1f} ms / "
                       f"example")
                 # window mean: divide the window's sum by the number of

@@ -297,3 +297,41 @@ def test_logging_window_means_do_not_decay(tmp_path, capsys):
     first = window_means[0]
     for i, w in enumerate(window_means[1:-1], start=2):
         assert w > 0.55 * first, (i, window_means, out)
+
+
+def test_logging_windows_fire_under_steps_per_dispatch(tmp_path, capsys):
+    """With --steps_per_dispatch N, metrics land N steps at a time, so the
+    logging window must trigger on the accounted optimizer-step count
+    (`it`), not on `(item_index + 1) % logging_step`. The old check only
+    fired when the index hit a common multiple of logging_step and N
+    (LCM(5, 2) = 10 here > the 8-step epoch -> no window at all) and then
+    divided elapsed by logging_step, inflating the printed ms/batch."""
+    import re
+    from cpc2_tpu.data.audio_io import save_wav
+
+    root = tmp_path / 'db'
+    d = root / 's1' / 'c1'
+    d.mkdir(parents=True)
+    rs = np.random.RandomState(9)
+    for i in range(8):
+        # 8 windows/file; 7 land in train after the 95-5 split -> ~12-14
+        # steps/epoch at batch 4 (epoch offset trims a few), enough to
+        # cross the logging threshold at it=6
+        n = 4160 * 8
+        x = (0.1 * rs.randn(n)).astype(np.float32)
+        save_wav(str(d / f's1-{i}.wav'), x, 16000)
+    train.main(['--pathDB', str(root), '--file_extension', '.wav',
+                '--pathCheckpoint', str(tmp_path / 'ck'),
+                '--hiddenEncoder', '16', '--hiddenGar', '16',
+                '--nPredicts', '2', '--negativeSamplingExt', '4',
+                '--sizeWindow', '4160', '--nGPU', '2',
+                '--batchSizeGPU', '2', '--rnnMode', 'linear',
+                '--arMode', 'GRU', '--samplingType', 'uniform',
+                '--nEpoch', '2', '--save_step', '10',
+                '--random_seed', '7', '--logging_step', '5',
+                '--steps_per_dispatch', '2'])
+    out = capsys.readouterr().out
+    # window boundary = first dispatch at/after logging_step steps: it=6
+    updates = [int(u) for u in re.findall(r'^Update (\d+)$', out, re.M)]
+    assert updates.count(6) == 2, (updates, out)  # one per epoch
+    assert re.search(r'ms per batch', out), out
