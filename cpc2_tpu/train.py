@@ -866,14 +866,13 @@ def main(argv):
     model_axis = max(getattr(args, 'model_axis_size', 1), 1)
     if model_axis > 1:
         if (getattr(args, 'supervised', False)
-                or args.cpc_mode in ('bert', 'none')
-                or args.multihead_rnn):
+                or args.cpc_mode in ('bert', 'none')):
             raise ValueError("--model_axis_size > 1 supports the "
                              "unsupervised CPC path only (signal-quality "
                              "weighting, masking, augmentation, "
-                             "--steps_per_dispatch and the sequential-"
-                             "sampling hidden carry compose; "
-                             "BERT/supervised/multihead do not)")
+                             "--multihead_rnn, --steps_per_dispatch and "
+                             "the sequential-sampling hidden carry "
+                             "compose; BERT/supervised do not)")
         if args.distributed:
             # batch sizing and state placement assume a single-process
             # 2-D mesh; multi-host head sharding is not wired.
@@ -1165,7 +1164,7 @@ def main(argv):
     # compiles of the same program).
     if criterion_local is not None:
         from .training import shard_state_2d
-        state = shard_state_2d(mesh, state)
+        state = shard_state_2d(mesh, state, multihead=args.multihead_rnn)
     else:
         from .parallel.mesh import replicate
         state = replicate(mesh, state)
@@ -1194,7 +1193,8 @@ def main(argv):
                                   device_augment=device_augment,
                                   has_quality=args.signal_quality_path
                                   is not None, uses_mask=uses_mask,
-                                  keep_hidden=keep_hidden)
+                                  keep_hidden=keep_hidden,
+                                  multihead=args.multihead_rnn)
 
         if keep_hidden:
             def train_step(state, batch, labels=None, rng=None,
@@ -1266,7 +1266,8 @@ def main(argv):
     if jax.process_count() == 1:
         if criterion_local is not None:
             from .training import shard_state_2d
-            restore_fn = lambda s: shard_state_2d(mesh, s)  # noqa: E731
+            restore_fn = lambda s: shard_state_2d(  # noqa: E731
+            mesh, s, multihead=args.multihead_rnn)
         else:
             from .parallel.mesh import replicate as _rep
             restore_fn = lambda s: _rep(mesh, s)            # noqa: E731

@@ -305,25 +305,38 @@ def build_steps(model: nn.Module, criterion: nn.Module,
     return train_step, val_step
 
 
-def head_shard_specs(tree, model_axis: str = 'model'):
+def head_shard_specs(tree, model_axis: str = 'model',
+                     multihead: bool = False):
     """PartitionSpec tree for head-sharded model parallelism: prediction-head
     leaves (stacked on their leading K axis by `nn.vmap`) shard over
     `model_axis`; everything else (encoder/AR params, optimizer scalars) is
-    replicated. Matches params AND the optax state mirroring them."""
+    replicated. Matches params AND the optax state mirroring them.
+
+    `multihead` (`--multihead_rnn`): the predictor is ONE shared
+    transformer trunk whose only K-dependent parameters are the
+    classifier FF's output layer (`MultiClassifierTransformerHead`'s
+    `ffnetwork/lin2`, torch-layout weight (K*dmodel, dff) with head-major
+    rows and bias (K*dmodel,)) — those shard over their leading axis
+    (contiguous dmodel-row blocks per head, so each rank's block equals a
+    local module built with K/m heads); the trunk replicates like the
+    encoder."""
     def leaf(path, x):
-        if ('wPrediction' in jax.tree_util.keystr(path)
-                and getattr(x, 'ndim', 0) >= 1):
-            return P(model_axis, *([None] * (x.ndim - 1)))
-        return P()
+        ks = jax.tree_util.keystr(path)
+        if 'wPrediction' not in ks or getattr(x, 'ndim', 0) < 1:
+            return P()
+        if multihead and not ('ffnetwork' in ks and 'lin2' in ks):
+            return P()
+        return P(model_axis, *([None] * (x.ndim - 1)))
     return jax.tree_util.tree_map_with_path(leaf, tree)
 
 
-def shard_state_2d(mesh: Mesh, state: TrainState) -> TrainState:
+def shard_state_2d(mesh: Mesh, state: TrainState,
+                   multihead: bool = False) -> TrainState:
     """Commit a TrainState to a ('data','model') mesh: head leaves split
     over 'model' (each device holds K/m heads' params+moments), the rest
     replicated."""
     from jax.sharding import NamedSharding
-    specs = head_shard_specs(state)
+    specs = head_shard_specs(state, multihead=multihead)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
 
@@ -333,7 +346,7 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
                    state_template: TrainState, n_skipped: int = 0,
                    device_augment=None, has_quality: bool = False,
                    uses_mask: bool = False, keep_hidden: bool = False,
-                   _return_bodies: bool = False):
+                   multihead: bool = False, _return_bodies: bool = False):
     """Head-sharded model parallelism (extension beyond the reference's
     DP-only design): train/val steps over a ('data','model') mesh.
 
@@ -353,6 +366,9 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
     cheap.
 
     Scope: the unsupervised CPC path (no phone labels, no BERT mode).
+    `multihead=True` composes the `--multihead_rnn` predictor: the shared
+    trunk replicates (grads psum over 'model') and only the classifier
+    FF's K-expanding output layer shards — see `head_shard_specs`.
     Signal-quality loss weighting, wav2vec-style span masking, and the
     sequential-sampling hidden carry (`keep_hidden`, the reference's
     `keepHidden=True`) compose: the per-window weight, the mask, and the
@@ -422,7 +438,20 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
         return x[:, n_skipped:]
 
     def is_head(path):
-        return 'wPrediction' in jax.tree_util.keystr(path)
+        # multihead (`--multihead_rnn`): only the classifier FF's output
+        # layer holds per-head parameters; the shared trunk replicates and
+        # its grads psum over 'model' like the encoder's (each rank's loss
+        # covers a disjoint head subset, so the sum is the full gradient).
+        # Per-rank dropout streams (k_drop2 folds in the model index) mean
+        # each head block sees its own trunk dropout sample — a valid
+        # stochastic program; the FF2-slice masks are independent per head
+        # exactly like the 1-D program's single (B, S, K*dmodel) mask.
+        ks = jax.tree_util.keystr(path)
+        if 'wPrediction' not in ks:
+            return False
+        if multihead and not ('ffnetwork' in ks and 'lin2' in ks):
+            return False
+        return True
 
     k_local = criterion_local.n_predicts
 
@@ -476,7 +505,7 @@ def build_steps_2d(model: nn.Module, criterion_local: nn.Module,
     # The carry is data-sharded and replicated over 'model' (every head
     # shard runs the same replicated AR on the same data shard).
     hid_spec = P(None, 'data') if keep_hidden else rep
-    state_specs = head_shard_specs(state_template)
+    state_specs = head_shard_specs(state_template, multihead=multihead)
     n_in = (state_specs, data_spec, data_spec if has_quality else rep,
             rep, data_spec if uses_mask else rep, hid_spec)
 

@@ -525,3 +525,157 @@ def test_hidden_carry_2d_matches_1d():
                     jax.tree_util.tree_leaves(hv2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=2e-5)
+
+
+def _setup_multihead(k=4, d_model=2):
+    """--multihead_rnn: ONE shared transformer trunk, K classifier heads
+    (the K-dependent params are only the classifier FF output layer)."""
+    args = get_default_cpc_config()
+    args.hiddenEncoder = args.hiddenGar = 32
+    args.nPredicts, args.negativeSamplingExt = k, 6
+    args.sizeWindow = 4160
+    args.batchSizeGPU = 2
+    args.rnnMode, args.arMode = 'transformer', 'GRU'
+    args.multihead_rnn = True
+
+    bundle = fl.init_model(args, seed=0)
+    criterion = get_criterion(args, 160, n_speakers=4, n_phones=None)
+    criterion_vars = init_criterion_vars(criterion, args, bundle)
+    tx = make_optimizer(args)
+    state = create_train_state(bundle.variables, criterion_vars, tx)
+    crit_local = criterion.clone(n_predicts=k // d_model,
+                                 head_axis='model', n_predicts_total=k)
+    return args, bundle, criterion, crit_local, tx, state
+
+
+class TestMultiheadSharding:
+    """--multihead_rnn under the ('data','model') mesh: the trunk
+    replicates (grads psum over 'model'), only the classifier FF's
+    K-expanding output layer (head-major rows) shards."""
+
+    def test_val_step_exact(self):
+        """Deterministic val step: 2-D multihead equals 1-D multihead."""
+        args, bundle, criterion, crit_local, tx, state0 = _setup_multihead()
+        bn, lab = _batch(args, n_data=2)
+
+        mesh1 = make_mesh(2)
+        _, vs1 = build_steps(bundle.module, criterion, tx, mesh1)
+        s1 = replicate(mesh1, state0)
+        b1, l1 = shard_batch(mesh1, bn, lab)
+
+        mesh2 = make_mesh_2d(2, 2)
+        s2 = shard_state_2d(mesh2, jax.tree.map(jnp.array, state0),
+                            multihead=True)
+        _, vs2 = build_steps_2d(bundle.module, crit_local, tx, mesh2, s2,
+                                multihead=True)
+        b2 = shard_batch(mesh2, bn)
+
+        key = jax.random.PRNGKey(1)
+        losses1, accs1 = vs1(s1, b1, l1, key)
+        losses2, accs2 = vs2(s2, b2, key)
+        np.testing.assert_allclose(np.asarray(losses1), np.asarray(losses2),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(accs1), np.asarray(accs2))
+
+    def test_only_classifier_output_layer_sharded(self):
+        args, bundle, criterion, crit_local, tx, state0 = _setup_multihead()
+        mesh2 = make_mesh_2d(2, 2)
+        s2 = shard_state_2d(mesh2, state0, multihead=True)
+        specs = head_shard_specs(s2, multihead=True)
+        n_sharded = n_replicated_pred = 0
+        for (path, leaf), (_, spec) in zip(
+                jax.tree_util.tree_leaves_with_path(s2),
+                jax.tree_util.tree_leaves_with_path(specs)):
+            pstr = jax.tree_util.keystr(path)
+            if 'wPrediction' not in pstr or leaf.ndim < 1:
+                continue
+            if 'ffnetwork' in pstr and 'lin2' in pstr:
+                n_sharded += 1
+                assert spec[0] == 'model', pstr
+                shard_shape = leaf.sharding.shard_shape(leaf.shape)
+                # head-major leading axis splits 2-ways
+                assert shard_shape[0] * 2 == leaf.shape[0], pstr
+            else:
+                n_replicated_pred += 1
+                assert spec == jax.sharding.PartitionSpec(), pstr
+        # weight+bias for params, adam mu and nu => 6 sharded leaves
+        assert n_sharded == 6, n_sharded
+        # the shared trunk (attention, ln, ff1, last_linear) replicates
+        assert n_replicated_pred >= 10, n_replicated_pred
+
+    def test_train_step_updates_trunk_and_heads(self):
+        """A 2-D multihead train step moves BOTH the sharded classifier
+        leaves and the replicated trunk leaves (trunk grads psum over
+        'model'), with finite reference-format (1, K) loss columns."""
+        args, bundle, criterion, crit_local, tx, state0 = _setup_multihead()
+        bn, lab = _batch(args, n_data=2)
+        mesh2 = make_mesh_2d(2, 2)
+        s2 = shard_state_2d(mesh2, jax.tree.map(jnp.array, state0),
+                            multihead=True)
+        ts2, _ = build_steps_2d(bundle.module, crit_local, tx, mesh2, s2,
+                                multihead=True)
+        b2 = shard_batch(mesh2, bn)
+        key = jax.random.PRNGKey(1)
+        new_state, losses, accs = ts2(s2, b2, key)
+        losses = np.asarray(losses)
+        assert losses.shape == (1, args.nPredicts)
+        assert np.isfinite(losses).all()
+
+        def leafdiff(substr):
+            moved = []
+            for (path, a), (_, b) in zip(
+                    jax.tree_util.tree_leaves_with_path(state0.params),
+                    jax.tree_util.tree_leaves_with_path(new_state.params)):
+                pstr = jax.tree_util.keystr(path)
+                if 'wPrediction' in pstr and substr(pstr):
+                    moved.append(float(np.abs(np.asarray(b)
+                                              - np.asarray(a)).max()))
+            return moved
+
+        sharded = leafdiff(lambda p: 'ffnetwork' in p and 'lin2' in p)
+        trunk = leafdiff(lambda p: not ('ffnetwork' in p and 'lin2' in p))
+        assert sharded and max(sharded) > 0
+        assert trunk and max(trunk) > 0
+
+    def test_train_cli_with_multihead(self, tmp_path):
+        """--multihead_rnn x --model_axis_size 2 through the full CLI: the
+        shared-trunk predictor trains on the (2,2) mesh and the checkpoint
+        holds the FULL (unsharded) classifier FF in reference format."""
+        import json
+        from cpc2_tpu import train
+        from cpc2_tpu.data.audio_io import save_wav
+        root = tmp_path / 'db'
+        rs = np.random.RandomState(1)
+        for spk in ('s1', 's2'):
+            d = root / spk / 'c1'
+            d.mkdir(parents=True)
+            for i in range(2):
+                n = 30000
+                t = np.arange(n) / 16000.0
+                x = (0.3 * np.sin(2 * np.pi * (150 + 80 * i) * t)
+                     + 0.05 * rs.randn(n)).astype(np.float32)
+                save_wav(str(d / f'{spk}-{i}.wav'), x, 16000)
+        ckpt = tmp_path / 'ck'
+        train.main(['--pathDB', str(root), '--file_extension', '.wav',
+                    '--pathCheckpoint', str(ckpt),
+                    '--hiddenEncoder', '32', '--hiddenGar', '32',
+                    '--nPredicts', '4', '--negativeSamplingExt', '8',
+                    '--sizeWindow', '4160', '--nGPU', '4',
+                    '--model_axis_size', '2', '--batchSizeGPU', '2',
+                    '--rnnMode', 'transformer', '--arMode', 'GRU',
+                    '--multihead_rnn',
+                    '--samplingType', 'uniform', '--nEpoch', '1',
+                    '--save_step', '1', '--logging_step', '10'])
+        with open(ckpt / 'checkpoint_logs.json') as f:
+            logs = json.load(f)
+        losses = np.asarray(logs['locLoss_train'])
+        assert losses.shape[-1] == 4
+        assert np.isfinite(losses).all()
+        from cpc2_tpu.io.torch_ckpt import load_torch_checkpoint
+        sd = load_torch_checkpoint(str(ckpt / 'checkpoint_0.pt'))
+        lin2 = [k for k in sd['cpcCriterion']
+                if 'wPrediction' in k and 'lin2' in k and 'ffnetwork' in k]
+        assert lin2, list(sd['cpcCriterion'])[:8]
+        # full K*dmodel rows survive the gather off the sharded state
+        w = sd['cpcCriterion'][[k for k in lin2 if k.endswith('weight')][0]]
+        assert w.shape[0] == 4 * 32, w.shape
