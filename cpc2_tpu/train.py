@@ -1245,7 +1245,7 @@ def main(argv):
             model_bundle.module, criterion_local, tx, mesh, state, spd,
             n_skipped=args.n_skipped, device_augment=device_augment,
             has_quality=args.signal_quality_path is not None,
-            uses_mask=uses_mask)
+            uses_mask=uses_mask, multihead=args.multihead_rnn)
     elif spd > 1:
         from .training import build_multi_step
         multi_step = build_multi_step(

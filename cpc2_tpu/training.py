@@ -629,7 +629,8 @@ def build_multi_step_2d(model: nn.Module, criterion_local: nn.Module,
                         tx: optax.GradientTransformation, mesh: Mesh,
                         state_template: TrainState, n_inner: int,
                         n_skipped: int = 0, device_augment=None,
-                        has_quality: bool = False, uses_mask: bool = False):
+                        has_quality: bool = False, uses_mask: bool = False,
+                        multihead: bool = False):
     """`build_multi_step` for the head-sharded ('data','model') mesh: one
     host dispatch = `n_inner` optimizer steps, scanned inside the same
     shard_map program as `build_steps_2d` (whose per-shard train body —
@@ -646,7 +647,7 @@ def build_multi_step_2d(model: nn.Module, criterion_local: nn.Module,
         model, criterion_local, tx, mesh, state_template,
         n_skipped=n_skipped, device_augment=device_augment,
         has_quality=has_quality, uses_mask=uses_mask, keep_hidden=False,
-        _return_bodies=True)
+        multihead=multihead, _return_bodies=True)
 
     def multi_body(state: TrainState, batches, quality, rng, mask_indices):
         xs = {'batch': batches}
@@ -665,7 +666,7 @@ def build_multi_step_2d(model: nn.Module, criterion_local: nn.Module,
 
     rep = P()
     stacked = P(None, 'data')
-    state_specs = head_shard_specs(state_template)
+    state_specs = head_shard_specs(state_template, multihead=multihead)
     n_in = (state_specs, stacked, stacked if has_quality else rep, rep,
             stacked if uses_mask else rep)
     multi_jit = jax.jit(

@@ -679,3 +679,44 @@ class TestMultiheadSharding:
         # full K*dmodel rows survive the gather off the sharded state
         w = sd['cpcCriterion'][[k for k in lin2 if k.endswith('weight')][0]]
         assert w.shape[0] == 4 * 32, w.shape
+
+    def test_multi_step_composes(self):
+        """--steps_per_dispatch x --multihead_rnn x --model_axis_size:
+        the scanned 2-D multi-step program carries the multihead sharding
+        (trunk replicated, classifier FF sharded) and matches two calls
+        of the single-step 2-D path bit-for-bit given the same rng."""
+        from cpc2_tpu.training import build_multi_step_2d, \
+            shard_stacked_batch
+        args, bundle, criterion, crit_local, tx, state0 = _setup_multihead()
+        mesh2 = make_mesh_2d(2, 2)
+        rs = np.random.RandomState(7)
+        stacked = rs.randn(2, args.batchSizeGPU * 2, 2, 1,
+                           args.sizeWindow).astype(np.float32) * 0.1
+        key = jax.random.PRNGKey(3)
+
+        s_a = shard_state_2d(mesh2, jax.tree.map(jnp.array, state0),
+                             multihead=True)
+        ts2, _ = build_steps_2d(bundle.module, crit_local, tx, mesh2, s_a,
+                                multihead=True)
+        single_losses = []
+        for i in range(2):
+            b = shard_batch(mesh2, stacked[i])
+            s_a, losses, _ = ts2(s_a, b, key)
+            single_losses.append(np.asarray(losses))
+
+        s_b = shard_state_2d(mesh2, jax.tree.map(jnp.array, state0),
+                             multihead=True)
+        multi = build_multi_step_2d(bundle.module, crit_local, tx, mesh2,
+                                    s_b, n_inner=2, multihead=True)
+        s_b, m_losses, _ = multi(s_b, shard_stacked_batch(mesh2, stacked),
+                                 None, key)
+        m_losses = np.asarray(m_losses)
+        assert m_losses.shape == (2, 1, args.nPredicts)
+        np.testing.assert_allclose(m_losses[0], single_losses[0],
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_allclose(m_losses[1], single_losses[1],
+                                   rtol=0, atol=2e-5)
+        for pa, pb in zip(jax.tree_util.tree_leaves(s_a.params),
+                          jax.tree_util.tree_leaves(s_b.params)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       rtol=0, atol=3e-6)
