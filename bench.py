@@ -57,9 +57,12 @@ def main():
                         help='optimizer steps per host dispatch '
                         '(build_multi_step lax.scan; 0 = one step per '
                         'dispatch). Same training math either way.')
-    parser.add_argument('--head_remat', action='store_true',
+    parser.add_argument('--head_remat', nargs='?', const='nothing',
+                        default=False, choices=['nothing', 'dots'],
                         help='rematerialize the prediction-head stack in '
-                        'the backward pass (bit-identical gradients)')
+                        'the backward pass (bit-identical gradients); '
+                        'bare flag recomputes everything, "dots" saves '
+                        'matmul outputs and recomputes only elementwise')
     parser.add_argument('--adam_mu_dtype', type=str, default='fp32',
                         choices=['fp32', 'bf16'],
                         help='Adam first-moment dtype (see config flag)')
@@ -67,6 +70,18 @@ def main():
                         help='sample negatives within groups of this many '
                         'batch elements (reference DataParallel '
                         'semantics; see the training CLI flag)')
+    parser.add_argument('--hidden_encoder', type=int, default=None,
+                        help='override hiddenEncoder (default: recipe 256) '
+                        'for model-scaling studies')
+    parser.add_argument('--hidden_gar', type=int, default=None,
+                        help='override hiddenGar (default: recipe 256)')
+    parser.add_argument('--ar_mode', type=str, default=None,
+                        choices=['LSTM', 'GRU', 'RNN', 'transformer'],
+                        help='override arMode (default: recipe LSTM)')
+    parser.add_argument('--n_levels_gru', type=int, default=None,
+                        help='override nLevelsGRU (AR layer count)')
+    parser.add_argument('--n_predicts', type=int, default=None,
+                        help='override nPredicts (prediction steps)')
     parser.add_argument('--prng', type=str, default='rbg',
                         choices=['rbg', 'threefry'],
                         help='JAX PRNG implementation for dropout masks / '
@@ -94,6 +109,16 @@ def main():
     args.head_remat = args_cli.head_remat
     args.adam_mu_dtype = args_cli.adam_mu_dtype
     args.neg_pool_group = args_cli.neg_pool_group
+    if args_cli.hidden_encoder is not None:
+        args.hiddenEncoder = args_cli.hidden_encoder
+    if args_cli.hidden_gar is not None:
+        args.hiddenGar = args_cli.hidden_gar
+    if args_cli.ar_mode is not None:
+        args.arMode = args_cli.ar_mode
+    if args_cli.n_levels_gru is not None:
+        args.nLevelsGRU = args_cli.n_levels_gru
+    if args_cli.n_predicts is not None:
+        args.nPredicts = args_cli.n_predicts
 
     mesh = make_mesh(1)  # one chip
     bundle = fl.init_model(args, seed=0)

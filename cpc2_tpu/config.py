@@ -253,12 +253,16 @@ def set_tpu_config(parser):
                        'measured -0.17 ms/step) at a small numeric '
                        'shift; fp32 (default) keeps reference-exact '
                        'Adam math.')
-    group.add_argument('--head_remat', action='store_true',
-                       help='Rematerialize only the prediction-head stack '
-                       'in the backward pass: the K heads\' FFN/attention '
-                       'intermediates are recomputed instead of stored. '
-                       'Bit-identical gradients; cuts HBM traffic on the '
-                       'bandwidth-bound head FFNs.')
+    group.add_argument('--head_remat', nargs='?', const='nothing',
+                       default=False, choices=['nothing', 'dots'],
+                       help='Rematerialize the prediction-head stack in '
+                       'the backward pass. Bare --head_remat (= "nothing") '
+                       'recomputes everything, storing no intermediates; '
+                       '--head_remat dots saves the matmul outputs and '
+                       'recomputes only the elementwise chains '
+                       '(ReLU/dropout/LN), trading far fewer FLOPs for '
+                       'most of the HBM saving. Bit-identical gradients '
+                       'either way.')
     group.add_argument('--steps_per_dispatch', type=int, default=1,
                        help='Optimizer steps per host dispatch (a lax.scan '
                        'over stacked batches inside one program). '

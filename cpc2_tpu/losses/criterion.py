@@ -104,6 +104,20 @@ def _linear_predictor_init(dim_ar: int, dim_enc: int, residual_std: float = 0.01
     return init
 
 
+def _remat_policy(head_remat):
+    """Map a `head_remat` config value to a jax.checkpoint policy (or None
+    when remat is off). True is the historical spelling of 'nothing'."""
+    if not head_remat:
+        return None
+    name = 'nothing' if head_remat is True else str(head_remat)
+    policies = {'nothing': jax.checkpoint_policies.nothing_saveable,
+                'dots': jax.checkpoint_policies.dots_saveable}
+    if name not in policies:
+        raise ValueError(f"unknown head_remat policy {head_remat!r}; "
+                         f"expected one of {sorted(policies)}")
+    return policies[name]
+
+
 class PredictionNetwork(nn.Module):
     """K independent prediction heads (`criterion.py:97-173`).
 
@@ -127,8 +141,12 @@ class PredictionNetwork(nn.Module):
     # Rematerialize the head stack in the backward pass (`--head_remat`):
     # the K heads' intermediate activations (FFN hiddens, attention probs)
     # are recomputed instead of stored, cutting HBM traffic on the
-    # bandwidth-bound head FFNs. Bit-identical gradients.
-    head_remat: bool = False
+    # bandwidth-bound head FFNs. Bit-identical gradients. Values:
+    # False (store everything), True/'nothing' (recompute everything —
+    # jax nothing_saveable), 'dots' (save matmul outputs, recompute only
+    # the elementwise chains — dots_saveable; trades far fewer FLOPs for
+    # most of the HBM saving).
+    head_remat: Any = False
 
     @nn.compact
     def __call__(self, c: Array, train: bool = True) -> Array:
@@ -163,10 +181,10 @@ class PredictionNetwork(nn.Module):
         elif self.rnn_mode == 'transformer':
             # static_argnums counts the lifted scope as arg 0, so `train`
             # (x=1, hidden=2) sits at 3.
+            policy = _remat_policy(self.head_remat)
             head_cls = (nn.remat(TransformerAR, static_argnums=(3,),
-                                 policy=jax.checkpoint_policies
-                                 .nothing_saveable)
-                        if self.head_remat else TransformerAR)
+                                 policy=policy)
+                        if policy is not None else TransformerAR)
             net = nn.vmap(head_cls, **vmap_kw)(
                 dim_encoded=self.dim_enc, dim_ar=self.dim_ar, n_layers=1,
                 size_seq=self.size_input_seq, abspos=False,
@@ -203,16 +221,16 @@ class MultiHeadPredictionNetwork(nn.Module):
     rnn_mode: str = 'transformer'
     dropout: bool = False
     size_input_seq: int = 116
-    head_remat: bool = False
+    head_remat: Any = False
 
     @nn.compact
     def __call__(self, c: Array, train: bool = True) -> Array:
         if self.rnn_mode != 'transformer':
             raise ValueError(f"unknown mode {self.rnn_mode}")
+        policy = _remat_policy(self.head_remat)
         trunk_cls = (nn.remat(MultiHeadTransformerAR, static_argnums=(2,),
-                              policy=jax.checkpoint_policies
-                              .nothing_saveable)
-                     if self.head_remat else MultiHeadTransformerAR)
+                              policy=policy)
+                     if policy is not None else MultiHeadTransformerAR)
         net = trunk_cls(dim_encoded=self.dim_enc,
                         dim_ar=self.dim_ar, n_layers=1,
                         size_seq=self.size_input_seq,
@@ -313,7 +331,7 @@ class CPCUnsupervisedCriterion(BaseCriterion):
     neg_pool_group: int = 0
     data_axis: str = 'data'
     pool_axis_size: int = 1
-    head_remat: bool = False
+    head_remat: Any = False
     # Model-parallel extension (beyond the reference, which is DP-only —
     # SURVEY §2.6): shard the K prediction heads over a mesh axis. This
     # instance then computes only its local `n_predicts` heads;

@@ -255,7 +255,8 @@ class TestHeadRemat:
         return params, np.asarray(losses), grads
 
     @pytest.mark.parametrize('multihead', [False, True])
-    def test_bit_identical(self, multihead):
+    @pytest.mark.parametrize('policy', [True, 'nothing', 'dots'])
+    def test_bit_identical(self, multihead, policy):
         b, s, d, k, n = 2, 20, 8, 3, 6
         rng = np.random.RandomState(0)
         c = rng.randn(b, s, d).astype(np.float32)
@@ -266,10 +267,21 @@ class TestHeadRemat:
         p0, l0, g0 = self._grads(
             CPCUnsupervisedCriterion(**kw, head_remat=False), c, z)
         p1, l1, g1 = self._grads(
-            CPCUnsupervisedCriterion(**kw, head_remat=True), c, z)
+            CPCUnsupervisedCriterion(**kw, head_remat=policy), c, z)
         assert jax.tree_util.tree_structure(p0) == \
             jax.tree_util.tree_structure(p1)
         np.testing.assert_array_equal(l0, l1)
         for a, bb in zip(jax.tree_util.tree_leaves(g0),
                          jax.tree_util.tree_leaves(g1)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+    def test_unknown_policy_rejected(self):
+        b, s, d, k, n = 1, 12, 8, 2, 4
+        rng = np.random.RandomState(0)
+        c = rng.randn(b, s, d).astype(np.float32)
+        z = rng.randn(b, s, d).astype(np.float32)
+        crit = CPCUnsupervisedCriterion(
+            n_predicts=k, dim_ar=d, dim_enc=d, negative_sampling_ext=n,
+            rnn_mode='transformer', size_input_seq=s, head_remat='bogus')
+        with pytest.raises(ValueError, match='head_remat'):
+            self._grads(crit, c, z)
