@@ -183,6 +183,22 @@ class MultiHeadAttention(nn.Module):
         return TorchLinear(self.dmodel, use_bias=False, name='Wo')(y)
 
 
+class _TorchLinearParams(nn.Module):
+    """Declares TorchLinear's params (same scope path, names, shapes, and
+    init — flax derives param init keys from the scope path, so values are
+    identical) WITHOUT running the matmul, for fused kernels that consume
+    the raw torch-layout weights."""
+    features: int
+
+    @nn.compact
+    def __call__(self, fan_in: int):
+        from .layers import torch_linear_init
+        w = self.param('weight', torch_linear_init(fan_in),
+                       (self.features, fan_in))
+        b = self.param('bias', torch_linear_init(fan_in), (self.features,))
+        return w, b
+
+
 class FFNetwork(nn.Module):
     """`transformers.py:107-116`."""
     din: int
@@ -192,6 +208,30 @@ class FFNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        from ..ops.ffn_pallas import fused_ffn, use_fused_ffn, _interpret
+        m = int(np.prod(x.shape[:-1]))
+        rate = 0.0 if deterministic else float(self.dropout)
+        if use_fused_ffn(m, x.shape[-1], self.dff, rate, dout=self.dout):
+            # Fused Pallas path (default on TPU; CPC2_FUSED_FFN=0 opts
+            # out): the whole lin1 -> ReLU -> dropout -> lin2 chain runs
+            # per VMEM tile and the backward recomputes the 2048-wide
+            # hidden instead of loading it from HBM (`ops/ffn_pallas.py`).
+            # Param tree is identical to the XLA path (same scopes/names/
+            # init). Dropout masks come from the on-chip PRNG
+            # (distribution-identical, realization differs — same stance
+            # as `--prng rbg`; auto mode falls back to XLA under
+            # threefry so stream replay stays exact).
+            w1, b1 = _TorchLinearParams(self.dff, name='lin1')(x.shape[-1])
+            w2, b2 = _TorchLinearParams(self.dout, name='lin2')(self.dff)
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng('dropout'), (1, 1), 0,
+                    np.iinfo(np.int32).max, dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((1, 1), jnp.int32)
+            y = fused_ffn(x.reshape(m, x.shape[-1]), w1, b1, w2, b2, seed,
+                          dropout_rate=rate, interpret=_interpret())
+            return y.reshape(*x.shape[:-1], self.dout)
         y = TorchLinear(self.dff, name='lin1')(x)
         y = Dropout(self.dropout, name='drop')(nn.relu(y), deterministic)
         return TorchLinear(self.dout, name='lin2')(y)
