@@ -24,12 +24,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_trace(trace_dir, steps, batch, neg_pool_group=0):
+def run_trace(trace_dir, steps, batch, neg_pool_group=0, prng='rbg'):
     import jax
     from cpc2_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    from cpc2_tpu.utils.misc import apply_precision
+    from cpc2_tpu.utils.misc import apply_precision, apply_prng_impl
     apply_precision('bf16mix')
+    apply_prng_impl(prng)  # match bench.py/train defaults
     from cpc2_tpu.config import get_default_cpc_config
     from cpc2_tpu import feature_loader as fl
     from cpc2_tpu.parallel.mesh import make_mesh, shard_batch
@@ -117,13 +118,18 @@ def main():
     ap.add_argument('--top', type=int, default=25)
     ap.add_argument('--reuse', action='store_true',
                     help='aggregate an existing trace, skip running')
+    ap.add_argument('--prng', type=str, default='rbg',
+                    choices=['rbg', 'threefry'],
+                    help='PRNG implementation (match bench.py/train '
+                    'defaults; threefry mask generation adds ~1.3 '
+                    'ms/step and flips the fused-FFN auto gate off)')
     args = ap.parse_args()
 
     if not args.reuse:
         import shutil
         shutil.rmtree(args.trace_dir, ignore_errors=True)
         run_trace(args.trace_dir, args.steps, args.batch,
-                  args.neg_pool_group)
+                  args.neg_pool_group, args.prng)
 
     events = load_events(args.trace_dir)
     per_op = collections.Counter()
