@@ -135,8 +135,21 @@ class _StackedRNN(nn.Module):
             if self.mode == "GRU":
                 out, h_last = _gru_scan(gi, h0s[layer], w_hh, b_hh)
             elif self.mode == "LSTM":
-                out, h_last, c_last = _lstm_scan(gi, h0s[layer], c0s[layer],
-                                                 w_hh, b_hh)
+                from ..ops.lstm_pallas import (fused_lstm, use_fused_lstm,
+                                               _interpret)
+                if (gi.dtype == jnp.float32 and w_hh.dtype == jnp.float32
+                        and use_fused_lstm(batch, gi.shape[1], h)):
+                    # Fused Pallas recurrence (default on TPU;
+                    # CPC2_FUSED_LSTM=0 opts out): h/c carried in VMEM
+                    # scratch across time chunks, W_hh resident, no
+                    # (T, B, ·) swapaxes copies. Identical math to the
+                    # scan (`ops/lstm_pallas.py`).
+                    out, h_last, c_last = fused_lstm(
+                        gi, h0s[layer], c0s[layer], w_hh, b_hh,
+                        _interpret())
+                else:
+                    out, h_last, c_last = _lstm_scan(
+                        gi, h0s[layer], c0s[layer], w_hh, b_hh)
                 c_lasts.append(c_last)
             else:
                 out, h_last = _rnn_scan(gi, h0s[layer], w_hh, b_hh)
