@@ -58,9 +58,15 @@ def _pick_tiles(m: int, dff: int):
     """(row-tile, dff-chunk) sizes. The backward cell keeps ~3 hidden-chunk
     buffers plus 4 weight-chunk blocks (double-buffered) resident, so the
     hidden chunk is capped at 1 MB — a 2 MB cap measured 204 KB over the
-    16 MB scoped-vmem limit at batch 32 (12 heads, m=3712)."""
+    16 MB scoped-vmem limit at batch 32 (12 heads, m=3712).
+
+    Mosaic requires the last-two block dims be multiples of the dtype
+    tile (8/16 x 128) OR equal to the full array dim, so every row-tile
+    candidate is a multiple of 16 (bf16-safe); when none divides m —
+    e.g. ragged TAIL batches, m = b_tail*116 — the row tile falls back
+    to the whole (legal) m and the VMEM gate in use_fused_ffn decides."""
     bm = m
-    for cand in (512, 464, 256, 232, 128, 116):
+    for cand in (512, 464, 256, 128):
         if m % cand == 0 and cand <= m:
             bm = cand
             break

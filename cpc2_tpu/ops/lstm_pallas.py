@@ -46,8 +46,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_tc(t: int) -> int:
-    """Time-chunk size: a divisor of t bounding the static unroll."""
-    for cand in (32, 16, 8, 4, 2):
+    """Time-chunk size: a divisor of t bounding the static unroll.
+    Candidates are multiples of 8 only — Mosaic requires the block's
+    second-minor dim be a multiple of the dtype tile or the full array
+    dim. When none divides t the whole t is returned (legal full-dim
+    block); use_fused_lstm then rejects t > 32 to bound the unroll."""
+    for cand in (32, 16, 8):
         if t % cand == 0 and cand <= t:
             return cand
     return t
@@ -275,6 +279,10 @@ def use_fused_lstm(b: int, t: int, hdim: int) -> bool:
     if env in ('0', 'off', 'false'):
         return False
     tc = _pick_tc(t)
+    if tc > 32:
+        # no multiple-of-8 chunk divisor: a full-T block would be legal
+        # but the static unroll (and its compile time) is unbounded
+        return False
     # chunk blocks (gi + ga ~ b*tc*4H f32 each, double-buffered) and the
     # two (4H, H) weight blocks must fit comfortably in VMEM
     if b * tc * 4 * hdim * 4 > 4 * 2 ** 20 or 4 * hdim * hdim * 4 > 2 ** 22:

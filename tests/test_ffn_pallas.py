@@ -137,6 +137,27 @@ class TestFusedFFN:
         assert _pick_tiles(928, 2048) == (464, 512)
         assert _pick_tiles(512, 2048) == (512, 512)
         assert _pick_tiles(16, 32) == (16, 32)
+        # ragged TAIL batches (m = b_tail*116, reference runs every
+        # batch): no candidate divides -> full-dim row block, which is
+        # the only other legal Mosaic tiling. Regression for a real-TPU
+        # lowering failure: a 116-row tile (not a multiple of 8) crashed
+        # the tail-batch program of real training runs.
+        assert _pick_tiles(348, 2048) == (348, 512)
+        for m in range(1, 1200):
+            bm, _ = _pick_tiles(m, 2048)
+            assert bm == m or bm % 16 == 0, m
+
+    def test_tail_batch_row_counts(self):
+        """Tail-batch row counts (m = b*116) run through the kernel."""
+        rs = np.random.RandomState(7)
+        for b in (1, 3, 5):
+            m = b * 116
+            x = _rand(rs, m, 8)
+            w1, b1, w2, b2 = _params(rs, 8, 64, 8)
+            out = fused_ffn(x, w1, b1, w2, b2, SEED0, 0.0, True)
+            ref = _xla_reference(x, w1, b1, w2, b2)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=1e-5)
 
     def test_module_wiring_param_tree(self, monkeypatch):
         """FFNetwork's fused path must declare the identical param tree

@@ -107,8 +107,21 @@ class TestFusedLSTM:
 
     def test_pick_tc(self):
         assert _pick_tc(128) == 32
-        assert _pick_tc(116) == 4
+        # no multiple-of-8 divisor -> whole T (legal full-dim block;
+        # use_fused_lstm rejects it when T > 32 to bound the unroll)
+        assert _pick_tc(116) == 116
         assert _pick_tc(7) == 7
+        # Mosaic tiling: chunked blocks must be multiples of 8
+        for t in range(2, 200):
+            tc = _pick_tc(t)
+            assert tc == t or tc % 8 == 0, t
+
+    def test_gate_rejects_unchunkable_t(self, monkeypatch):
+        from cpc2_tpu.ops.lstm_pallas import use_fused_lstm
+        monkeypatch.setenv('CPC2_FUSED_LSTM_INTERPRET', '1')
+        assert use_fused_lstm(8, 128, 256)
+        assert use_fused_lstm(8, 16, 256)
+        assert not use_fused_lstm(8, 116, 256)   # tail-ish T, no chunk
 
     def test_module_wiring(self, monkeypatch):
         """CPCAR through the fused path matches the scan path, including
