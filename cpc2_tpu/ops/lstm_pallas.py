@@ -45,14 +45,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tc(t: int) -> int:
-    """Time-chunk size: a divisor of t bounding the static unroll.
-    Candidates are multiples of 8 only — Mosaic requires the block's
-    second-minor dim be a multiple of the dtype tile or the full array
-    dim. When none divides t the whole t is returned (legal full-dim
-    block); use_fused_lstm then rejects t > 32 to bound the unroll."""
+def _pick_tc(t: int, b: int, hdim: int) -> int:
+    """Time-chunk size: a divisor of t bounding the static unroll AND the
+    per-cell VMEM (the backward keeps ~4 (b, tc, 4H) chunk blocks plus
+    their pipeline double-buffers resident — a (b*tc*4H) f32 chunk above
+    1 MB measured 21.6M/16M scoped-vmem at batch 16). Candidates are
+    multiples of 8 only — Mosaic requires the block's second-minor dim
+    be a multiple of the dtype tile or the full array dim. When nothing
+    fits, the whole t is returned (legal full-dim block) and
+    use_fused_lstm decides."""
     for cand in (32, 16, 8):
-        if t % cand == 0 and cand <= t:
+        if t % cand == 0 and cand <= t and \
+                b * cand * 4 * hdim * 4 <= 2 ** 20:
             return cand
     return t
 
@@ -152,7 +156,7 @@ def _bwd_kernel(hp_ref, cp_ref, cs_ref, ga_ref, w_hh_ref, dys_ref,
 def _fwd_call(gi, h0, c0, w_hh, b_hh, interpret):
     b, t, g4 = gi.shape
     hdim = g4 // 4
-    tc = _pick_tc(t)
+    tc = _pick_tc(t, b, hdim)
     n_chunks = t // tc
     kern = functools.partial(_fwd_kernel, tc=tc, n_chunks=n_chunks,
                              hdim=hdim)
@@ -191,7 +195,7 @@ def _fwd_call(gi, h0, c0, w_hh, b_hh, interpret):
 def _bwd_call(hs_prev, cs_prev, cs, ga, w_hh, dys, dhl, dcl, interpret):
     b, t, hdim = cs.shape
     g4 = 4 * hdim
-    tc = _pick_tc(t)
+    tc = _pick_tc(t, b, hdim)
     n_chunks = t // tc
     kern = functools.partial(_bwd_kernel, tc=tc, n_chunks=n_chunks,
                              hdim=hdim)
@@ -278,14 +282,14 @@ def use_fused_lstm(b: int, t: int, hdim: int) -> bool:
     env = os.environ.get('CPC2_FUSED_LSTM', '').lower()
     if env in ('0', 'off', 'false'):
         return False
-    tc = _pick_tc(t)
+    tc = _pick_tc(t, b, hdim)
     if tc > 32:
-        # no multiple-of-8 chunk divisor: a full-T block would be legal
-        # but the static unroll (and its compile time) is unbounded
+        # no fitting multiple-of-8 chunk divisor: a full-T block would
+        # be legal but the unroll (and compile time) is unbounded
         return False
-    # chunk blocks (gi + ga ~ b*tc*4H f32 each, double-buffered) and the
-    # two (4H, H) weight blocks must fit comfortably in VMEM
-    if b * tc * 4 * hdim * 4 > 4 * 2 ** 20 or 4 * hdim * hdim * 4 > 2 ** 22:
+    # chunk blocks (gi/ga/dgi ~ b*tc*4H f32, pipeline double-buffered)
+    # and the two (4H, H) weight blocks must fit in scoped VMEM
+    if b * tc * 4 * hdim * 4 > 2 ** 20 or 4 * hdim * hdim * 4 > 2 ** 22:
         return False
     if os.environ.get('CPC2_FUSED_LSTM_INTERPRET', '') == '1':
         return True

@@ -106,20 +106,29 @@ class TestFusedLSTM:
                                    atol=1e-4, rtol=1e-4)
 
     def test_pick_tc(self):
-        assert _pick_tc(128) == 32
+        assert _pick_tc(128, 8, 256) == 32
+        # VMEM-aware: larger batches shrink the chunk (the backward's
+        # (b, tc, 4H) blocks measured 21.6M/16M scoped-vmem at b=16
+        # with tc=32)
+        assert _pick_tc(128, 16, 256) == 16
+        assert _pick_tc(128, 32, 256) == 8
+        assert _pick_tc(128, 64, 256) == 128   # nothing fits -> gate off
         # no multiple-of-8 divisor -> whole T (legal full-dim block;
         # use_fused_lstm rejects it when T > 32 to bound the unroll)
-        assert _pick_tc(116) == 116
-        assert _pick_tc(7) == 7
+        assert _pick_tc(116, 8, 256) == 116
+        assert _pick_tc(7, 2, 8) == 7
         # Mosaic tiling: chunked blocks must be multiples of 8
         for t in range(2, 200):
-            tc = _pick_tc(t)
+            tc = _pick_tc(t, 2, 8)
             assert tc == t or tc % 8 == 0, t
 
-    def test_gate_rejects_unchunkable_t(self, monkeypatch):
+    def test_gate_rejects_unchunkable_or_oversized(self, monkeypatch):
         from cpc2_tpu.ops.lstm_pallas import use_fused_lstm
         monkeypatch.setenv('CPC2_FUSED_LSTM_INTERPRET', '1')
         assert use_fused_lstm(8, 128, 256)
+        assert use_fused_lstm(16, 128, 256)
+        assert use_fused_lstm(32, 128, 256)
+        assert not use_fused_lstm(64, 128, 256)  # no chunk fits VMEM
         assert use_fused_lstm(8, 16, 256)
         assert not use_fused_lstm(8, 116, 256)   # tail-ish T, no chunk
 
