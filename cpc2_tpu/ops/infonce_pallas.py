@@ -9,24 +9,33 @@ encoding rows per position, then a batched dot):
 whose backward scatter-add of d(neg_z) profiled 1.2 ms/step (15% of the
 train step) on a v5-lite chip, with the forward gather another 0.36 ms.
 
-Here nothing is ever row-gathered or scattered:
+Here nothing is ever row-gathered or scattered, and (since round 3)
+nothing (B, W, K, P)-shaped ever touches HBM either:
 
-  forward   scores_all = preds @ z^T — one dense MXU contraction (XLA).
-            The N sampled candidates are then SELECTED by a per-position
-            one-hot matmul in a Pallas kernel (grid (B, W); the one-hot
-            lives only in VMEM). To keep the selected scores exact in f32
-            on the bf16 MXU, scores_all is split into three bf16 planes
-            (hi/mid/lo >= 24 mantissa bits); one-hot multiplies each
-            addend by exactly 1.0/0.0, so summing the three selected
-            planes reassembles the f32 score.
+  forward   ONE kernel per (batch row, 8-window block):
+            scores = preds_block @ zᵀ on the MXU with the whole
+            (P, D) encoding pool VMEM-resident, split into three bf16
+            planes (hi/mid/lo >= 24 mantissa bits) IN REGISTERS, then the
+            N sampled candidates SELECTED by a per-position one-hot
+            matmul. One-hot multiplies each addend by exactly 1.0/0.0,
+            so summing the three selected planes reassembles the f32
+            score. The all-pool score matrix and its bf16 planes —
+            47 + 70 MB/step at the recipe — exist only in VMEM.
 
-  backward  a second kernel SPREADS d_neg back to pool coordinates with
-            the transposed one-hot matmul (dsc[b,k,w,p]); d_preds and d_z
-            are then plain dense einsums — the scatter disappears.
+  backward  the same fusion in reverse: per position the transposed
+            one-hot matmul SPREADS the cotangent to pool coordinates
+            (hi/lo bf16 split keeps it f32-exact), and the block's
+            (K·8, P) spread matrix immediately contracts against the
+            resident pool for d_preds and against the preds block into a
+            VMEM-accumulated (P, D) d_z — the dense (B, W, K, P)
+            d_scores tensor (47 MB written + read twice by the two XLA
+            einsums it replaced) never exists.
 
-The selection/spread kernels do no dynamic indexing at all: the grid's
-BlockSpec pipeline DMAs the (b, w) slices, which is what makes the
-per-position one-hot formulation cheap.
+The kernels do no dynamic indexing at all: the grid's BlockSpec pipeline
+DMAs the (b, w-block) slices, which is what makes the per-position
+one-hot formulation cheap, and d_z uses a constant-index output block —
+accumulated across the sequential TPU grid like the LSTM kernel's
+weight gradients.
 
 Values match the XLA path to fp32 association-order tolerance (same
 per-element products, different accumulation order). Validated against
@@ -43,98 +52,146 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_WB = 8  # window positions per grid cell (matches the sublane tile)
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _split_planes(scores: jax.Array) -> jax.Array:
-    """f32 (..., P) -> bf16 (3, ..., P) hi/mid/lo planes summing to f32."""
+def _onehot(idx_row, p, n):
+    """(P, N) bf16 one-hot: column j selects pool row idx_row[j]."""
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (p, n), 0)
+    return (iota_p == idx_row.reshape(1, n)).astype(jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel: out[b, w, k, n] = preds[b, k, w, :] . z[idx[b, w, n], :]
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(preds_ref, z_ref, idx_ref, out_ref, *, k_p, wb, p, n):
+    # Blocks: preds (1, K, WB, D), z (P, D) resident, idx (1, WB, N),
+    # out (1, WB, K, N).
+    d = preds_ref.shape[3]
+    pr = preds_ref[0].reshape(k_p * wb, d)             # rows: k·wb + w
+    scores = jax.lax.dot_general(
+        pr, z_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (K·WB, P) f32
+    # f32 -> three bf16 planes, in VMEM only
     hi = scores.astype(jnp.bfloat16)
     rem = scores - hi.astype(jnp.float32)
     mid = rem.astype(jnp.bfloat16)
     lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.stack([hi, mid, lo], axis=0)
+    hi3 = hi.reshape(k_p, wb, p)
+    mid3 = mid.reshape(k_p, wb, p)
+    lo3 = lo.reshape(k_p, wb, p)
+    for w in range(wb):
+        onehot = _onehot(idx_ref[0, w, :], p, n)       # (P, N)
+        stacked = jnp.concatenate(
+            [hi3[:, w], mid3[:, w], lo3[:, w]], axis=0)  # (3K, P)
+        sel = jax.lax.dot_general(
+            stacked, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (3K, N)
+        out_ref[0, w] = sel[:k_p] + sel[k_p:2 * k_p] + sel[2 * k_p:]
 
 
-# ---------------------------------------------------------------------------
-# Selection kernel: out[b, :, w, n] = sum_planes planes[b, :, w, idx[b,w,n]]
-# ---------------------------------------------------------------------------
-
-def _select_kernel(planes_ref, idx_ref, out_ref):
-    # Blocks: planes (3, 1, 1, K, P), idx (1, 1, 1, N), out (1, 1, K, N) —
-    # the w axis sits OUTSIDE the minor-most two dims so the pipeline can
-    # DMA per-position slices without tile-alignment constraints, and the
-    # plane axis LEADS so jnp.stack(axis=0) never relayouts the planes.
-    _, _, _, k_p, p = planes_ref.shape
-    n = idx_ref.shape[3]
-    idx_row = idx_ref[0, 0, 0, :].reshape(1, n)
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (p, n), 0)
-    onehot = (iota_p == idx_row).astype(jnp.bfloat16)          # (P, N)
-    stacked = planes_ref[:, 0, 0].reshape(3 * k_p, p)          # (3K, P)
-    sel = jax.lax.dot_general(
-        stacked, onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # (3K, N)
-    out_ref[0, 0] = sel[:k_p] + sel[k_p:2 * k_p] + sel[2 * k_p:]
-
-
-def _select_call(planes, idx, interpret):
-    _, b, w_p, k_p, p = planes.shape
-    n = idx.shape[3]
+def _fwd_call(preds, z, idx, interpret):
+    b, k_p, w_p, d = preds.shape
+    p = z.shape[0]
+    n = idx.shape[2]
+    wb = _WB
+    kern = functools.partial(_fwd_kernel, k_p=k_p, wb=wb, p=p, n=n)
     return pl.pallas_call(
-        _select_kernel,
-        grid=(b, w_p),
+        kern,
+        grid=(b, w_p // wb),
         in_specs=[
-            pl.BlockSpec((3, 1, 1, k_p, p), lambda i, w: (0, i, w, 0, 0),
+            pl.BlockSpec((1, k_p, wb, d), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, n), lambda i, w: (i, w, 0, 0),
+            pl.BlockSpec((p, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wb, n), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, k_p, n), lambda i, w: (i, w, 0, 0),
+        out_specs=pl.BlockSpec((1, wb, k_p, n), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, w_p, k_p, n), jnp.float32),
         interpret=interpret,
-    )(planes, idx)
+    )(preds, z, idx)
 
 
 # ---------------------------------------------------------------------------
-# Spread kernel (backward): dsc[b, k, w, p] = sum_n g[b,k,w,n] [idx==p]
+# Backward kernel: spread g to pool coords, contract for dpreds and dz
 # ---------------------------------------------------------------------------
 
-def _spread_kernel(g_ref, idx_ref, dsc_ref):
-    k_p, n = g_ref.shape[2:]
-    p = dsc_ref.shape[3]
-    idx_row = idx_ref[0, 0, 0, :].reshape(1, n)
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (p, n), 0)
-    onehot = (iota_p == idx_row).astype(jnp.bfloat16)          # (P, N)
-    # hi/lo bf16 split keeps the spread gradient f32-accurate; the extra
-    # rows are free (the matmul pads to 128 rows regardless).
-    g_w = g_ref[0, 0]                                          # (K, N) f32
-    g_hi = g_w.astype(jnp.bfloat16)
-    g_lo = (g_w - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    stacked = jnp.concatenate([g_hi, g_lo], axis=0)            # (2K, N)
-    dsc = jax.lax.dot_general(
-        stacked, onehot, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                    # (2K, P)
-    dsc_ref[0, 0] = dsc[:k_p] + dsc[k_p:]
+def _bwd_kernel(g_ref, idx_ref, preds_ref, z_ref, dpreds_ref, dz_ref,
+                dsc_scratch, *, k_p, wb, p, n):
+    # Blocks: g (1, WB, K, N) f32, idx (1, WB, N), preds (1, K, WB, D),
+    # z (P, D) resident; outputs dpreds (1, K, WB, D), dz (P, D)
+    # accumulated across the whole sequential grid.
+    d = preds_ref.shape[3]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _zero_dz():
+        dz_ref[...] = jnp.zeros_like(dz_ref)
+
+    for w in range(wb):
+        # hi/lo bf16 split keeps the spread gradient f32-accurate; the
+        # extra rows are free (the matmul pads to 128 rows regardless).
+        g_w = g_ref[0, w]                              # (K, N) f32
+        g_hi = g_w.astype(jnp.bfloat16)
+        g_lo = (g_w - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        stacked = jnp.concatenate([g_hi, g_lo], axis=0)  # (2K, N)
+        onehot = _onehot(idx_ref[0, w, :], p, n)       # (P, N)
+        dsc = jax.lax.dot_general(
+            stacked, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (2K, P)
+        dsc_scratch[:, w, :] = dsc[:k_p] + dsc[k_p:]   # rows k·wb + w
+    dsc_all = dsc_scratch[...].reshape(k_p * wb, p)    # (K·WB, P) f32
+    dpreds_ref[0] = jax.lax.dot_general(
+        dsc_all, z_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(k_p, wb, d)
+    pr = preds_ref[0].reshape(k_p * wb, d)
+    dz_ref[...] = dz_ref[...] + jax.lax.dot_general(
+        dsc_all, pr, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (P, D)
 
 
-def _spread_call(g, idx, p, interpret):
-    b, w_p, k_p, n = g.shape
+def _bwd_call(g, idx, preds, z, interpret):
+    b, k_p, w_p, d = preds.shape
+    p = z.shape[0]
+    n = idx.shape[2]
+    wb = _WB
+    kern = functools.partial(_bwd_kernel, k_p=k_p, wb=wb, p=p, n=n)
     return pl.pallas_call(
-        _spread_kernel,
-        grid=(b, w_p),
+        kern,
+        grid=(b, w_p // wb),
         in_specs=[
-            pl.BlockSpec((1, 1, k_p, n), lambda i, w: (i, w, 0, 0),
+            pl.BlockSpec((1, wb, k_p, n), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, n), lambda i, w: (i, w, 0, 0),
+            pl.BlockSpec((1, wb, n), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_p, wb, d), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, d), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, k_p, p), lambda i, w: (i, w, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, w_p, k_p, p), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, k_p, wb, d), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            # accumulated across all grid cells (sequential TPU grid;
+            # the block index is constant so the block stays in VMEM)
+            pl.BlockSpec((p, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k_p, w_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((p, d), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((k_p, wb, p), jnp.float32)],
         interpret=interpret,
-    )(g, idx)
+    )(g, idx, preds, z)
 
 
 # ---------------------------------------------------------------------------
@@ -142,10 +199,7 @@ def _spread_call(g, idx, p, interpret):
 # ---------------------------------------------------------------------------
 
 def _scores_fwd_impl(preds, z, idx, interpret):
-    scores = jnp.einsum('bkwd,pd->bwkp', preds, z,
-                        preferred_element_type=jnp.float32)  # (B, Wp, K, P)
-    planes = _split_planes(scores)                 # (3, B, Wp, K, P)
-    out = _select_call(planes, idx, interpret)     # (B, Wp, K, N)
+    out = _fwd_call(preds, z, idx, interpret)      # (B, Wp, K, N)
     return jnp.transpose(out, (0, 2, 1, 3))        # (B, K, Wp, N)
 
 
@@ -161,11 +215,7 @@ def _padded_fwd(preds, z, idx, interpret):
 def _padded_bwd(interpret, res, g):
     preds, z, idx = res
     g_wk = jnp.transpose(g, (0, 2, 1, 3))               # (B, Wp, K, N)
-    dsc = _spread_call(g_wk, idx, z.shape[0], interpret)  # (B, Wp, K, P)
-    dpreds = jnp.einsum('bwkp,pd->bkwd', dsc, z,
-                        preferred_element_type=jnp.float32)
-    dz = jnp.einsum('bwkp,bkwd->pd', dsc, preds,
-                    preferred_element_type=jnp.float32)
+    dpreds, dz = _bwd_call(g_wk, idx, preds, z, interpret)
     return dpreds, dz, jnp.zeros(idx.shape, jax.dtypes.float0)
 
 
@@ -178,12 +228,13 @@ def negative_scores_pallas(preds, z_flat, neg_idx, interpret: bool = False):
     preds: (B, K, W, D) f32; z_flat: (P, D) f32; neg_idx: (B, W, N) int32
     flat indices into P. Returns (B, K, W, N) f32 (raw dot, no scaling).
     Shapes are padded internally to TPU tile alignment and the result is
-    sliced back; padded index rows select row 0 and are discarded.
+    sliced back; padded index rows select row 0 and are discarded (their
+    cotangent is zero, so they contribute nothing to dz/dpreds).
     """
     b, k_p, w, d = preds.shape
     p = z_flat.shape[0]
     n = neg_idx.shape[2]
-    w_pad = _round_up(w, 8)
+    w_pad = _round_up(w, _WB)
     n_pad = _round_up(n, 128)
     p_pad = _round_up(p, 128)
 
@@ -191,7 +242,7 @@ def negative_scores_pallas(preds, z_flat, neg_idx, interpret: bool = False):
                       ((0, 0), (0, 0), (0, w_pad - w), (0, 0)))
     z_p = jnp.pad(z_flat.astype(jnp.float32), ((0, p_pad - p), (0, 0)))
     idx_p = jnp.pad(neg_idx.astype(jnp.int32),
-                    ((0, 0), (0, w_pad - w), (0, n_pad - n)))[:, :, None, :]
+                    ((0, 0), (0, w_pad - w), (0, n_pad - n)))
     out = _negative_scores_padded(preds_p, z_p, idx_p, interpret)
     return out[:, :, :w, :n]
 
