@@ -118,6 +118,9 @@ def main():
     ap.add_argument('--top', type=int, default=25)
     ap.add_argument('--reuse', action='store_true',
                     help='aggregate an existing trace, skip running')
+    ap.add_argument('--long', action='store_true',
+                    help='print each top op\'s HLO long name (shapes/'
+                    'layouts) under its row')
     ap.add_argument('--prng', type=str, default='rbg',
                     choices=['rbg', 'threefry'],
                     help='PRNG implementation (match bench.py/train '
@@ -135,6 +138,7 @@ def main():
     per_op = collections.Counter()
     per_cat = collections.Counter()
     n_ev = collections.Counter()
+    long_names = {}
     total = 0.0
     for e in events:
         dur = e.get('dur', 0)  # microseconds
@@ -143,6 +147,10 @@ def main():
         n_ev[name] += 1
         per_cat[categorize(name)] += dur
         total += dur
+        if name not in long_names:
+            ln = e.get('args', {}).get('long_name', '')
+            if ln:
+                long_names[name] = ln
 
     steps = args.steps
     print(f"device total: {total / 1000:.2f} ms over {steps} steps "
@@ -155,6 +163,8 @@ def main():
     for name, dur in per_op.most_common(args.top):
         print(f"{dur / 1000 / steps:8.3f}  {n_ev[name] / steps:6.1f}x  "
               f"{name[:110]}")
+        if args.long and name in long_names:
+            print(f"            {long_names[name][:400]}")
 
 
 if __name__ == '__main__':
