@@ -59,17 +59,25 @@ class ChannelNorm(nn.Module):
     affine: bool = True
 
     @nn.compact
+    def materialize(self):
+        """Create/fetch the affine params without computing (used by the
+        fused-encoder path, which consumes them directly)."""
+        if not self.affine:
+            return None, None
+        weight = self.param('weight', nn.initializers.ones,
+                            (self.num_features,))
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.num_features,))
+        return weight, bias
+
     def __call__(self, x: Array) -> Array:
+        weight, bias = self.materialize()
         mean = jnp.mean(x, axis=-1, keepdims=True)
         # Unbiased variance (N-1 denominator) for parity with torch.var.
         n = x.shape[-1]
         var = jnp.sum(jnp.square(x - mean), axis=-1, keepdims=True) / max(n - 1, 1)
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
         if self.affine:
-            weight = self.param('weight', nn.initializers.ones,
-                                (self.num_features,))
-            bias = self.param('bias', nn.initializers.zeros,
-                              (self.num_features,))
             y = y * weight + bias
         return y
 
@@ -160,11 +168,20 @@ class Conv1d(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        in_features = x.shape[-1]
+    def materialize(self, in_features: int):
+        """Create/fetch weight+bias without computing (used by the fused
+        encoder path)."""
         fan_in = in_features * self.kernel_size
         weight = self.param('weight', _torch_conv_uniform_init(fan_in),
                             (self.features, in_features, self.kernel_size))
+        bias = None
+        if self.use_bias:
+            bias = self.param('bias', _torch_conv_uniform_init(fan_in),
+                              (self.features,))
+        return weight, bias
+
+    def __call__(self, x: Array) -> Array:
+        weight, bias = self.materialize(x.shape[-1])
         dtype = self.compute_dtype or x.dtype
         kernel = jnp.transpose(weight, (2, 1, 0)).astype(dtype)  # (K, Cin, Cout)
         y = jax.lax.conv_general_dilated(
@@ -175,8 +192,6 @@ class Conv1d(nn.Module):
             preferred_element_type=jnp.float32,
         )
         if self.use_bias:
-            bias = self.param('bias', _torch_conv_uniform_init(fan_in),
-                              (self.features,))
             y = y + bias
         return y
 
@@ -201,6 +216,29 @@ class CPCEncoder(nn.Module):
         if x.ndim == 2:
             x = x[..., None]
         norm_cls = _norm_factory(self.norm_mode)
+
+        from ..ops.encoder_pallas import (_interpret, fused_encoder,
+                                          use_fused_encoder)
+        if (self.norm_mode == 'layerNorm' and x.shape[-1] == 1
+                and self.compute_dtype is None
+                and use_fused_encoder(x.shape[0], x.shape[1],
+                                      self.size_hidden,
+                                      conv_stack=CONV_STACK,
+                                      norm_mode=self.norm_mode,
+                                      dtype=x.dtype)):
+            conv_w, conv_b, norm_w, norm_b = [], [], [], []
+            for i, (k, s, p) in enumerate(CONV_STACK):
+                w, b = Conv1d(self.size_hidden, k, s, p,
+                              name=f'conv{i}').materialize(
+                                  1 if i == 0 else self.size_hidden)
+                nw, nb = ChannelNorm(self.size_hidden,
+                                     name=f'batchNorm{i}').materialize()
+                conv_w.append(w), conv_b.append(b)
+                norm_w.append(nw), norm_b.append(nb)
+            return fused_encoder(x[..., 0], tuple(conv_w), tuple(conv_b),
+                                 tuple(norm_w), tuple(norm_b),
+                                 _interpret())
+
         for i, (k, s, p) in enumerate(CONV_STACK):
             x = Conv1d(self.size_hidden, k, s, p,
                        compute_dtype=self.compute_dtype,
