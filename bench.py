@@ -18,9 +18,11 @@ processes 10.24 / 0.095 ~= 108 audio-hours per hour.
 Timing is honest: every timed repetition ends with a device->host fetch of
 the losses (np.asarray), so asynchronous dispatch cannot under-report, and
 the minimum over repetitions is reported to reject remote-service queue
-noise. Per-step device time was cross-checked against the XLA profiler:
-`jit_train_body` device duration is 7.41 ms with 3 us inter-step gaps
-(fully occupied device), matching the reported steady-state wall time.
+noise. Per-step device time is cross-checked against the XLA profiler:
+`jit_train_body` device duration matches the reported steady-state wall
+time with ~3 us inter-step gaps (fully occupied device) — 7.41 ms in the
+pre-kernel era, 4.37 ms with the current fused kernels
+(`scripts/profile_step.py`).
 """
 
 import argparse
