@@ -46,6 +46,7 @@ CPU + gradient checks).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -252,7 +253,12 @@ def use_pallas_negatives() -> bool:
 
     Also honours an active `jax.default_device(cpu)` context: model/criterion
     init runs on the CPU backend (see `feature_loader.init_model`), where a
-    compiled pallas_call cannot lower."""
+    compiled pallas_call cannot lower. CPC2_FUSED_INFONCE=0 opts out (the
+    same env convention as the other fused kernels — used by
+    `scripts/bench_kernel_ab.py` and for debugging)."""
+    if os.environ.get('CPC2_FUSED_INFONCE', '').lower() in ('0', 'off',
+                                                            'false'):
+        return False
     try:
         if jax.default_backend() in ('cpu', 'gpu'):
             return False
