@@ -143,7 +143,12 @@ def set_default_cpc_config(parser):
     group_augment.add_argument('--augment_past', action='store_true')
     group_augment.add_argument('--augment_type', type=str,
                                choices=['none', 'bandreject', 'pitch',
-                                        'pitch_deropout', 'pitch_quick',
+                                        # 'pitch_deropout' is the
+                                        # reference CLI's misspelling of
+                                        # the factory key; both spellings
+                                        # select PitchDropout here.
+                                        'pitch_deropout', 'pitch_dropout',
+                                        'pitch_quick',
                                         'additive', 'artificial_reverb',
                                         'time_dropout',
                                         'artificial_reverb_dropout',
@@ -296,9 +301,11 @@ def set_tpu_config(parser):
                        'device from per-step offset vectors. Removes the '
                        'per-step audio upload — the real-data bottleneck '
                        'on remote/tunneled accelerators. Identical '
-                       'training trajectory to the host path. Needs the '
-                       'pack (--max_size_loaded) to fit in HBM beside the '
-                       'model, and clean host windows: host-side '
+                       'training trajectory to the host path. Needs one '
+                       'TRAIN pack plus the (usually much smaller) VAL '
+                       'pack — both stay resident across epochs — to fit '
+                       'in HBM beside the model (--max_size_loaded bounds '
+                       'each pack), and clean host windows: host-side '
                        'augmentation is rejected (--augment_on_device '
                        'composes). Single-process only.')
     return parser

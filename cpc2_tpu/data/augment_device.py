@@ -37,6 +37,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Freeverb tunings are shared with the host filter chain so the two
+# implementations cannot drift apart numerically.
+from .augmentation import (_ALLPASS_TUNINGS, _COMB_TUNINGS,
+                           canonical_augment_type)
+
 SAMPLE_RATE = 16000.0
 
 Array = jax.Array
@@ -247,8 +252,6 @@ def time_dropout(x: Array, key: Array, t_ms: int = 100) -> Array:
 # the bank.
 # ---------------------------------------------------------------------------
 
-_COMB_TUNINGS = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
-_ALLPASS_TUNINGS = (556, 441, 341, 225)
 
 
 def _comb_np(x: np.ndarray, d: int, c1: float, c2: float) -> np.ndarray:
@@ -482,6 +485,7 @@ def make_device_augment(augment_types: Sequence[str],
     """
     chain = []
     for name in augment_types or []:
+        name = canonical_augment_type(name)
         if name == 'bandreject':
             chain.append(functools.partial(bandreject,
                                            scaler=bandreject_scaler))

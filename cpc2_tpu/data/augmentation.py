@@ -341,8 +341,12 @@ class PitchDropout:
 
     def __init__(self, T_ms: int = 100, shift_max: int = 300,
                  algo: str = 'vocoder'):
-        self.pitch = PitchAugment(quick=True, shift_max=shift_max,
-                                  algo=algo)
+        # The reference chain is `pitch ... rate -q` (quick resample,
+        # `:106`); quick matches that. An explicit algo='wsola' is our
+        # closer-to-sox opt-in (docs/augmentation_parity.md) — honor it,
+        # since pitch_shift's quick branch bypasses the algo dispatch.
+        self.pitch = PitchAugment(quick=(algo != 'wsola'),
+                                  shift_max=shift_max, algo=algo)
         self.dropout = TimeDropoutAugment(T_ms)
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
@@ -495,7 +499,18 @@ class CombinedTransforms:
         return x
 
 
+def canonical_augment_type(augment_type: str) -> str:
+    """Map the reference CLI's misspelled choice 'pitch_deropout'
+    (`cpc_default_config.py:131`) onto the factory's actual
+    'pitch_dropout' key (`data_augmentation.py:368`) — in the reference
+    the two never meet, so PitchDropout is unreachable from its CLI; we
+    accept both spellings."""
+    return 'pitch_dropout' if augment_type == 'pitch_deropout' \
+        else augment_type
+
+
 def get_augment(augment_type, **kwargs):
+    augment_type = canonical_augment_type(augment_type)
     if not augment_type or augment_type == 'none':
         return None
     elif augment_type == 'bandreject':
@@ -509,8 +524,11 @@ def get_augment(augment_type, **kwargs):
                                     kwargs['additive_noise_snr_max'],
                                     kwargs['batchSize'],
                                     kwargs['additive_noise_sampling'])
-    elif augment_type == 'pitch':
-        return PitchAugment(quick=kwargs['pitch_quick'],
+    elif augment_type in ('pitch', 'pitch_quick'):
+        # 'pitch_quick' inside a combined chain crashes the reference
+        # factory (`data_augmentation.py:358,378`); honor it here.
+        return PitchAugment(quick=(kwargs['pitch_quick']
+                                   or augment_type == 'pitch_quick'),
                             shift_max=kwargs['shift_max'],
                             algo=kwargs.get('pitch_algo', 'vocoder'))
     elif augment_type == 'artificial_reverb':
@@ -551,13 +569,18 @@ def augmentation_factory(args, noise_dataset=None, applied_on_noise=False):
     if (not augment_type or augment_type == 'none'
             or not (args.augment_past or args.augment_future)):
         return None
+    augment_type = [canonical_augment_type(t) for t in augment_type]
 
     batchSize = args.nGPU * args.batchSizeGPU
     additive_noise_sampling = ("temporalsamespeaker"
                                if args.temporal_additive_noise else "uniform")
     if len(augment_type) > 1:
+        # NB: the reference writes `args.augment_type == 'pitch_quick'`
+        # here and below (`data_augmentation.py:401,421`) — a list-vs-str
+        # compare that is always False, so its pitch_quick silently runs
+        # the full-quality path. Fixed (SURVEY §2.10: don't clone bugs).
         aug_args = {"bandreject_scaler": args.bandreject_scaler,
-                    "pitch_quick": args.augment_type == 'pitch_quick',
+                    "pitch_quick": 'pitch_quick' in augment_type,
                     "t_ms": args.t_ms,
                     "noise_dataset": noise_dataset,
                     "additive_noise_snr_min": args.min_snr_in_db,
@@ -576,7 +599,7 @@ def augmentation_factory(args, noise_dataset=None, applied_on_noise=False):
     if augment_type == 'bandreject':
         return BandrejectAugment(scaler=args.bandreject_scaler)
     elif augment_type in ['pitch', 'pitch_quick']:
-        return PitchAugment(quick=args.augment_type == 'pitch_quick',
+        return PitchAugment(quick=augment_type == 'pitch_quick',
                             shift_max=args.shift_max,
                             algo=getattr(args, 'pitch_algo', 'vocoder'))
     elif augment_type == 'artificial_reverb':

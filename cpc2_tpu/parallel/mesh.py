@@ -182,6 +182,11 @@ class DeviceCorpus:
     HBM next to the model state (PCM-grid audio uploads as int16: half the
     f32 pack bytes; `--max_size_loaded` controls pack size). Pack switches
     re-upload, so single-pack corpora (< MAX_SIZE_LOADED) benefit most.
+    The trainer keeps one DeviceCorpus per split, so budget HBM for the
+    train pack AND the val pack together — both stay resident across
+    epochs (the val pack is typically the 5% split, but a separate
+    --pathVal corpus can be arbitrarily large; lower --max_size_loaded if
+    the pair doesn't fit).
 
     Host-side preparation (`ensure`) costs one rint/compare pass over the
     pack to prove the int16 wire lossless; it runs once per pack, not per

@@ -23,7 +23,7 @@ import numpy as np
 
 from . import feature_loader as fl
 from .config import set_default_cpc_config, set_tpu_config
-from .data.augmentation import augmentation_factory
+from .data.augmentation import augmentation_factory, canonical_augment_type
 from .data.corpus import filterSeqs, findAllSeqs, parseSeqLabels
 from .data.dataset import AudioBatchData, PeakNorm
 from .io.checkpoint import get_checkpoint_data, load_args
@@ -1006,9 +1006,9 @@ def main(argv):
                     getattr(args, 'pitch_algo', 'vocoder') == 'wsola':
                 return False
             return True
-        dev_types = [t for t in args.augment_type if _device_ok(t)]
-        host_aug_types = [t for t in args.augment_type
-                          if not _device_ok(t)]
+        aug_types = [canonical_augment_type(t) for t in args.augment_type]
+        dev_types = [t for t in aug_types if _device_ok(t)]
+        host_aug_types = [t for t in aug_types if not _device_ok(t)]
         chain = make_device_augment(
             dev_types, shift_max=int(args.shift_max),
             bandreject_scaler=args.bandreject_scaler, t_ms=args.t_ms,

@@ -192,3 +192,53 @@ class TestWsolaHostImplementation:
         args.nGPU, args.batchSizeGPU = 1, 2
         aug = ha.augmentation_factory(args)
         assert isinstance(aug, ha.PitchAugment) and aug.algo == 'wsola'
+
+
+class TestFactoryDispatchFixes:
+    """Regressions for three reference bugs we fix rather than clone
+    (SURVEY §2.10): the list-vs-str `pitch_quick` compare
+    (`/root/reference/cpc/data_augmentation.py:401,421`), the
+    'pitch_deropout' CLI spelling that never reaches the factory's
+    'pitch_dropout' key (`cpc_default_config.py:131` vs
+    `data_augmentation.py:368`), and `pitch_quick` crashing the combined
+    chain (`data_augmentation.py:358,378`)."""
+
+    def _args(self, types):
+        from cpc2_tpu.config import get_default_cpc_config
+        args = get_default_cpc_config()
+        args.augment_type = types
+        args.augment_past = True
+        args.nGPU, args.batchSizeGPU = 1, 2
+        return args
+
+    def test_pitch_quick_single_actually_quick(self):
+        aug = ha.augmentation_factory(self._args(['pitch_quick']))
+        assert isinstance(aug, ha.PitchAugment) and aug.quick is True
+
+    def test_pitch_quick_in_combined_chain(self):
+        # The reference factory raises 'Unknown augment_type' here.
+        aug = ha.augmentation_factory(
+            self._args(['bandreject', 'pitch_quick']))
+        assert isinstance(aug, ha.CombinedTransforms)
+        pitches = [t for t in aug.transfors_cfgs
+                   if isinstance(t, ha.PitchAugment)]
+        assert len(pitches) == 1 and pitches[0].quick is True
+
+    def test_pitch_dropout_both_spellings(self):
+        for spelling in ('pitch_dropout', 'pitch_deropout'):
+            aug = ha.augmentation_factory(self._args([spelling]))
+            assert isinstance(aug, ha.PitchDropout), spelling
+
+    def test_pitch_dropout_honors_wsola(self):
+        dropout = ha.PitchDropout(algo='wsola')
+        assert dropout.pitch.quick is False
+        assert dropout.pitch.algo == 'wsola'
+        # default stays on the reference-like quick resample
+        assert ha.PitchDropout().pitch.quick is True
+
+    def test_device_factory_accepts_reference_spelling(self):
+        chain = ad.make_device_augment(['pitch_deropout'])
+        assert chain is not None
+        x = jnp.zeros((2, 2048), jnp.float32)
+        y = chain(x, jax.random.PRNGKey(0))
+        assert y.shape == x.shape
