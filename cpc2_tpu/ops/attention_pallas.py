@@ -44,6 +44,8 @@ import os
 
 import jax
 import jax.numpy as jnp
+
+from .backend import tpu_backend_available
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -253,13 +255,4 @@ def use_fused_attention(s: int, dk: int) -> bool:
         return False
     if s > 512 or dk > 128 or dk * s * s * 4 > 8 * 2 ** 20:
         return False
-    try:
-        if jax.default_backend() in ('cpu', 'gpu'):
-            return False
-        default_dev = getattr(jax.config, 'jax_default_device', None)
-        if default_dev is not None and \
-                getattr(default_dev, 'platform', None) != 'tpu':
-            return False
-        return True
-    except Exception:
-        return False
+    return tpu_backend_available()

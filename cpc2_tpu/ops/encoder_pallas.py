@@ -55,6 +55,8 @@ import os
 
 import jax
 import jax.numpy as jnp
+
+from .backend import tpu_backend_available
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -460,13 +462,9 @@ def use_fused_encoder(n: int, t: int, c: int,
         return False
     if _interpret():
         return True
+    if not tpu_backend_available():
+        return False
     try:
-        if jax.default_backend() in ('cpu', 'gpu'):
-            return False
-        default_dev = getattr(jax.config, 'jax_default_device', None)
-        if default_dev is not None and \
-                getattr(default_dev, 'platform', None) != 'tpu':
-            return False
         if jax.config.jax_default_matmul_precision in ('highest',
                                                        'float32'):
             return False

@@ -49,6 +49,8 @@ import os
 
 import jax
 import jax.numpy as jnp
+
+from .backend import tpu_backend_available
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -316,13 +318,9 @@ def use_fused_ffn(m: int, din: int, dff: int,
         return False
     if _interpret():
         return True
+    if not tpu_backend_available():
+        return False
     try:
-        if jax.default_backend() in ('cpu', 'gpu'):
-            return False
-        default_dev = getattr(jax.config, 'jax_default_device', None)
-        if default_dev is not None and \
-                getattr(default_dev, 'platform', None) != 'tpu':
-            return False
         if (not forced and dropout_rate > 0.0 and
                 'rbg' not in str(jax.config.jax_default_prng_impl)):
             return False

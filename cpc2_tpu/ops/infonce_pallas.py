@@ -50,6 +50,8 @@ import os
 
 import jax
 import jax.numpy as jnp
+
+from .backend import tpu_backend_available
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -259,13 +261,4 @@ def use_pallas_negatives() -> bool:
     if os.environ.get('CPC2_FUSED_INFONCE', '').lower() in ('0', 'off',
                                                             'false'):
         return False
-    try:
-        if jax.default_backend() in ('cpu', 'gpu'):
-            return False
-        default_dev = getattr(jax.config, 'jax_default_device', None)
-        if default_dev is not None and \
-                getattr(default_dev, 'platform', None) != 'tpu':
-            return False
-        return True
-    except Exception:
-        return False
+    return tpu_backend_available()

@@ -261,6 +261,21 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
     ragged = []
     stager = WireStager(mesh)
 
+    def _route_tail(sequence, label, quality, mask):
+        """Route a short batch so every example still trains (reference
+        `cpc/train.py:145-187` semantics): mesh-divisible sizes join the
+        ragged-program list, others go to the single-device TailRunner;
+        only hidden-carry mode (shapes must persist) drops."""
+        nonlocal dropped
+        if (not keep_hidden and sequence.shape[0] > 0
+                and sequence.shape[0] % mesh.shape['data'] == 0):
+            ragged.append((sequence, label, quality, mask))
+        elif (not keep_hidden and sequence.shape[0] > 0
+                and tail_runner is not None):
+            tail_runner.add((sequence, label, quality, mask))
+        else:
+            dropped += 1
+
     def _dispatch_stacked(state):
         from .training import shard_stacked_batch
         seqs = np.stack([b[0] for b in dispatch_buffer])
@@ -389,26 +404,12 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
             # program (TailRunner) so every batch trains, like the
             # reference (`cpc/train.py:145-187`).
             _, sequence, label, quality, mask = item
-            if (not keep_hidden and sequence.shape[0] > 0
-                    and sequence.shape[0] % mesh.shape['data'] == 0):
-                ragged.append((sequence, label, quality, mask))
-            elif (not keep_hidden and sequence.shape[0] > 0
-                    and tail_runner is not None):
-                tail_runner.add((sequence, label, quality, mask))
-            else:
-                dropped += 1
+            _route_tail(sequence, label, quality, mask)
             continue
         if item[0] == 'host':
             _, sequence, label, quality, mask = item
             if sequence.shape[0] != expected_batch:
-                if (not keep_hidden and sequence.shape[0] > 0
-                        and sequence.shape[0] % mesh.shape['data'] == 0):
-                    ragged.append((sequence, label, quality, mask))
-                elif (not keep_hidden and sequence.shape[0] > 0
-                        and tail_runner is not None):
-                    tail_runner.add((sequence, label, quality, mask))
-                else:
-                    dropped += 1
+                _route_tail(sequence, label, quality, mask)
                 continue
             n_examples += sequence.shape[0]
             dispatch_buffer.append(
