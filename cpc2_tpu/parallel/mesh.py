@@ -81,6 +81,25 @@ def shard_batch(mesh: Mesh, *arrays):
     return out if len(out) != 1 else out[0]
 
 
+def pcm16_wire(arr):
+    """Shared losslessness invariant behind the int16 wire format.
+
+    If every value of `arr` (float32) sits exactly on the PCM16 grid
+    (value * 32768 is an integer in [-32768, 32767]), return the int16
+    wire array and True; otherwise return `arr` unchanged and False.
+    One rint pass + one compare. Both `WireStager.to_wire` (per-batch
+    host->device staging) and `DeviceCorpus.ensure` (pack-resident
+    staging) call this — they must agree for the staged values to be
+    bit-identical in every mode."""
+    scaled = arr * 32768.0
+    rounded = np.rint(scaled)
+    if (np.array_equal(rounded, scaled)
+            and float(rounded.min(initial=0.0)) >= -32768.0
+            and float(rounded.max(initial=0.0)) <= 32767.0):
+        return rounded.astype(np.int16), True
+    return arr, False
+
+
 class WireStager:
     """Minimizes host->device bytes for the (B, 2, 1, W) audio batch.
 
@@ -115,12 +134,9 @@ class WireStager:
         dedup = np.array_equal(seq[:, 0], seq[:, 1])
         if dedup:
             seq = seq[:, :1]
-        scaled = seq * 32768.0
-        rounded = np.rint(scaled)
-        if (np.array_equal(rounded, scaled)
-                and float(rounded.min(initial=0.0)) >= -32768.0
-                and float(rounded.max(initial=0.0)) <= 32767.0):
-            return rounded.astype(np.int16), ('i16d' if dedup else 'i16')
+        wire, i16 = pcm16_wire(seq)
+        if i16:
+            return wire, ('i16d' if dedup else 'i16')
         return seq, ('f32d' if dedup else 'f32')
 
     def _restore_fn(self, mode):
@@ -218,13 +234,7 @@ class DeviceCorpus:
                 "--corpus_on_device indexes packs with int32 offsets; "
                 f"pack has {arr.size} samples (>= 2**31). Lower "
                 "--max_size_loaded.")
-        scaled = arr * 32768.0
-        rounded = np.rint(scaled)
-        self._i16 = bool(
-            np.array_equal(rounded, scaled)
-            and float(rounded.min(initial=0.0)) >= -32768.0
-            and float(rounded.max(initial=0.0)) <= 32767.0)
-        wire = rounded.astype(np.int16) if self._i16 else arr
+        wire, self._i16 = pcm16_wire(arr)
         self._corpus = jax.device_put(wire, NamedSharding(self._mesh, P()))
         self._host_data = data
 

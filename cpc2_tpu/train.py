@@ -276,6 +276,17 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         else:
             dropped += 1
 
+    def _account(all_losses, all_acc):
+        """Metric accounting shared by every tail/drain single-step path:
+        one accounted optimizer step, metrics kept on device until the
+        next logging boundary."""
+        nonlocal it
+        if all_losses.size > 0:
+            it += 1
+            pending_losses.append(
+                all_losses.reshape(-1, all_losses.shape[-1]))
+            pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
+
     def _dispatch_stacked(state):
         from .training import shard_stacked_batch
         seqs = np.stack([b[0] for b in dispatch_buffer])
@@ -321,7 +332,6 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
     def _drain_idx(state):
         """Run a partial offset group (pack boundary / epoch tail) through
         the single-step program — identical math, natural group size."""
-        nonlocal it
         for corpus_ref, offs, lab, qual, msk in idx_buffer:
             batch = device_corpus.put(offs, corpus=corpus_ref)
             lab = shard_batch(mesh, lab)
@@ -329,11 +339,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
             msk = shard_batch(mesh, msk) if msk is not None else None
             state, all_losses, all_acc = train_step(
                 state, batch, lab, rng, quality=qual, mask_indices=msk)
-            if all_losses.size > 0:
-                it += 1
-                pending_losses.append(
-                    all_losses.reshape(-1, all_losses.shape[-1]))
-                pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
+            _account(all_losses, all_acc)
         idx_buffer.clear()
         return state
 
@@ -509,11 +515,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         state, all_losses, all_acc = train_step(state, batch, lab, rng,
                                                 quality=qual,
                                                 mask_indices=msk)
-        if all_losses.size > 0:
-            it += 1
-            pending_losses.append(all_losses.reshape(-1,
-                                                     all_losses.shape[-1]))
-            pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
+        _account(all_losses, all_acc)
 
     # Offset-group tail (corpus_on_device x steps_per_dispatch): fewer
     # than spd offset vectors left — single-step program, same math.
@@ -531,11 +533,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         state, all_losses, all_acc = train_step(state, batch, lab, rng,
                                                 quality=qual,
                                                 mask_indices=msk)
-        if all_losses.size > 0:
-            it += 1
-            pending_losses.append(all_losses.reshape(-1,
-                                                     all_losses.shape[-1]))
-            pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
+        _account(all_losses, all_acc)
     dispatch_buffer.clear()
 
     # Non-mesh-divisible tails: the single-device tail program.
@@ -545,11 +543,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         n_tail = len(tail_out)
         for n_ex, all_losses, all_acc in tail_out:
             n_examples += n_ex
-            if all_losses.size > 0:
-                it += 1
-                pending_losses.append(
-                    all_losses.reshape(-1, all_losses.shape[-1]))
-                pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
+            _account(all_losses, all_acc)
 
     if pending_losses:
         n_cols = pending_losses[0].shape[-1]
@@ -987,9 +981,10 @@ def main(argv):
     # clean (dedup/int16-wire-friendly) windows for every device-ported
     # augmentation. Types with no device implementation stay on the host
     # pipeline (hybrid split): the host chain runs first, then the device
-    # chain on top — note the reference applies a combined chain in listed
-    # order, so a hybrid split with a host type listed AFTER a device type
-    # reorders the composition.
+    # chain on top. The reference applies a combined chain in listed
+    # order, so an order the split cannot honor (a device type listed
+    # BEFORE a host type) is rejected below rather than silently training
+    # on a reordered composition.
     device_augment = None
     host_aug_types = args.augment_type
     if getattr(args, 'augment_on_device', False) and (
@@ -1010,6 +1005,16 @@ def main(argv):
         aug_types = [canonical_augment_type(t) for t in args.augment_type]
         dev_types = [t for t in aug_types if _device_ok(t)]
         host_aug_types = [t for t in aug_types if not _device_ok(t)]
+        dev_pos = [i for i, t in enumerate(aug_types) if _device_ok(t)]
+        host_pos = [i for i, t in enumerate(aug_types) if not _device_ok(t)]
+        if dev_pos and host_pos and min(dev_pos) < max(host_pos):
+            raise ValueError(
+                "--augment_on_device runs the chain as host types first, "
+                f"then device types ({host_aug_types} -> {dev_types}), "
+                "which would silently reorder the composition you listed "
+                f"({aug_types}; the reference applies --augment_type in "
+                "order). List the host-only types first, or drop "
+                "--augment_on_device.")
         chain = make_device_augment(
             dev_types, shift_max=int(args.shift_max),
             bandreject_scaler=args.bandreject_scaler, t_ms=args.t_ms,

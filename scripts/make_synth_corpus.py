@@ -26,6 +26,7 @@ import argparse
 import multiprocessing as mp
 import os
 import sys
+import zlib
 
 import numpy as np
 import scipy.signal as sps
@@ -121,7 +122,11 @@ def _job(task):
     from cpc2_tpu.data.audio_io import save_wav
     out_dir, spk_name, file_i, seed, dur_s = task
     rng = np.random.RandomState(seed)
-    spk = _speaker_params(np.random.RandomState(hash(spk_name) % (2**31)))
+    # Stable across interpreters and pool workers (Python's hash() is
+    # PYTHONHASHSEED-randomized, which would give the same speaker
+    # different voice parameters in different 'spawn' workers/runs).
+    spk_seed = zlib.crc32(spk_name.encode()) % (2 ** 31)
+    spk = _speaker_params(np.random.RandomState(spk_seed))
     wav, labels = synth_utterance(rng, spk, dur_s)
     name = f'{spk_name}-c-{file_i:04d}'
     path = os.path.join(out_dir, spk_name, 'c')

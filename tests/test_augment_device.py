@@ -225,7 +225,9 @@ class TestTrainCLI:
         run on the chip, the remainder falls back to the host pipeline
         (previously any unsupported type crashed at startup). Every CLI
         type is device-ported now, so the fallback is exercised by
-        shrinking DEVICE_AUGMENTATIONS for the test."""
+        shrinking DEVICE_AUGMENTATIONS for the test. Host types must be
+        listed before device types (the split composes host first; other
+        orders are rejected, see test_hybrid_split_rejects_reorder)."""
         import json
         from cpc2_tpu import train
         from cpc2_tpu.data import augment_device
@@ -255,10 +257,42 @@ class TestTrainCLI:
                     '--nEpoch', '1', '--save_step', '1',
                     '--logging_step', '10',
                     '--augment_past', '--augment_on_device',
-                    '--augment_type', 'time_dropout', 'artificial_reverb'])
+                    '--augment_type', 'artificial_reverb', 'time_dropout'])
         with open(ckpt / 'checkpoint_logs.json') as f:
             logs = json.load(f)
         assert np.isfinite(np.asarray(logs['locLoss_train'])).all()
+
+    def test_hybrid_split_rejects_reorder(self, tmp_path, monkeypatch):
+        """A device type listed BEFORE a host type cannot be honored by the
+        host-first hybrid split (the reference applies --augment_type in
+        listed order), so the CLI rejects it instead of silently training
+        on a reordered composition."""
+        import pytest
+        from cpc2_tpu import train
+        from cpc2_tpu.data import augment_device
+        from cpc2_tpu.data.audio_io import save_wav
+        monkeypatch.setattr(
+            augment_device, 'DEVICE_AUGMENTATIONS',
+            tuple(t for t in augment_device.DEVICE_AUGMENTATIONS
+                  if t != 'artificial_reverb'))
+        root = tmp_path / 'db'
+        d = root / 's1' / 'c1'
+        d.mkdir(parents=True)
+        rs = np.random.RandomState(1)
+        x = (0.1 * rs.randn(30000)).astype(np.float32)
+        save_wav(str(d / 's1-0.wav'), x, 16000)
+        with pytest.raises(ValueError, match='reorder'):
+            train.main(['--pathDB', str(root), '--file_extension', '.wav',
+                        '--pathCheckpoint', str(tmp_path / 'ck'),
+                        '--hiddenEncoder', '16', '--hiddenGar', '16',
+                        '--nPredicts', '2', '--negativeSamplingExt', '4',
+                        '--sizeWindow', '4160', '--nGPU', '1',
+                        '--batchSizeGPU', '2', '--rnnMode', 'linear',
+                        '--arMode', 'GRU', '--samplingType', 'uniform',
+                        '--nEpoch', '1',
+                        '--augment_past', '--augment_on_device',
+                        '--augment_type', 'time_dropout',
+                        'artificial_reverb'])
 
 
 class TestDeviceReverb:
