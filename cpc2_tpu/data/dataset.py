@@ -292,9 +292,10 @@ class AudioBatchData:
             q[:, 1] = (q[:, 1] - self.min_c50) / (self.max_c50 - self.min_c50)
             q = np.concatenate([q, q.mean(axis=1, keepdims=True)], axis=1)
             self.data_quality = q
-        self._speaker_label_arr = np.asarray(self.speakerLabel[:-1]
-                                             if len(self.speakerLabel) > 2
-                                             else self.speakerLabel)
+        # Cached array form of the speaker prefix sums for the per-batch
+        # searchsorted lookups (side='right' − 1 over the FULL boundary
+        # list, final bound included).
+        self._speaker_label_arr = np.asarray(self.speakerLabel)
         self._phone_label_arr = (np.asarray(self.phoneLabels, dtype=np.int64)
                                  if self.phoneLabels else None)
 
@@ -317,7 +318,7 @@ class AudioBatchData:
         return est[:, col]
 
     def getSpeakerLabel(self, idx: int) -> int:
-        return int(np.searchsorted(np.asarray(self.speakerLabel), idx,
+        return int(np.searchsorted(self._speaker_label_arr, idx,
                                    side='right') - 1)
 
     def __len__(self):
@@ -370,7 +371,7 @@ class AudioBatchData:
             id_phone = idx // self.phoneSize
             steps = np.arange(self.phoneStep, dtype=np.int64)
             phone = self._phone_label_arr[id_phone[:, None] + steps[None, :]]
-        speaker = (np.searchsorted(np.asarray(self.speakerLabel), idx,
+        speaker = (np.searchsorted(self._speaker_label_arr, idx,
                                    side='right') - 1).astype(np.int64)
 
         if self.phoneSize > 0 and not self.doubleLabels:
@@ -411,7 +412,7 @@ class AudioBatchData:
             id_phone = idx // self.phoneSize
             steps = np.arange(self.phoneStep, dtype=np.int64)
             phone = self._phone_label_arr[id_phone[:, None] + steps[None, :]]
-        speaker = (np.searchsorted(np.asarray(self.speakerLabel), idx,
+        speaker = (np.searchsorted(self._speaker_label_arr, idx,
                                    side='right') - 1).astype(np.int64)
         if self.phoneSize > 0 and not self.doubleLabels:
             label = phone
@@ -538,6 +539,12 @@ class AudioLoader:
             delete_batch = False
             for beg_seq in batch:
                 beg_seq += offset
+                # Reference parity (bug-for-bug): the flag resets per
+                # sequence, so only the LAST sequence's out-of-bounds
+                # status decides whether the whole batch is deleted —
+                # earlier offending windows are just dropped from
+                # new_batch (reference `dataset.py:506-523`).
+                delete_batch = False
                 for i in range(1, len(seq_labels)):
                     if seq_labels[i - 1] <= beg_seq < seq_labels[i]:
                         if beg_seq + window_size > seq_labels[i]:

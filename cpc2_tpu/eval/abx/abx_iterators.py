@@ -154,10 +154,6 @@ class ABXFeatureLoader:
         self.data = np.concatenate(slices, axis=0).astype(np.float32)
         self.feature_dim = self.data.shape[1]
 
-    def get_max_group_size(self, i_group, i_sub_group):
-        lo, hi = self.group_index[i_group][i_sub_group]
-        return max(self.features[i][1] for i in range(lo, hi))
-
     def get_ids(self, index):
         context_id, phone_id, speaker_id = self.features[index][2:]
         return context_id, phone_id, speaker_id

@@ -191,9 +191,21 @@ class CTCPhoneCriterionCV(nn.Module):
                           >= label_size[:, None]).astype(jnp.float32)
         loss = optax.ctc_loss(logits, logit_paddings, label, label_paddings,
                               blank_id=self.blank_label)
-        loss = jnp.where(jnp.isfinite(loss), loss, 0.0)
+        # torch zero_infinity=True parity: a sample whose target cannot be
+        # aligned (label length + adjacent repeats > valid logit frames)
+        # contributes 0 — optax reports such samples as large FINITE
+        # values, not inf, so the feasibility test is explicit.
+        valid = jnp.arange(label.shape[1])[None, :] < label_size[:, None]
+        repeats = jnp.sum((label[:, 1:] == label[:, :-1]) & valid[:, 1:],
+                          axis=1)
+        feasible = feature_size >= label_size + repeats
+        loss = jnp.where(feasible & jnp.isfinite(loss), loss, 0.0)
         if self.reduction == 'mean':
-            return jnp.mean(loss).reshape(1, -1)
+            # torch CTCLoss reduction='mean' parity: each sample's loss is
+            # divided by its target length before the batch mean
+            # (reduction='sum' is a plain sum in both).
+            sizes = jnp.maximum(label_size.astype(loss.dtype), 1)
+            return jnp.mean(loss / sizes).reshape(1, -1)
         return jnp.sum(loss).reshape(1, -1)
 
 

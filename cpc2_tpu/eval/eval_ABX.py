@@ -152,6 +152,13 @@ def parse_args(argv):
 def main(argv):
     args = parse_args(argv)
 
+    seq_list, _ = findAllSeqs(args.path_dataset,
+                              extension=args.file_extension)
+    seq_list = [(str(Path(x).stem), str(Path(args.path_dataset) / x))
+                for (_, x) in seq_list]
+    if args.debug:
+        seq_list = seq_list[:1000]
+
     if args.load == 'from_checkpoint':
         updateConfig = None
         if args.level_gru is not None:
@@ -163,6 +170,8 @@ def main(argv):
         # Extract the whole corpus up front, batched across same-length
         # files (one dispatch per length-group chunk instead of per file
         # chunk); per-file features match buildFeature to float precision.
+        # The candidate paths come from the SAME (debug-truncated) seq_list
+        # the ABX loader iterates, so every file it will touch is cached.
         from ..feature_loader import build_feature_files
         _cache = {}
 
@@ -173,12 +182,7 @@ def main(argv):
                 # extraction of the whole corpus
                 from .abx.abx_iterators import load_item_file
                 needed = set(load_item_file(args.path_item_file)[0].keys())
-                _seqs, _ = findAllSeqs(args.path_dataset,
-                                       extension=args.file_extension)
-                paths = [str(Path(args.path_dataset) / p)
-                         for (_, p) in _seqs if Path(p).stem in needed]
-                if args.debug:
-                    paths = paths[:1000]
+                paths = [p for (stem, p) in seq_list if stem in needed]
                 _cache.update(build_feature_files(
                     feature_maker, paths, seqNorm=args.seq_norm,
                     strict=args.strict, maxSizeSeq=args.max_size_seq))
@@ -205,20 +209,21 @@ def main(argv):
         import random
         random.seed(args.abx_seed)
 
-    seq_list, _ = findAllSeqs(args.path_dataset,
-                              extension=args.file_extension)
-    seq_list = [(str(Path(x).stem), str(Path(args.path_dataset) / x))
-                for (_, x) in seq_list]
-    if args.debug:
-        seq_list = seq_list[:1000]
-
     scores = ABX(feature_function, args.path_item_file, seq_list,
                  distance_mode, step_feature, modes, cuda=args.cuda,
                  max_x_across=args.max_x_across,
                  max_size_group=args.max_size_group)
 
-    out_dir = (Path(args.path_checkpoint).parent if args.out is None
-               else Path(args.out))
+    if args.out is not None:
+        out_dir = Path(args.out)
+    elif getattr(args, 'path_checkpoint', None) is not None:
+        out_dir = Path(args.path_checkpoint).parent
+    else:
+        # from_pre_computed has no checkpoint; the reference crashes HERE
+        # after the whole computation (`eval_ABX.py:218` reads an argument
+        # its subparser never defines) — write next to the features
+        # instead of discarding the run.
+        out_dir = Path(args.path_dataset)
     out_dir.mkdir(exist_ok=True)
     with open(out_dir / 'ABX_scores.json', 'w') as f:
         json.dump(scores, f, indent=2)

@@ -326,7 +326,17 @@ def build_feature(feature_maker: Callable, seq_path: str, strict: bool = False,
                   maxSizeSeq: int = 64000, seqNorm: bool = False) -> Array:
     """Whole-file feature extraction in fixed chunks
     (reference `feature_loader.py:323-367`). Stateful RNN carry-over happens
-    inside `feature_maker` when keep_hidden is set."""
+    inside `feature_maker` when keep_hidden is set.
+
+    Documented deviation: the hidden state is RESET at the start of every
+    file. The reference's eval scripts set `keepHidden=True` and never
+    reset (`eval_ABX.py:182`, `clustering_quantization.py:204`), so there
+    file N's first frames are computed from file N-1's final LSTM/GRU
+    state — acoustic context leaks across unrelated utterances and the
+    extracted features depend on the corpus iteration order. We reset per
+    file (each file's features are a pure function of that file); the
+    measured end-to-end effect on ABX parity is within |Δ| <= 3.1e-5
+    (`scripts/abx_parity.py`)."""
     from .data.audio_io import load_audio
     seq, _sr = load_audio(seq_path)
     seq = np.asarray(seq, dtype=np.float32)

@@ -368,14 +368,33 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         w = s - (self.n_predicts_total or self.n_predicts)
         return self.wPrediction(c_feature[:, :w], train=train), w
 
+    def _pos_z(self, encoded_data: Array, w: int):
+        """Stacked positive slices (B, K_local, W, D) plus the absolute
+        prediction-step indices. Under head sharding the slices start at
+        this shard's absolute head block (offset
+        axis_index(head_axis) * n_predicts), so every caller — the loss
+        AND cosine_distances — scores against the right z frames."""
+        k_p = self.n_predicts
+        if self.head_axis is not None:
+            k0 = jax.lax.axis_index(self.head_axis) * k_p
+            pos_z = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(encoded_data, k0 + k, w,
+                                              axis=1)
+                 for k in range(1, k_p + 1)], axis=1)        # (B, Kl, W, D)
+            karange = k0 + jnp.arange(1, k_p + 1, dtype=jnp.int32)
+        else:
+            pos_z = jnp.stack([encoded_data[:, k:k + w]
+                               for k in range(1, k_p + 1)], axis=1)
+            karange = jnp.arange(1, k_p + 1, dtype=jnp.int32)
+        return pos_z, karange
+
     def _positive_scores(self, preds: Array, encoded_data: Array,
                          w: int) -> Array:
         """pos[b,k,w] = dot(pred[b,k,w], z[b, w+k+1]) / D — the positive
         candidates are *shifted slices* of z, so this is slice + elementwise
         dot; no gather kernels (`criterion.py:286-300` of the reference)."""
         d = encoded_data.shape[-1]
-        pos_z = jnp.stack([encoded_data[:, k:k + w]
-                           for k in range(1, self.n_predicts + 1)], axis=1)
+        pos_z, _ = self._pos_z(encoded_data, w)
         return jnp.einsum('bkwd,bkwd->bkw', preds, pos_z,
                           preferred_element_type=jnp.float32) / d
 
@@ -423,27 +442,18 @@ class CPCUnsupervisedCriterion(BaseCriterion):
                                                           else pool_batch),
                                               pool_group=group or None)
         k_p = self.n_predicts
-        if self.head_axis is not None:
-            # absolute head block offset of this model-axis shard
-            k0 = jax.lax.axis_index(self.head_axis) * k_p
-            pos_z = jnp.stack(
-                [jax.lax.dynamic_slice_in_dim(encoded_data, k0 + k, w, axis=1)
-                 for k in range(1, k_p + 1)], axis=1)          # (B,Kl,W,D)
-            karange = k0 + jnp.arange(1, k_p + 1, dtype=jnp.int32)
-        else:
-            pos_z = jnp.stack([encoded_data[:, k:k + w]
-                               for k in range(1, k_p + 1)], axis=1)  # (B,K,W,D)
-            karange = jnp.arange(1, k_p + 1, dtype=jnp.int32)
+        pos_z, karange = self._pos_z(encoded_data, w)
         z_flat = pool.reshape(pool_batch * s, d)
         neg_idx_wn = jnp.transpose(neg_idx, (0, 2, 1))       # (B, W, N)
-        # Two dot_generals (batch (b,w), contract d) instead of one over a
-        # concatenated (B, K+N, W, D) tensor — the concat's backward
-        # split/copied ~0.5 GB per step. The reference scores positives and
-        # negatives in a single bmm, so a negative that lands on the positive
-        # frame ties exactly; separate contractions round differently, so
-        # collisions are patched explicitly below with the positive's score.
-        pos_scores = jnp.einsum('bkwd,bjwd->bkwj', preds, pos_z,
-                                preferred_element_type=jnp.float32) / d
+        # Separate positive/negative contractions (batch (b,w), contract d)
+        # instead of one over a concatenated (B, K+N, W, D) tensor — the
+        # concat's backward split/copied ~0.5 GB per step. The reference
+        # scores positives and negatives in a single bmm, so a negative
+        # that lands on the positive frame ties exactly; separate
+        # contractions round differently, so collisions are patched
+        # explicitly below with the positive's score.
+        pos = jnp.einsum('bkwd,bkwd->bkw', preds, pos_z,
+                         preferred_element_type=jnp.float32) / d
         from ..ops.infonce_pallas import (negative_scores_pallas,
                                           use_pallas_negatives)
         if (group and group < b and use_pallas_negatives()
@@ -485,10 +495,6 @@ class CPCUnsupervisedCriterion(BaseCriterion):
                 b, w, self.negative_sampling_ext, d)         # (B, W, N, D)
             neg = jnp.einsum('bkwd,bwnd->bkwn', preds, neg_z,
                              preferred_element_type=jnp.float32) / d
-        # positive for step k is candidate row k: a K-eye contraction, no
-        # gather kernels
-        pos = jnp.einsum('bkwj,kj->bkw', pos_scores,
-                         jnp.eye(k_p, dtype=pos_scores.dtype))  # (B, K, W)
         pos_flat_idx = (jnp.arange(b, dtype=jnp.int32)[:, None, None] * s
                         + karange[None, :, None]
                         + jnp.arange(w, dtype=jnp.int32)[None, None, :]
@@ -664,6 +670,12 @@ class CTCPhoneCriterion(BaseCriterion):
                           >= sizes[:, None]).astype(jnp.float32)
         loss = optax.ctc_loss(logits, logit_paddings, labels, label_paddings,
                               blank_id=self.n_phones)
+        # torch nn.CTCLoss parity (reference `criterion.py:469,494`):
+        # reduction='mean' divides each sample's loss by its target length
+        # before the batch mean, and zero_infinity=True zeroes samples with
+        # no feasible alignment (target longer than the logit sequence).
+        loss = jnp.where(jnp.isfinite(loss), loss, 0.0)
+        loss = loss / jnp.maximum(sizes.astype(loss.dtype), 1)
         return jnp.mean(loss).reshape(1, 1), jnp.zeros((1, 1))
 
 

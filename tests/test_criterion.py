@@ -285,3 +285,70 @@ class TestHeadRemat:
             rnn_mode='transformer', size_input_seq=s, head_remat='bogus')
         with pytest.raises(ValueError, match='head_remat'):
             self._grads(crit, c, z)
+
+
+class TestCTCPhoneCriterion:
+    """torch nn.CTCLoss parity: reduction='mean' divides each sample's loss
+    by its target length before the batch mean (reference
+    `criterion.py:469,494`); the collapsed label chain supplies the
+    lengths."""
+
+    def test_matches_torch_ctcloss(self):
+        import torch
+        from cpc2_tpu.losses.criterion import CTCPhoneCriterion
+        rs = np.random.RandomState(0)
+        b, s, h, n_phones = 3, 12, 8, 5
+        crit = CTCPhoneCriterion(dim_encoder=h, n_phones=n_phones)
+        c = jnp.asarray(rs.randn(b, s, h).astype(np.float32))
+        lab = np.array([[0] * 4 + [1] * 4 + [2] * 4,          # collapses to 3
+                        [3] * 12,                              # collapses to 1
+                        [0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 0, 1]], # stays 12
+                       np.int32)
+        variables = crit.init(jax.random.PRNGKey(0), c, None,
+                              jnp.asarray(lab))
+        loss, _ = crit.apply(variables, c, None, jnp.asarray(lab))
+
+        params = variables['params']['PhoneCriterionClassifier']
+        w, bias = np.asarray(params['weight']), np.asarray(params['bias'])
+        logits = np.asarray(c) @ w.T + bias
+        preds = torch.log_softmax(torch.from_numpy(logits), dim=2)
+        preds = preds.permute(1, 0, 2)
+        targets = [[0, 1, 2], [3], [0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 0, 1]]
+        sizes = torch.tensor([len(t) for t in targets])
+        tgt = torch.zeros(b, int(sizes.max()), dtype=torch.long)
+        for i, t in enumerate(targets):
+            tgt[i, :len(t)] = torch.tensor(t)
+        ctc = torch.nn.CTCLoss(blank=n_phones, zero_infinity=True)
+        ref = ctc(preds, tgt, torch.full((b,), s, dtype=torch.long), sizes)
+        np.testing.assert_allclose(np.asarray(loss)[0, 0], ref.item(),
+                                   rtol=1e-4)
+
+    def test_cv_mean_reduction_matches_torch(self):
+        """The Common-Voices CTC head's reduction='mean' path (the CLI
+        default) applies the same per-target-length normalization."""
+        import torch
+        from cpc2_tpu.eval.common_voices_eval import CTCPhoneCriterionCV
+        rs = np.random.RandomState(1)
+        b, s, h, n_phones = 2, 16, 8, 4
+        crit = CTCPhoneCriterionCV(dim_encoder=h, n_phones=n_phones,
+                                   reduction='mean')
+        c = jnp.asarray(rs.randn(b, s, h).astype(np.float32))
+        feat_size = jnp.asarray([16, 12], np.int32)
+        label = jnp.asarray([[0, 1, 2, 0, 0], [3, 2, 0, 0, 0]], np.int32)
+        label_size = jnp.asarray([4, 2], np.int32)
+        variables = crit.init(jax.random.PRNGKey(0), c, feat_size, label,
+                              label_size, train=False)
+        loss = crit.apply(variables, c, feat_size, label, label_size,
+                          train=False)
+
+        logits = np.asarray(crit.apply(variables, c, feat_size,
+                                       method=crit.get_prediction))
+        t_logit = torch.log_softmax(torch.from_numpy(logits), 2)
+        fs = torch.clamp(torch.tensor([16 // 4, 12 // 4]),
+                         max=t_logit.shape[1])
+        ctc = torch.nn.CTCLoss(blank=n_phones, reduction='mean',
+                               zero_infinity=True)
+        ref = ctc(t_logit.permute(1, 0, 2), torch.from_numpy(np.asarray(
+            label)).long(), fs, torch.tensor([4, 2]))
+        np.testing.assert_allclose(np.asarray(loss)[0, 0], ref.item(),
+                                   rtol=1e-4)

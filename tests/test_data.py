@@ -192,3 +192,41 @@ class TestVerboseLoader:
             assert all(str(mini_corpus) in nm for nm in names)
             n += 1
         assert n > 0
+
+
+class TestRemoveArtefacts:
+    """Reference parity for __remove_artefacts (`dataset.py:486-526`),
+    bug-for-bug: the delete flag resets per sequence, so only the LAST
+    window's unremovable-artifact status deletes the batch; earlier
+    offenders are merely dropped from the batch."""
+
+    class _Sampler:
+        def __init__(self, batches):
+            self.batches = batches
+
+    def _loader(self):
+        from cpc2_tpu.data.dataset import AudioLoader
+
+        class _DS:
+            seqLabel = [0, 100, 200]   # two recordings: [0,100), [100,200)
+            sizeWindow = 50
+
+        loader = AudioLoader.__new__(AudioLoader)
+        loader.dataset = _DS()
+        return loader
+
+    def test_mid_batch_offender_keeps_batch(self):
+        # 170+50 runs past the LAST boundary (unremovable) but a clean
+        # window follows: batch survives minus the offender.
+        s = self._loader()._remove_artefacts(self._Sampler([[170, 10]]))
+        assert s.batches == [[10]]
+
+    def test_last_window_offender_deletes_batch(self):
+        s = self._loader()._remove_artefacts(self._Sampler([[10, 170]]))
+        assert s.batches == []
+
+    def test_straddle_shifts_to_next_recording(self):
+        # 80+50 crosses into recording 2 (not the last boundary): the
+        # window shifts to start at the boundary.
+        s = self._loader()._remove_artefacts(self._Sampler([[80, 10]]))
+        assert s.batches == [[100, 10]]

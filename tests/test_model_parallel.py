@@ -720,3 +720,46 @@ class TestMultiheadSharding:
                           jax.tree_util.tree_leaves(s_b.params)):
             np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
                                        rtol=0, atol=3e-6)
+
+
+def test_cosine_distances_2d_matches_1d():
+    """cosine_distances under head sharding scores each shard's heads
+    against its ABSOLUTE positive frames (`_pos_z` applies the
+    axis_index(head_axis)*n_predicts offset): the concatenated shard
+    outputs equal the unsharded criterion's (B, K, W) scores. A shard
+    slicing z at the LOCAL step k instead would silently return step-k
+    scores for every shard."""
+    from jax.sharding import PartitionSpec as P
+    from cpc2_tpu.training import head_shard_specs
+
+    args = get_default_cpc_config()
+    args.hiddenEncoder = args.hiddenGar = 32
+    args.nPredicts, args.negativeSamplingExt = 4, 6
+    args.sizeWindow = 4160
+    args.batchSizeGPU = 2
+    args.rnnMode, args.arMode = 'linear', 'GRU'
+
+    bundle = fl.init_model(args, seed=0)
+    criterion = get_criterion(args, 160, n_speakers=4, n_phones=None)
+    criterion_vars = init_criterion_vars(criterion, args, bundle)
+    crit_local = criterion.clone(n_predicts=2, head_axis='model',
+                                 n_predicts_total=4)
+
+    rs = np.random.RandomState(9)
+    s = args.sizeWindow // 160
+    c = rs.randn(2, s, 32).astype(np.float32)
+    z = rs.randn(2, s, 32).astype(np.float32)
+
+    ref = criterion.apply(criterion_vars, c, z, method='cosine_distances')
+    assert np.asarray(ref).shape == (2, 4, s - 4)
+
+    mesh2 = make_mesh_2d(1, 2)
+    specs = head_shard_specs(criterion_vars)
+    fn = jax.jit(jax.shard_map(
+        lambda v, cc, zz: crit_local.apply(v, cc, zz,
+                                           method='cosine_distances'),
+        mesh=mesh2, in_specs=(specs, P(), P()),
+        out_specs=P(None, 'model', None)))
+    out = fn(criterion_vars, c, z)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-6)
