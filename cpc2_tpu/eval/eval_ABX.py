@@ -209,22 +209,25 @@ def main(argv):
         import random
         random.seed(args.abx_seed)
 
-    scores = ABX(feature_function, args.path_item_file, seq_list,
-                 distance_mode, step_feature, modes, cuda=args.cuda,
-                 max_x_across=args.max_x_across,
-                 max_size_group=args.max_size_group)
-
     if args.out is not None:
         out_dir = Path(args.out)
     elif getattr(args, 'path_checkpoint', None) is not None:
         out_dir = Path(args.path_checkpoint).parent
     else:
-        # from_pre_computed has no checkpoint; the reference crashes HERE
-        # after the whole computation (`eval_ABX.py:218` reads an argument
-        # its subparser never defines) — write next to the features
-        # instead of discarding the run.
+        # from_pre_computed has no checkpoint; the reference crashes after
+        # the whole computation (`eval_ABX.py:218` reads an argument its
+        # subparser never defines) — write next to the features instead of
+        # discarding the run.
         out_dir = Path(args.path_dataset)
-    out_dir.mkdir(exist_ok=True)
+    # Created up-front (and with parents, unlike the reference's
+    # `eval_ABX.py:220`) so an unwritable --out fails before the
+    # potentially hours-long scoring pass, not after it.
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    scores = ABX(feature_function, args.path_item_file, seq_list,
+                 distance_mode, step_feature, modes, cuda=args.cuda,
+                 max_x_across=args.max_x_across,
+                 max_size_group=args.max_size_group)
     with open(out_dir / 'ABX_scores.json', 'w') as f:
         json.dump(scores, f, indent=2)
     with open(out_dir / 'ABX_args.json', 'w') as f:

@@ -346,6 +346,12 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         if self.head_axis is not None and self.n_skipped:
             raise ValueError("head-sharded mode handles n_skipped in the "
                              "training body, not the criterion")
+        if self.head_axis is not None and self.n_predicts_total is None:
+            # Without the global K the per-shard slice starts exceed the
+            # valid range and dynamic_slice_in_dim CLAMPS them silently —
+            # every head on the last shard would score the same z frames.
+            raise ValueError("head_axis requires n_predicts_total (the "
+                             "global prediction-step count)")
         k_total = self.n_predicts_total or self.n_predicts
         kwargs = dict(n_predicts=self.n_predicts, dim_ar=self.dim_ar,
                       dim_enc=self.dim_enc, rnn_mode=self.rnn_mode,
@@ -388,15 +394,22 @@ class CPCUnsupervisedCriterion(BaseCriterion):
             karange = jnp.arange(1, k_p + 1, dtype=jnp.int32)
         return pos_z, karange
 
+    @staticmethod
+    def _pos_dot(preds: Array, pos_z: Array) -> Array:
+        """pos[b,k,w] = dot(pred[b,k,w], pos_z[b,k,w]) / D — the one
+        positive-scoring formula, shared by the training loss and
+        cosine_distances so the two paths cannot drift."""
+        d = pos_z.shape[-1]
+        return jnp.einsum('bkwd,bkwd->bkw', preds, pos_z,
+                          preferred_element_type=jnp.float32) / d
+
     def _positive_scores(self, preds: Array, encoded_data: Array,
                          w: int) -> Array:
         """pos[b,k,w] = dot(pred[b,k,w], z[b, w+k+1]) / D — the positive
         candidates are *shifted slices* of z, so this is slice + elementwise
         dot; no gather kernels (`criterion.py:286-300` of the reference)."""
-        d = encoded_data.shape[-1]
         pos_z, _ = self._pos_z(encoded_data, w)
-        return jnp.einsum('bkwd,bkwd->bkw', preds, pos_z,
-                          preferred_element_type=jnp.float32) / d
+        return self._pos_dot(preds, pos_z)
 
     def __call__(self, c_feature: Array, encoded_data: Array, label=None,
                  signal_quality: Optional[Array] = None, train: bool = True,
@@ -452,8 +465,7 @@ class CPCUnsupervisedCriterion(BaseCriterion):
         # that lands on the positive frame ties exactly; separate
         # contractions round differently, so collisions are patched
         # explicitly below with the positive's score.
-        pos = jnp.einsum('bkwd,bkwd->bkw', preds, pos_z,
-                         preferred_element_type=jnp.float32) / d
+        pos = self._pos_dot(preds, pos_z)
         from ..ops.infonce_pallas import (negative_scores_pallas,
                                           use_pallas_negatives)
         if (group and group < b and use_pallas_negatives()
@@ -673,8 +685,12 @@ class CTCPhoneCriterion(BaseCriterion):
         # torch nn.CTCLoss parity (reference `criterion.py:469,494`):
         # reduction='mean' divides each sample's loss by its target length
         # before the batch mean, and zero_infinity=True zeroes samples with
-        # no feasible alignment (target longer than the logit sequence).
-        loss = jnp.where(jnp.isfinite(loss), loss, 0.0)
+        # no feasible alignment. optax reports infeasible samples as large
+        # FINITE values, not inf, so the feasibility test is explicit: the
+        # collapsed chain has no adjacent repeats by construction, so torch's
+        # T >= S + repeats condition reduces to frames >= collapsed size.
+        feasible = sizes <= s
+        loss = jnp.where(feasible & jnp.isfinite(loss), loss, 0.0)
         loss = loss / jnp.maximum(sizes.astype(loss.dtype), 1)
         return jnp.mean(loss).reshape(1, 1), jnp.zeros((1, 1))
 

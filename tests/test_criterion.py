@@ -323,6 +323,40 @@ class TestCTCPhoneCriterion:
         np.testing.assert_allclose(np.asarray(loss)[0, 0], ref.item(),
                                    rtol=1e-4)
 
+    def test_infeasible_sample_zeroed_like_torch(self):
+        """zero_infinity=True parity: a target longer than the logit
+        sequence contributes 0 — optax reports such samples as large
+        FINITE values (~1e5), never inf, so an isfinite guard alone
+        silently explodes the batch mean instead of matching torch."""
+        import torch
+        from cpc2_tpu.losses.criterion import CTCPhoneCriterion
+        rs = np.random.RandomState(2)
+        b, s, h, n_phones = 2, 4, 8, 5
+        crit = CTCPhoneCriterion(dim_encoder=h, n_phones=n_phones)
+        c = jnp.asarray(rs.randn(b, s, h).astype(np.float32))
+        # sample 0 collapses to 8 labels > 4 logit frames (infeasible);
+        # sample 1 collapses to 2 (feasible)
+        lab = np.array([[0, 1, 2, 3, 4, 0, 1, 2],
+                        [3, 3, 3, 3, 2, 2, 2, 2]], np.int32)
+        variables = crit.init(jax.random.PRNGKey(0), c, None,
+                              jnp.asarray(lab))
+        loss, _ = crit.apply(variables, c, None, jnp.asarray(lab))
+
+        params = variables['params']['PhoneCriterionClassifier']
+        w, bias = np.asarray(params['weight']), np.asarray(params['bias'])
+        logits = np.asarray(c) @ w.T + bias
+        preds = torch.log_softmax(torch.from_numpy(logits), 2).permute(1, 0, 2)
+        targets = [[0, 1, 2, 3, 4, 0, 1, 2], [3, 2]]
+        sizes = torch.tensor([len(t) for t in targets])
+        tgt = torch.zeros(b, 8, dtype=torch.long)
+        for i, t in enumerate(targets):
+            tgt[i, :len(t)] = torch.tensor(t)
+        ctc = torch.nn.CTCLoss(blank=n_phones, zero_infinity=True)
+        ref = ctc(preds, tgt, torch.full((b,), s, dtype=torch.long), sizes)
+        assert np.isfinite(ref.item())
+        np.testing.assert_allclose(np.asarray(loss)[0, 0], ref.item(),
+                                   rtol=1e-4)
+
     def test_cv_mean_reduction_matches_torch(self):
         """The Common-Voices CTC head's reduction='mean' path (the CLI
         default) applies the same per-target-length normalization."""

@@ -1,5 +1,14 @@
-"""`--remat` (jax.checkpoint rematerialization): identical training
-trajectories with and without, on the full shard_map step."""
+"""`--remat` (jax.checkpoint rematerialization): matching training
+trajectories with and without, on the full shard_map step.
+
+"Matching" is up to recompute rounding: jax.checkpoint re-executes the
+forward subgraph inside the backward pass, where XLA fuses it with
+different neighbors, so individual f32 intermediates can differ in the
+last ulp. Losses stay within 1e-6; after Adam normalizes three such
+gradients (dividing by sqrt(v), which is tiny at init) single param
+elements have been observed ~3e-6 apart. The tolerances below allow that
+while still failing hard on any real gradient bug (those show up at
+1e-2+)."""
 
 import numpy as np
 
@@ -49,11 +58,11 @@ def test_remat_matches_plain():
 
     np.testing.assert_allclose(results[False][0], results[True][0],
                                rtol=0, atol=1e-6)
-    # params after 3 updates agree too
+    # params after 3 updates agree too (tolerance: see module docstring)
     pa = jax.tree.leaves(results[False][1].params)
     pb = jax.tree.leaves(results[True][1].params)
     for a, b_ in zip(pa, pb):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5)
 
 
 def test_remat_cli_flag_exists():
