@@ -349,7 +349,11 @@ def KMean(C, k, MAX_ITER=100, EPSILON=1e-4, batchSize=1000):
 
     for it in range(MAX_ITER):
         sums, counts = _lloyd_accumulate(C, ck)
-        # reference uses per-cluster mean (empty cluster -> nan like torch)
+        # Deviation: the reference's per-cluster mean turns an EMPTY cluster
+        # into a NaN centroid (torch mean of zero rows), which poisons every
+        # later distance; the clamped denominator keeps it at the origin
+        # instead. Also, on convergence this returns the UPDATED table where
+        # the reference returns the stale one — the two differ by < EPSILON.
         ck1 = sums / jnp.maximum(counts[:, None], 1e-8)
         last_diff = float(jnp.max(jnp.linalg.norm(ck - ck1, axis=1)))
         if last_diff < EPSILON:

@@ -100,9 +100,10 @@ def main(argv):
         nameOutput = "quantized_outputs.txt"
     else:
         nameOutput = f"quantized_outputs_split_{idx_split}-{num_splits}.txt"
-    outputFile = os.path.join(args.pathOutput, nameOutput)
-    assert not os.path.exists(outputFile), \
-        f"Output file {outputFile} already exists !!!"
+    if not args.separate_speaker:
+        outputFile = os.path.join(args.pathOutput, nameOutput)
+        assert not os.path.exists(outputFile), \
+            f"Output file {outputFile} already exists !!!"
 
     if args.split:
         startIdx = len(seqNames) // num_splits * (idx_split - 1)
@@ -136,8 +137,12 @@ def main(argv):
         updateConfig = None
     bundle = loadModel([clustering_args.pathCheckpoint],
                        updateConfig=updateConfig)[0]
-    featureMaker = FeatureModule(bundle, clustering_args.encoder_layer,
-                                 keep_hidden=args.nobatch)
+    # train_mode comes from the CLUSTERING run's saved args, like the
+    # reference (`clustering_quantization.py:211-217`): quantization
+    # reproduces whatever dropout regime the centroids were fit under.
+    featureMaker = FeatureModule(
+        bundle, clustering_args.encoder_layer, keep_hidden=args.nobatch,
+        train_mode=getattr(clustering_args, 'train_mode', False))
     if getattr(clustering_args, 'dimReduction', None) is not None:
         from ..research.dim_reduction import loadDimReduction
         dim_red = loadDimReduction(clustering_args.dimReduction,
@@ -175,6 +180,27 @@ def main(argv):
 
     print(f"...done {len(seqQuantLines)} files in {time()-start_time} "
           f"seconds.")
+
+    if args.separate_speaker:
+        # One output file per speaker (speaker = path component at
+        # recursionLevel, like findAllSeqs). The reference advertises this
+        # flag but its implementation is dead code that ends in a NameError
+        # after the whole quantization pass
+        # (`clustering_quantization.py:141-147,155,262`) — this writes
+        # `<speaker>_<nameOutput>` files instead of crashing.
+        by_speaker = {}
+        for vals, quantln in zip(seqNames, seqQuantLines):
+            speaker = vals[1].split("/")[args.recursionLevel - 1]
+            file_name = os.path.splitext(os.path.basename(vals[1]))[0]
+            by_speaker.setdefault(speaker, []).append(
+                "\t".join([file_name, quantln]))
+        for speaker, lines in by_speaker.items():
+            speaker_file = os.path.join(args.pathOutput,
+                                        f"{speaker}_{nameOutput}")
+            print(f"\nSaving outputs to {speaker_file}")
+            with open(speaker_file, "w") as f:
+                f.write("\n".join(lines))
+        return
 
     print(f"\nSaving outputs to {outputFile}")
     outLines = []

@@ -170,7 +170,8 @@ def _make_feature_fn(args):
     if args.level_gru is not None:
         override = argparse.Namespace(nLevelsGRU=args.level_gru)
     bundle = loadModel([str(args.pathCheckpoint)], updateConfig=override)[0]
-    fn = FeatureModule(bundle, args.encoder_layer)
+    fn = FeatureModule(bundle, args.encoder_layer,
+                       train_mode=args.train_mode)
     if args.dimReduction is not None:
         from ..research.dim_reduction import loadDimReduction
         project = loadDimReduction(args.dimReduction, args.centroidLimits)

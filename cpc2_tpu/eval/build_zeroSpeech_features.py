@@ -111,7 +111,8 @@ def main(argv):
     bundle = loadModel([args.pathCheckpoint])[0]
     stepSize = DOWNSAMPLING / 16000
     print(f"stepSize : {stepSize}")
-    featureMaker = FeatureModule(bundle, args.getEncoded)
+    featureMaker = FeatureModule(bundle, args.getEncoded,
+                                 train_mode=args.train_mode)
     featureMaker.collapse = False
 
     if args.addCriterion:

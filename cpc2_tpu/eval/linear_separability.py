@@ -31,9 +31,16 @@ from ..utils import misc as utils
 
 
 def build_probe_step(model, criterion, tx, unfrozen: bool):
-    def forward(params, batch_data, label, train):
+    def forward(params, batch_data, label, train, rng=None):
         variables = {'params': params['model']}
-        c, e, _, _ = model.apply(variables, batch_data, None, train=False)
+        # Frozen mode runs the feature net in eval mode; --unfrozen runs it
+        # in train mode during probe training (dropout active), like the
+        # reference's feature_maker.train() when optimize
+        # (`linear_separability.py:23-24`).
+        model_train = train and unfrozen
+        rngs = {'dropout': rng} if (model_train and rng is not None) else None
+        c, e, _, _ = model.apply(variables, batch_data, None,
+                                 train=model_train, rngs=rngs)
         if not unfrozen:
             c, e = jax.lax.stop_gradient(c), jax.lax.stop_gradient(e)
         losses, accs = criterion.apply({'params': params['criterion']},
@@ -41,9 +48,9 @@ def build_probe_step(model, criterion, tx, unfrozen: bool):
         return losses, accs
 
     @jax.jit
-    def train_step(params, opt_state, batch_data, label):
+    def train_step(params, opt_state, batch_data, label, rng):
         def loss_fn(p):
-            losses, accs = forward(p, batch_data, label, True)
+            losses, accs = forward(p, batch_data, label, True, rng)
             return jnp.sum(losses), (losses, accs)
         grads, (losses, accs) = jax.grad(loss_fn, has_aux=True)(params)
         if not unfrozen:
@@ -59,17 +66,25 @@ def build_probe_step(model, criterion, tx, unfrozen: bool):
     return train_step, val_step
 
 
-def train_epoch(params, opt_state, train_step, data_loader, expected_batch):
+def train_epoch(params, opt_state, train_step, data_loader, rng):
+    # Every batch runs, including the ragged tail the uniform sampler can
+    # yield — jit retraces once for that one extra shape, which is paid a
+    # single time per run (the reference processes every batch too,
+    # `linear_separability.py:30-40`).
+    #
+    # Documented deviation: the reference averages its epoch logs by the
+    # LAST enumerate index (n_batches - 1, `linear_separability.py:45,69`),
+    # inflating reported loss/acc by n/(n-1); we divide by the true batch
+    # count. Best-epoch selection is unaffected (uniform scale).
     logs = {"locLoss_train": 0, "locAcc_train": 0}
     step = 0
     for fulldata in data_loader:
         batch_data, label = fulldata[0], fulldata[1]
-        if batch_data.shape[0] != expected_batch:
-            continue
         batch_data = jnp.asarray(batch_data[:, 0, 0, :], jnp.float32)
         label = jnp.asarray(np.asarray(label))
         params, opt_state, all_losses, all_acc = train_step(
-            params, opt_state, batch_data, label)
+            params, opt_state, batch_data, label,
+            jax.random.fold_in(rng, step))
         logs["locLoss_train"] += np.asarray([float(all_losses.mean())])
         logs["locAcc_train"] += np.asarray([float(all_acc.mean())])
         step += 1
@@ -78,13 +93,11 @@ def train_epoch(params, opt_state, train_step, data_loader, expected_batch):
     return params, opt_state, logs
 
 
-def val_epoch(params, val_step, data_loader, expected_batch):
+def val_epoch(params, val_step, data_loader):
     logs = {"locLoss_val": 0, "locAcc_val": 0}
     step = 0
     for fulldata in data_loader:
         batch_data, label = fulldata[0], fulldata[1]
-        if batch_data.shape[0] != expected_batch:
-            continue
         batch_data = jnp.asarray(batch_data[:, 0, 0, :], jnp.float32)
         label = jnp.asarray(np.asarray(label))
         all_losses, all_acc = val_step(params, batch_data, label)
@@ -96,16 +109,18 @@ def val_epoch(params, val_step, data_loader, expected_batch):
 
 
 def run(params, opt_state, train_step_fn, val_step_fn, train_loader,
-        val_loader, logs, n_epochs, path_checkpoint, args, batch_size):
+        val_loader, logs, n_epochs, path_checkpoint, args):
     start_epoch = len(logs["epoch"])
     best_acc = -1
     best_params = None
     start_time = time.time()
 
+    rng = jax.random.PRNGKey(getattr(args, 'random_seed', None) or 0)
     for epoch in range(start_epoch, n_epochs):
         params, opt_state, logs_train = train_epoch(
-            params, opt_state, train_step_fn, train_loader, batch_size)
-        logs_val = val_epoch(params, val_step_fn, val_loader, batch_size)
+            params, opt_state, train_step_fn, train_loader,
+            jax.random.fold_in(rng, epoch))
+        logs_val = val_epoch(params, val_step_fn, val_loader)
         print('')
         print('_' * 50)
         print(f'Ran {epoch + 1} epochs '
@@ -274,7 +289,7 @@ def main(argv):
 
     _, best_acc = run(params, opt_state, train_step_fn, val_step_fn,
                       train_loader, val_loader, logs, args.n_epoch,
-                      args.pathCheckpoint, args, batch_size)
+                      args.pathCheckpoint, args)
     print(f"Best validation accuracy: {best_acc}")
     return best_acc
 

@@ -245,13 +245,21 @@ class FeatureModule:
 
     def __init__(self, bundle: ModelBundle, get_encoded: bool,
                  collapse: bool = False, cca_projection: Optional[str] = None,
-                 keep_hidden: bool = False, seqNorm: bool = False):
+                 keep_hidden: bool = False, seqNorm: bool = False,
+                 train_mode: bool = False, train_mode_seed: int = 0):
         self.bundle = bundle
         self.get_encoded = get_encoded
         self.collapse = collapse
         self.keep_hidden = keep_hidden
         self.seqNorm = seqNorm
         self.hidden = None
+        # --train_mode (reference `clustering_script.py:236-237`,
+        # `build_zeroSpeech_features.py`): skip featureMaker.eval(), i.e.
+        # keep dropout ACTIVE during feature extraction. Functionally that
+        # means train=True plus a fresh dropout rng per forward.
+        self.train_mode = train_mode
+        self._dropout_rng = (jax.random.PRNGKey(train_mode_seed)
+                             if train_mode else None)
         self.cca_projection = None
         if cca_projection:
             import pickle
@@ -261,12 +269,14 @@ class FeatureModule:
                 self.cca_projection = pickle.load(f)
 
         @jax.jit
-        def _fwd(variables, batch, hidden):
+        def _fwd(variables, batch, hidden, rng=None):
             # Feature extraction feeds parity-sensitive evals (ABX,
             # separability): force fp32 matmul precision on TPU.
+            rngs = None if rng is None else {'dropout': rng}
             with jax.default_matmul_precision('highest'):
                 c, e, _, h = bundle.module.apply(variables, batch, None,
-                                                 hidden=hidden, train=False)
+                                                 hidden=hidden,
+                                                 train=train_mode, rngs=rngs)
             return c, e, h
         self._fwd = _fwd
 
@@ -291,8 +301,13 @@ class FeatureModule:
             batch_audio = batch_audio[:, 0]
         if batch_audio.ndim == 3:       # (B, 1, T) channel-first
             batch_audio = batch_audio[:, 0]
-        c, e, h = self._fwd(self.bundle.variables, batch_audio,
-                            self.hidden)
+        if self.train_mode:
+            self._dropout_rng, rng = jax.random.split(self._dropout_rng)
+            c, e, h = self._fwd(self.bundle.variables, batch_audio,
+                                self.hidden, rng)
+        else:
+            c, e, h = self._fwd(self.bundle.variables, batch_audio,
+                                self.hidden)
         if self.keep_hidden:
             self.hidden = h
         feats = e if self.get_encoded else c

@@ -287,3 +287,35 @@ class TestBucketedFeatureFiles:
             body = got.shape[1] - 4
             np.testing.assert_allclose(got[:, :body], ref[:, :body],
                                        atol=2e-6)
+
+
+class TestTrainMode:
+    """--train_mode parity (reference `clustering_script.py:236-237`,
+    `build_zeroSpeech_features.py:142`): skipping featureMaker.eval() keeps
+    dropout active during feature extraction."""
+
+    def _bundle(self):
+        args = get_default_cpc_config()
+        args.hiddenEncoder = args.hiddenGar = 16
+        args.sizeWindow = 3200
+        args.arMode = 'transformer'   # the AR stack with dropout (0.1)
+        return fl.init_model(args, seed=0)
+
+    def test_train_mode_keeps_dropout_active(self):
+        bundle = self._bundle()
+        audio = np.random.RandomState(0).randn(2, 3200).astype(np.float32)
+        data = (audio, None)
+
+        fm_eval = fl.FeatureModule(bundle, False)
+        np.testing.assert_array_equal(np.asarray(fm_eval(data)),
+                                      np.asarray(fm_eval(data)))
+
+        fm_train = fl.FeatureModule(bundle, False, train_mode=True)
+        first, second = (np.asarray(fm_train(data)),
+                         np.asarray(fm_train(data)))
+        assert not np.allclose(first, second), \
+            "train_mode should draw a fresh dropout mask per forward"
+
+        # deterministic given the seed: a second instance replays the stream
+        fm_replay = fl.FeatureModule(bundle, False, train_mode=True)
+        np.testing.assert_array_equal(first, np.asarray(fm_replay(data)))

@@ -89,6 +89,25 @@ class TestPipeline:
             vals = [int(x) for x in ids.split(",")]
             assert all(0 <= v < 4 for v in vals)
 
+        # --separate-speaker: one output file per speaker with the same
+        # lines (the reference's version of this flag dead-ends in a
+        # NameError after quantizing everything).
+        sdir = tmp_path / "quant_sep"
+        clustering_quantization.main(
+            [str(cdir / 'checkpoint_last.pt'), str(root), str(sdir),
+             '--file_extension', '.wav', '--nobatch',
+             '--max_size_seq', '3200', '--separate-speaker'])
+        per_speaker = {}
+        for spk in ('s1', 's2', 's3'):
+            f = sdir / f'{spk}_quantized_outputs.txt'
+            assert f.exists()
+            per_speaker[spk] = f.read_text().strip().split("\n")
+            assert len(per_speaker[spk]) == 3
+            assert all(ln.split("\t")[0].startswith(spk)
+                       for ln in per_speaker[spk])
+        assert sorted(ln for lines in per_speaker.values()
+                      for ln in lines) == sorted(lines)
+
     def test_abx_from_checkpoint(self, corpus, checkpoint, tmp_path):
         from cpc2_tpu.eval import eval_ABX
         root, names = corpus
