@@ -11,14 +11,15 @@ Host-side index generation; identical batching semantics to the reference:
 * `TemporalSameSpeakerSampler` — contiguous same-speaker blocks of
   `batchSize*sizeWindow` samples, preserving temporal order inside a batch.
 
-Randomness comes from a `random.Random`/numpy generator owned by the caller
-so epochs are reproducible under `--random_seed`.
+Randomness comes from the global `random`/`np.random` state, seeded by
+`--random_seed` (utils.misc.set_seed) — mirroring the reference's use of
+the global torch RNG.
 """
 
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
@@ -50,12 +51,10 @@ class BatchSampler:
 class UniformAudioSampler:
     """`dataset.py:603-622`."""
 
-    def __init__(self, data_size: int, size_window: int, offset: int,
-                 rng: Optional[random.Random] = None):
+    def __init__(self, data_size: int, size_window: int, offset: int):
         self.len = data_size // size_window
         self.size_window = size_window
         self.offset = offset
-        self.rng = rng or random
         if self.offset > 0:
             self.len -= 1
 
