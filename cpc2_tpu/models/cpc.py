@@ -101,15 +101,25 @@ class CPCModel(nn.Module):
     def __call__(self, batch: Array, label: Any = None, hidden=None,
                  train: bool = True, mask_indices: Optional[Array] = None):
         encoded = self.gEncoder(batch, train=train)
-        ar_input = encoded
         if self.mask_prob > 0.0:
             dim = encoded.shape[-1]
             mask_emb = self.param('mask_emb', nn.initializers.uniform(1.0),
                                   (dim,))
             if mask_indices is not None:
-                ar_input = jnp.where(mask_indices[..., None], mask_emb,
-                                     encoded)
-        c_feature, hidden = self.gAR(ar_input, hidden=hidden, train=train)
+                # Reference parity: `getMask` writes mask_emb into
+                # encodedData IN PLACE (`model.py:375-378`), so the masked
+                # tensor is BOTH the AR input and the returned InfoNCE
+                # targets/negative pool — positives at masked steps are
+                # mask_emb, not the true encodings.
+                # Documented deviation: the reference resamples a mask on
+                # EVERY forward whenever mask_prob > 0, including feature
+                # extraction from a trained checkpoint (making eval
+                # features stochastic); here no mask is applied unless the
+                # caller passes mask_indices, so inference is
+                # deterministic.
+                encoded = jnp.where(mask_indices[..., None], mask_emb,
+                                    encoded)
+        c_feature, hidden = self.gAR(encoded, hidden=hidden, train=train)
         return c_feature, encoded, label, hidden
 
 

@@ -138,3 +138,34 @@ class TestDeterminism:
         l1 = run_one_step(arMode='GRU', rnnMode='linear')
         l2 = run_one_step(arMode='GRU', rnnMode='linear')
         np.testing.assert_array_equal(l1, l2)
+
+
+def test_masked_frames_become_infonce_targets():
+    """Reference parity for --mask_prob: getMask writes mask_emb into
+    encodedData IN PLACE (`model.py:375-378`), so the returned encodings —
+    the InfoNCE targets and negative pool — carry mask_emb at masked
+    positions, not the true encoder outputs."""
+    import jax.numpy as jnp
+    args = get_default_cpc_config()
+    args.hiddenEncoder = args.hiddenGar = 16
+    # mask_prob tiny because of the reference's x100 factor: 0.002 masks
+    # ~1/3 of the 20 frames here
+    args.sizeWindow, args.mask_prob, args.mask_length = 3200, 0.002, 3
+    bundle = fl.init_model(args, seed=0)
+    frames = encoded_seq_len(args.sizeWindow)
+    mask = compute_mask_indices((2, frames), args.mask_prob,
+                                args.mask_length, min_masks=2)
+    assert mask.any() and not mask.all()
+    x = jnp.asarray(np.random.RandomState(0).randn(2, args.sizeWindow),
+                    jnp.float32)
+    _, enc_masked, _, _ = bundle.module.apply(
+        bundle.variables, x, None, train=False,
+        mask_indices=jnp.asarray(mask))
+    _, enc_plain, _, _ = bundle.module.apply(bundle.variables, x, None,
+                                             train=False)
+    mask_emb = np.asarray(bundle.variables['params']['mask_emb'])
+    enc_masked, enc_plain = np.asarray(enc_masked), np.asarray(enc_plain)
+    np.testing.assert_allclose(enc_masked[mask],
+                               np.broadcast_to(mask_emb,
+                                               enc_masked[mask].shape))
+    np.testing.assert_allclose(enc_masked[~mask], enc_plain[~mask])
