@@ -868,19 +868,26 @@ def main(argv):
                              "--multihead_rnn, --steps_per_dispatch and "
                              "the sequential-sampling hidden carry "
                              "compose; BERT/supervised do not)")
-        if args.distributed:
-            # batch sizing and state placement assume a single-process
-            # 2-D mesh; multi-host head sharding is not wired.
-            raise ValueError("--model_axis_size > 1 is single-process "
-                             "only; it cannot combine with --distributed")
         if args.nPredicts % model_axis:
             raise ValueError(f"nPredicts={args.nPredicts} not divisible by "
                              f"model_axis_size={model_axis}")
-        if args.nGPU % model_axis:
+        if args.distributed and jax.process_count() > 1:
+            # Multi-host 2-D mesh: the model axis must stay WITHIN each
+            # host so head collectives ride local links and every process's
+            # addressable devices form whole ('data') rows — the layout
+            # shard_state_2d and shard_batch assume.
+            if jax.local_device_count() % model_axis:
+                raise ValueError(
+                    f"local device count {jax.local_device_count()} not "
+                    f"divisible by model_axis_size={model_axis}")
+        elif args.nGPU % model_axis:
             raise ValueError(f"nGPU={args.nGPU} not divisible by "
                              f"model_axis_size={model_axis}")
     if args.distributed and jax.process_count() > 1:
-        batch_size = jax.local_device_count() * args.batchSizeGPU
+        # per-host slice of the global batch; with a model axis the batch
+        # is replicated across it, so only the host's data rows count
+        batch_size = (jax.local_device_count() // model_axis
+                      * args.batchSizeGPU)
     elif model_axis > 1:
         # ('data','model') mesh: the model axis replicates the batch
         batch_size = (args.nGPU // model_axis) * args.batchSizeGPU
@@ -1096,7 +1103,14 @@ def main(argv):
     # gradient all-reduce); nGPU only sizes single-host meshes.
     if model_axis > 1:
         from .parallel.mesh import make_mesh_2d
-        mesh = make_mesh_2d(args.nGPU // model_axis, model_axis)
+        if args.distributed and jax.process_count() > 1:
+            # All devices pod-wide, process-major: with the model axis
+            # within each host (validated above) the reshaped device grid
+            # gives every process whole 'data' rows.
+            mesh = make_mesh_2d(len(jax.devices()) // model_axis,
+                                model_axis)
+        else:
+            mesh = make_mesh_2d(args.nGPU // model_axis, model_axis)
     elif args.distributed and jax.process_count() > 1:
         mesh = make_mesh(-1)
     else:

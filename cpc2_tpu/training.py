@@ -334,9 +334,21 @@ def shard_state_2d(mesh: Mesh, state: TrainState,
                    multihead: bool = False) -> TrainState:
     """Commit a TrainState to a ('data','model') mesh: head leaves split
     over 'model' (each device holds K/m heads' params+moments), the rest
-    replicated."""
+    replicated.
+
+    Multi-host: the 'model' axis lives WITHIN each host (train.py enforces
+    local_device_count % model_axis == 0), and every process holds the full
+    identical same-seed value, so each process's local slice of any leaf —
+    replicated or model-sharded — equals the global value; assembly goes
+    through `jax.make_array_from_process_local_data` like
+    `parallel.mesh.replicate`."""
     from jax.sharding import NamedSharding
     specs = head_shard_specs(state, multihead=multihead)
+    if jax.process_count() > 1:
+        import numpy as np
+        return jax.tree.map(
+            lambda x, s: jax.make_array_from_process_local_data(
+                NamedSharding(mesh, s), np.asarray(x)), state, specs)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
 

@@ -9,7 +9,7 @@ multi-host driver path: bootstrap -> per-host file shards
 psum -> rank-0 checkpoint write.
 
 Usage: python multihost_train_worker.py <pid> <port> <pathDB> <ckptdir>
-           <trainlist> <vallist>
+           <trainlist> <vallist> [extra train.py flags...]
 """
 
 import os
@@ -18,6 +18,7 @@ import sys
 
 def main():
     pid, port, db, ck, train_list, val_list = sys.argv[1:7]
+    extra = sys.argv[7:]
 
     os.environ['WORLD_SIZE'] = '2'
     os.environ['RANK'] = pid
@@ -42,7 +43,7 @@ def main():
                 '--rnnMode', 'linear', '--arMode', 'GRU',
                 '--samplingType', 'uniform', '--nEpoch', '1',
                 '--save_step', '1', '--random_seed', '17',
-                '--logging_step', '50'])
+                '--logging_step', '50'] + extra)
     print('WORKER_DONE', pid)
 
 

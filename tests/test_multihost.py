@@ -75,7 +75,7 @@ def test_two_process_step_matches_single_process():
     np.testing.assert_allclose(l0, lb, atol=1e-5)
 
 
-def test_two_process_train_cli(tmp_path):
+def _run_train_cli_two_proc(tmp_path, extra_flags):
     """The FULL training CLI end-to-end as a 2-process jax.distributed job
     (VERDICT round-2 item 8): per-host file shards through
     `filter_distributed`, per-host loaders feeding the global batch via
@@ -126,7 +126,7 @@ def test_two_process_train_cli(tmp_path):
     procs = [subprocess.Popen(
         [sys.executable, worker, str(pid), port, str(root),
          str(ckpts[pid]), str(tmp_path / 'train.txt'),
-         str(tmp_path / 'val.txt')],
+         str(tmp_path / 'val.txt')] + extra_flags,
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for pid in (0, 1)]
     outs = [p.communicate(timeout=900) for p in procs]
@@ -158,6 +158,20 @@ def test_two_process_train_cli(tmp_path):
     from cpc2_tpu import feature_loader as fl
     bundle, hg, he = fl.loadModel([str(ckpts[0] / 'checkpoint_0.pt')])
     assert (hg, he) == (16, 16)
+
+
+def test_two_process_train_cli(tmp_path):
+    _run_train_cli_two_proc(tmp_path, [])
+
+
+def test_two_process_train_cli_2d(tmp_path):
+    """Multi-host x head-sharded model parallelism: the same 2-process CLI
+    run over a ('data','model') mesh — 8 pod devices as 4 data rows x 2
+    model shards, the model axis inside each host. Exercises the
+    multi-host shard_state_2d placement (make_array_from_process_local_
+    data with head-sharded specs) and the 2-D step's cross-process psum.
+    """
+    _run_train_cli_two_proc(tmp_path, ['--model_axis_size', '2'])
 
 
 class TestPeekDistributed:
