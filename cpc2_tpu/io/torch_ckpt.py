@@ -263,7 +263,7 @@ def params_to_torch_state_dict(params: Mapping,
             for k in range(arr.shape[0]):
                 sub_path = (path[:i] + (f'predictors_{k}',) + path[i + 1:])
                 key = _torch_key_from_path(sub_path, hint)
-                out[key] = torch.from_numpy(np.ascontiguousarray(arr[k]))
+                out[key] = torch.from_numpy(np.array(arr[k]))
             continue
         # BatchNorm scale/bias live under .../bn/
         if len(path) >= 2 and path[-2] == 'bn':
@@ -278,7 +278,7 @@ def params_to_torch_state_dict(params: Mapping,
                     and any(path[-2].startswith(n)
                             for n in channel_norm_names)):
                 arr = arr.reshape(1, -1, 1)
-        out[key] = torch.from_numpy(np.ascontiguousarray(arr))
+        out[key] = torch.from_numpy(np.array(arr))
     if batch_stats:
         for path, value in _iter_leaves(batch_stats):
             if path[-2] == 'bn':
@@ -286,7 +286,7 @@ def params_to_torch_state_dict(params: Mapping,
                         else 'running_var')
                 key = _torch_key_from_path(path[:-2] + (leaf,), hint)
                 out[key] = torch.from_numpy(
-                    np.ascontiguousarray(np.asarray(value)))
+                    np.array(value))
     return out
 
 

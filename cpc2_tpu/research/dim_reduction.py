@@ -252,7 +252,7 @@ def main(argv):
         dim_reduction = buildPCA(train_loader, feature_maker, out_dim)
 
     import torch
-    out_state_dict = {"state_dict": {k: torch.from_numpy(np.ascontiguousarray(v))
+    out_state_dict = {"state_dict": {k: torch.from_numpy(np.array(v))
                                      for k, v in dim_reduction.state_dict().items()},
                       "inDim": out_dim,
                       "type": args.mode}

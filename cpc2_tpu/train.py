@@ -768,7 +768,7 @@ def _save_training_checkpoint(state, best_params, model_bundle, args, path):
         # reference-side interop. The treedef is reconstructed on resume
         # from a freshly built optimizer state.
         import torch
-        leaves = [torch.from_numpy(np.ascontiguousarray(np.asarray(leaf)))
+        leaves = [torch.from_numpy(np.array(leaf))
                   for leaf in jax.tree_util.tree_leaves(state.opt_state)]
         opt_plain = {'format': 'optax_leaves', 'leaves': leaves}
         save_checkpoint(model_sd, crit_sd, opt_plain, best_sd, path)
