@@ -123,10 +123,12 @@ class SingleSequenceDataset:
         return len(self.seqOffset) - 1
 
     def batches(self, batch_size, shuffle=True):
+        # Ragged tail batches run too, like the reference's DataLoader with
+        # the default drop_last=False (`common_voices_eval.py:561,591`).
         order = list(range(len(self)))
         if shuffle:
             random.shuffle(order)
-        for i in range(0, len(order) - batch_size + 1, batch_size):
+        for i in range(0, len(order), batch_size):
             items = [self[j] for j in order[i:i + batch_size]]
             seq = np.stack([x[0] for x in items])
             size_seq = np.asarray([x[1] for x in items], np.int32)
@@ -135,7 +137,7 @@ class SingleSequenceDataset:
             yield seq, size_seq, phone, size_phone
 
     def n_batches(self, batch_size):
-        return len(self) // batch_size
+        return -(-len(self) // batch_size)
 
 
 class CTCPhoneCriterionCV(nn.Module):
@@ -221,19 +223,32 @@ class IDModule(nn.Module):
 
 
 def build_cv_steps(model, criterion, tx, freeze: bool):
-    def forward(params, seq, size_seq, phone, size_phone, train):
-        c, _, _, _ = model.apply({'params': params['model']}, seq, None,
-                                 train=False)
+    def forward(params, seq, size_seq, phone, size_phone, train, rng=None):
+        # --freeze runs the feature net in eval mode with detached features;
+        # unfrozen training puts it in train mode, like the reference's
+        # `model.train()` when `model.optimize`
+        # (`common_voices_eval.py:248-249,568-571`).
+        model_train = train and not freeze
+        m_rng = c_rng = None
+        if train and rng is not None:
+            m_rng, c_rng = jax.random.split(rng)
+        c, _, _, _ = model.apply(
+            {'params': params['model']}, seq, None, train=model_train,
+            rngs={'dropout': m_rng} if m_rng is not None else None)
         if freeze:
             c = jax.lax.stop_gradient(c)
-        return criterion.apply({'params': params['criterion']}, c,
-                               size_seq, phone, size_phone, train=train)
+        # criterion.train() is unconditional in the reference train_step
+        # (`common_voices_eval.py:251`), so --dropout is active here.
+        return criterion.apply(
+            {'params': params['criterion']}, c, size_seq, phone, size_phone,
+            train=train, rngs={'dropout': c_rng} if c_rng is not None
+            else None)
 
     @jax.jit
-    def train_step(params, opt_state, seq, size_seq, phone, size_phone):
+    def train_step(params, opt_state, seq, size_seq, phone, size_phone, rng):
         def loss_fn(p):
             return jnp.mean(forward(p, seq, size_seq, phone, size_phone,
-                                    True))
+                                    True, rng))
         loss, grads = jax.value_and_grad(loss_fn)(params)
         if freeze:
             grads['model'] = jax.tree.map(jnp.zeros_like, grads['model'])
@@ -297,6 +312,8 @@ def run_training(dataset_train, dataset_val, params, tx, opt_state,
                  path_checkpoint, args_ns):
     print(f"Starting the training for {n_epochs} epochs")
     best_loss = float('inf')
+    rng = jax.random.PRNGKey(0)
+    step_idx = 0
     for epoch in range(n_epochs):
         tot, n = 0.0, 0
         for seq, size_seq, phone, size_phone in dataset_train.batches(
@@ -306,7 +323,8 @@ def run_training(dataset_train, dataset_val, params, tx, opt_state,
             params, opt_state, loss = train_step(
                 params, opt_state, seq_in,
                 jnp.asarray(size_seq // 160), jnp.asarray(phone),
-                jnp.asarray(size_phone))
+                jnp.asarray(size_phone), jax.random.fold_in(rng, step_idx))
+            step_idx += 1
             tot += float(loss)
             n += 1
         print(f"Epoch {epoch} loss train : {tot / max(n, 1)}")

@@ -63,6 +63,19 @@ class TestCommonVoices:
                  '--file_extension', '.wav'])
         assert (out / 'args_validation_0.json').exists()
 
+    def test_train_unfrozen_dropout(self, cv_corpus, cpc_ckpt, tmp_path):
+        # Fine-tune mode (no --freeze) runs the feature net in train mode and
+        # --dropout activates the criterion's Dropout — both need a dropout
+        # rng threaded through the jitted step (regression: crashed with
+        # flax's missing-rng error).
+        from cpc2_tpu.eval import common_voices_eval as cv
+        root, phones, names = cv_corpus
+        out = tmp_path / "cvout_dropout"
+        cv.main(['train', str(root), phones, cpc_ckpt, '--dropout',
+                 '--file_extension', '.wav', '--batchSize', '2',
+                 '--nEpochs', '1', '-o', str(out)])
+        assert (out / 'checkpoint.pt').exists()
+
     def test_single_sequence_dataset(self, cv_corpus):
         from cpc2_tpu.data.corpus import findAllSeqs, parseSeqLabels
         from cpc2_tpu.eval.common_voices_eval import SingleSequenceDataset
@@ -79,3 +92,7 @@ class TestCommonVoices:
         batches = list(ds.batches(2, shuffle=False))
         assert len(batches) == 3
         assert batches[0][0].shape[0] == 2
+        # ragged tail runs (reference DataLoader drop_last=False)
+        batches = list(ds.batches(4, shuffle=False))
+        assert [b[0].shape[0] for b in batches] == [4, 2]
+        assert ds.n_batches(4) == 2
