@@ -135,24 +135,20 @@ def dtw_batch(x, y, sx, sy, dist_mat, ignore_diag: bool = False,
     return out
 
 
-def _default_is_tpu() -> bool:
-    try:
-        import jax
-        return jax.default_backend() not in ('cpu', 'gpu')
-    except Exception:
-        return False
-
-
 _USE_PALLAS = None
 
 
 def dtw_normalized_auto(dist, n1, n2):
     """Dispatch: hand-written Pallas kernel on TPU backends (bit-identical,
-    ~10% faster, validated in tests), lax.scan wavefront elsewhere."""
+    ~10% faster, validated in tests), lax.scan wavefront elsewhere. Falls
+    back to the scan for sequence-length buckets whose per-program slab
+    cannot fit VMEM (`dtw_pallas.fits_vmem`)."""
     global _USE_PALLAS
     if _USE_PALLAS is None:
-        _USE_PALLAS = _default_is_tpu()
+        from .backend import tpu_backend_available
+        _USE_PALLAS = tpu_backend_available()
     if _USE_PALLAS:
-        from .dtw_pallas import dtw_normalized_pallas
-        return dtw_normalized_pallas(dist, n1, n2)
+        from .dtw_pallas import dtw_normalized_pallas, fits_vmem
+        if fits_vmem(dist.shape[1], dist.shape[2]):
+            return dtw_normalized_pallas(dist, n1, n2)
     return dtw_normalized(dist, n1, n2)

@@ -114,14 +114,33 @@ def _dtw_kernel(diag_ref, n1_ref, n2_ref, out_ref,
 
 # Mosaic double-buffers grid inputs; keep the per-program slab small
 _VMEM_BUDGET = 3 * 1024 * 1024
+# the smallest tiling-friendly block is 8 pairs; a bucket whose 8-pair
+# slab cannot fit a safe share of scoped VMEM (~16 MB total, double-
+# buffered input) must not reach the kernel at all
+_MIN_BLOCK = 8
+_SLAB_LIMIT = 6 * 1024 * 1024
+
+
+def _per_pair_bytes(s1: int, s2: int) -> int:
+    return (s1 + s2 - 1) * s1 * 4
+
+
+def fits_vmem(s1: int, s2: int) -> bool:
+    """True when the minimum-block (8-pair) skewed-input slab fits the
+    VMEM share this kernel budgets for itself; callers fall back to the
+    `lax.scan` wavefront otherwise instead of failing to compile."""
+    return _MIN_BLOCK * _per_pair_bytes(s1, s2) <= _SLAB_LIMIT
 
 
 def _pick_block(b: int, s1: int, s2: int) -> int:
-    n_diag = s1 + s2 - 1
-    per_pair = n_diag * s1 * 4
-    block = max(8, min(128, _VMEM_BUDGET // max(per_pair, 1)))
+    per_pair = _per_pair_bytes(s1, s2)
+    block = min(128, max(_VMEM_BUDGET // max(per_pair, 1), 1))
+    if block < _MIN_BLOCK:
+        # still within fits_vmem's bound: the floor slab stays <= the
+        # slab limit, just past the soft per-buffer budget
+        block = _MIN_BLOCK
     # round down to a power of two for tiling friendliness
-    p = 8
+    p = _MIN_BLOCK
     while p * 2 <= block:
         p *= 2
     return p

@@ -344,6 +344,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         return state
 
     profile_dir = getattr(args, 'profile_dir', None)
+    profile_started = False
 
     # Single-step path: _stack_batch AND the WireStager upload run ON the
     # prefetch thread — batch N+1's host DSP + host->device transfer
@@ -395,12 +396,18 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
     for step, item in enumerate(data_iter):
         if profile_dir is not None:
             # Trace a small window of steady-state steps with jax.profiler.
+            # One trace per run: clearing args.profile_dir keeps epoch 2
+            # from calling start_trace on top of an open (or finished)
+            # trace; epochs shorter than 15 steps close theirs after the
+            # loop below.
             if step == 5:
                 jax.profiler.start_trace(profile_dir)
+                profile_started = True
             elif step == 15:
                 jax.profiler.stop_trace()
                 print(f"Profiler trace written to {profile_dir}")
-                profile_dir = None
+                profile_dir = args.profile_dir = None
+                profile_started = False
         if item[0] == 'ragged':
             # Ragged tail: shapes must stay static for the main program, so
             # tail batches run after the loop through a second program
@@ -502,6 +509,13 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 last_it = it
                 utils.show_logs("Training loss", loc_logs)
                 start_time, n_examples = new_time, 0
+
+    if profile_started:
+        # epoch ended before step 15: close the trace instead of leaving
+        # it open (a second start_trace next epoch would raise)
+        jax.profiler.stop_trace()
+        print(f"Profiler trace written to {profile_dir}")
+        args.profile_dir = None
 
     # Ragged tail batches: their own program at their natural size.
     for seq, lab, qual, msk in ragged:
@@ -994,9 +1008,11 @@ def main(argv):
     # on a reordered composition.
     device_augment = None
     host_aug_types = args.augment_type
+    # --augment_type is nargs='+' (a list), so a plain `!= 'none'` compare
+    # is vacuously True for ['none']; count only real augmentation names
+    aug_active = any(t != 'none' for t in (args.augment_type or []))
     if getattr(args, 'augment_on_device', False) and (
-            args.augment_past or args.augment_future) \
-            and args.augment_type and args.augment_type != 'none':
+            args.augment_past or args.augment_future) and aug_active:
         from .data.augment_device import (DEVICE_AUGMENTATIONS,
                                           make_device_augment)
 
@@ -1051,8 +1067,10 @@ def main(argv):
                              "per-host packs differ, so a replicated "
                              "device corpus would be incoherent across "
                              "processes")
+        host_aug_active = any(
+            t != 'none' for t in (host_aug_types or []))
         if (args.augment_past or args.augment_future) and use_host_aug \
-                and args.augment_type and args.augment_type != 'none':
+                and host_aug_active:
             raise ValueError(
                 "--corpus_on_device needs clean host windows, but "
                 f"host-side augmentations are active ({host_aug_types}). "

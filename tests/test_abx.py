@@ -276,6 +276,47 @@ class TestPallasDTW:
                 for j in range(5):
                     assert sk[i + j, b, i] == d[b, i, j]
 
+    def test_vmem_gate(self):
+        """Long-sequence buckets must never reach the kernel: at the
+        minimum 8-pair block a (512, 512) bucket's skewed slab is ~16.7 MB
+        (double-buffered ~33 MB), past scoped VMEM — the auto dispatch
+        must take the scan fallback instead of failing to compile."""
+        from cpc2_tpu.ops.dtw_pallas import (fits_vmem, _pick_block,
+                                             _SLAB_LIMIT, _per_pair_bytes)
+        assert fits_vmem(128, 128)
+        assert not fits_vmem(512, 512)
+        # _pick_block never exceeds the slab limit on shapes that pass
+        # the gate (block * per-pair <= limit, block a power of two >= 8)
+        for s in (16, 64, 128, 256, 448):
+            if not fits_vmem(s, s):
+                continue
+            blk = _pick_block(64, s, s)
+            assert blk >= 8 and (blk & (blk - 1)) == 0
+            assert blk * _per_pair_bytes(s, s) <= max(
+                _SLAB_LIMIT, 8 * _per_pair_bytes(s, s))
+
+    def test_auto_dispatch_large_bucket_falls_back(self, monkeypatch):
+        """dtw_normalized_auto on an over-budget bucket must produce the
+        scan result (not attempt the Pallas kernel) even when the backend
+        gate says TPU."""
+        import jax.numpy as jnp
+        from cpc2_tpu.ops import dtw as dtw_mod
+        monkeypatch.setattr(dtw_mod, '_USE_PALLAS', True)
+        called = []
+        import cpc2_tpu.ops.dtw_pallas as dp
+        monkeypatch.setattr(
+            dp, 'dtw_normalized_pallas',
+            lambda *a, **k: called.append(True) or dtw_normalized(*a))
+        rng = np.random.RandomState(5)
+        b, s = 2, 512                     # fits_vmem(512, 512) is False
+        dist = jnp.asarray(rng.rand(b, s, s).astype(np.float32))
+        n1 = jnp.asarray(np.array([s, s - 7], np.int32))
+        n2 = jnp.asarray(np.array([s - 3, s], np.int32))
+        ref = np.asarray(dtw_normalized(dist, n1, n2))
+        got = np.asarray(dtw_mod.dtw_normalized_auto(dist, n1, n2))
+        np.testing.assert_allclose(ref, got, atol=0)
+        assert not called
+
 
 class TestBatchedGroupScoring:
     """The stacked-groups scorer must reproduce the per-group fused path

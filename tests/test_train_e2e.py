@@ -258,6 +258,40 @@ def test_staging_runs_on_prefetch_thread(tmp_path, monkeypatch):
     assert staged_off_main, "no staging happened on the worker thread"
 
 
+def test_profiler_trace_closes_on_short_epochs(tmp_path):
+    """--profile_dir with epochs shorter than the 15-step trace window:
+    the trace opened at step 5 must be closed at epoch end (not left
+    open, where epoch 2's start_trace would raise 'trace already in
+    progress'), and later epochs must not re-trace."""
+    from cpc2_tpu import train as train_mod
+    from cpc2_tpu.data.audio_io import save_wav
+    root = tmp_path / 'db'
+    d = root / 's1' / 'c1'
+    d.mkdir(parents=True)
+    rs = np.random.RandomState(3)
+    # 3 train files (1 goes to the 95-5 val split) x 16 windows -> 12
+    # full batches of 4 per epoch: past the step-5 trace start, short of
+    # the step-15 stop
+    for i in range(4):
+        n = 4160 * 16
+        t = np.arange(n) / 16000.0
+        x = (0.3 * np.sin(2 * np.pi * (150 + 40 * i) * t)
+             + 0.05 * rs.randn(n)).astype(np.float32)
+        save_wav(str(d / f's1-{i}.wav'), x, 16000)
+    prof = tmp_path / 'prof'
+    train_mod.main(['--pathDB', str(root), '--file_extension', '.wav',
+                    '--pathCheckpoint', str(tmp_path / 'ck'),
+                    '--hiddenEncoder', '16', '--hiddenGar', '16',
+                    '--nPredicts', '2', '--negativeSamplingExt', '4',
+                    '--sizeWindow', '4160', '--nGPU', '2',
+                    '--batchSizeGPU', '2', '--rnnMode', 'linear',
+                    '--arMode', 'GRU', '--samplingType', 'uniform',
+                    '--nEpoch', '2', '--save_step', '2',
+                    '--logging_step', '20',
+                    '--profile_dir', str(prof)])
+    assert prof.exists() and any(prof.rglob('*')), "no trace written"
+
+
 def test_logging_window_means_do_not_decay(tmp_path, capsys):
     """Mid-epoch logging windows print the WINDOW mean (the reference
     divides the window delta by loggingStep, `cpc/train.py:160-164`).
