@@ -228,9 +228,13 @@ class TailRunner:
             state, NamedSharding(self._mesh1, PartitionSpec()))
         _, val_step = self._steps
         out = []
-        for seq, lab, qual, msk in self._items:
+        for item_i, (seq, lab, qual, msk) in enumerate(self._items):
             batch, lab, qual, msk = self._stage(seq, lab, qual, msk)
-            losses, accs = val_step(state, batch, lab, rng,
+            # per-batch key: the val body's fold_in(rng, state.step) is
+            # constant during validation
+            losses, accs = val_step(state, batch, lab,
+                                    jax.random.fold_in(rng,
+                                                       2**17 + item_i),
                                     mask_indices=msk)
             out.append((seq.shape[0], np.asarray(losses), np.asarray(accs)))
         self._items = []
@@ -613,11 +617,17 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
         label = shard_batch(mesh, np.asarray(label).astype(np.int32))
         if mask is not None:
             mask = shard_batch(mesh, mask)
+        # Per-batch key: the compiled val body folds in state.step, which
+        # never advances during validation — without a host-side fold
+        # every val batch would draw the SAME negative indices (the
+        # reference re-draws per batch from the global torch RNG)
+        rng_b = jax.random.fold_in(rng, step)
         if keep_hidden:
             all_losses, all_acc, hidden = val_step(
-                state, batch, label, rng, mask_indices=mask, hidden=hidden)
+                state, batch, label, rng_b, mask_indices=mask,
+                hidden=hidden)
         else:
-            all_losses, all_acc = val_step(state, batch, label, rng,
+            all_losses, all_acc = val_step(state, batch, label, rng_b,
                                            mask_indices=mask)
         # metrics stay on device until the end of the pass: one fetch for
         # the whole val set instead of a device sync per batch (each sync
@@ -635,12 +645,14 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
 
     # Ragged val tail batches: their own program at their natural size, so
     # the val metrics cover the same examples the reference's do.
-    for seq, lab, msk in ragged:
+    for tail_i, (seq, lab, msk) in enumerate(ragged):
         batch = stager.put(seq)
         lab = shard_batch(mesh, np.asarray(lab).astype(np.int32))
         if msk is not None:
             msk = shard_batch(mesh, msk)
-        all_losses, all_acc = val_step(state, batch, lab, rng,
+        all_losses, all_acc = val_step(state, batch, lab,
+                                       jax.random.fold_in(rng,
+                                                          2**16 + tail_i),
                                        mask_indices=msk)
         logs.setdefault("locLoss_val", np.zeros(all_losses.shape[1]))
         logs.setdefault("locAcc_val", np.zeros(all_losses.shape[1]))

@@ -369,3 +369,33 @@ def test_logging_windows_fire_under_steps_per_dispatch(tmp_path, capsys):
     updates = [int(u) for u in re.findall(r'^Update (\d+)$', out, re.M)]
     assert updates.count(6) == 2, (updates, out)  # one per epoch
     assert re.search(r'ms per batch', out), out
+
+
+def test_val_epoch_uses_distinct_rng_per_batch(monkeypatch):
+    """The compiled val body folds rng with state.step, which never
+    advances during validation — val_epoch must therefore hand every
+    batch its own host-folded key, or the whole val set scores against
+    one realization of the negative draws (the reference re-draws per
+    batch from the global torch RNG)."""
+    import argparse
+    import jax
+    from cpc2_tpu import train as train_mod
+    from cpc2_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(2)
+    args = argparse.Namespace(cpc_mode='cpc', mask_prob=0.0, nPredicts=2,
+                              _keep_hidden=False)
+    keys = []
+
+    def fake_val_step(state, batch, label, rng, mask_indices=None):
+        keys.append(np.asarray(jax.random.key_data(rng)).tolist())
+        return np.zeros((2, 2)), np.zeros((2, 2))
+
+    frames = 26
+    batches = [(np.zeros((4, 2, 1, 4160), np.float32),
+                np.zeros(4, np.int64)) for _ in range(3)]
+    train_mod.val_epoch(batches, None, fake_val_step, mesh, args,
+                        jax.random.PRNGKey(7), frames, 4)
+    assert len(keys) == 3
+    assert len({tuple(k) for k in keys}) == 3, \
+        f"val batches shared rng keys: {keys}"
