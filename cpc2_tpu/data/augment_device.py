@@ -12,9 +12,11 @@ PCM16 windows and the chip augments after upload.
 
 Numerics: `bandreject` builds the same Kaiser-windowed sinc band-stop as
 the host (fixed taps instead of the host's data-dependent auto-sizing —
-XLA needs static shapes) and `pitch` runs the same phase-vocoder +
+XLA needs static shapes); `pitch` runs the same phase-vocoder +
 linear-resample algorithm vectorized (the host's python frame loop becomes
-gathers + one cumulative sum); both are checked against the host
+gathers + one cumulative sum) while `pitch_quick`/`pitch_dropout` run the
+host's QUICK linear-interp resample (sox `rate -q` semantics — a different
+distribution from the vocoder); all are checked against the host
 implementations in `tests/test_augment_device.py`. Gaussian noise and
 time dropout are exact ports. The reverbs exploit linearity: freeverb is
 LTI per room size, so artificial reverb becomes a gather from a
@@ -211,6 +213,57 @@ def pitch(x: Array, key: Array, shift_max: int = 300) -> Array:
     return jax.vmap(lambda xi, ci: _pitch_one(xi, ci, max_factor))(x, cents)
 
 
+def _pitch_quick_one(x: Array, cents: Array, max_factor: float) -> Array:
+    """The host's `quick` pitch branch (`augmentation.py:215-218`, sox
+    `rate -q`) on one (W,) window: linear-interp resample to a stretched
+    length of ceil(W*factor) samples, then linear-resample back to W —
+    NOT the phase vocoder. Static shapes: the stretched signal lives on a
+    ceil(W*max_factor) budget grid with the live prefix tracked by the
+    traced true length."""
+    w = x.shape[0]
+    factor = 2.0 ** (cents / 1200.0)
+    step = 1.0 / factor
+    # host: len(np.arange(0, w, step)) == ceil(w / step)
+    true_len = jnp.ceil(w / step).astype(jnp.int32)
+
+    l_max = int(math.ceil(w * max_factor)) + 1
+    k = jnp.arange(l_max, dtype=jnp.float32)
+    pos = k * step                                         # (L_max,)
+    i0 = jnp.clip(pos.astype(jnp.int32), 0, w - 1)
+    fr = pos - i0.astype(jnp.float32)
+    # pairs[w-1] duplicates the last sample, so positions in (w-1, w)
+    # clamp like np.interp's right fill
+    xp = jnp.concatenate([x, x[-1:]])
+    pairs = jnp.stack([xp[:-1], xp[1:]], axis=-1)          # (w, 2)
+    rows = pairs[i0]
+    stretched = (1 - fr) * rows[:, 0] + fr * rows[:, 1]    # (L_max,)
+
+    # host: np.interp(linspace(0,1,w,endpoint=False),
+    #                 linspace(0,1,L,endpoint=False), stretched)
+    p = (jnp.arange(w, dtype=jnp.float32)
+         * true_len.astype(jnp.float32) / w)
+    q0 = jnp.clip(p.astype(jnp.int32), 0, true_len - 1)
+    q1 = jnp.minimum(q0 + 1, true_len - 1)
+    fr2 = jnp.where(q1 == q0, 0.0, p - q0.astype(jnp.float32))
+    y = (1 - fr2) * stretched[q0] + fr2 * stretched[q1]
+
+    # host pitch_shift: |cents| < 1 and non-finite outputs return the input
+    y = jnp.where(jnp.abs(cents) < 1, x, y)
+    return jnp.where(jnp.isfinite(y).all(), y, x).astype(jnp.float32)
+
+
+def pitch_quick(x: Array, key: Array, shift_max: int = 300) -> Array:
+    """Per-window random QUICK pitch shift (host `PitchAugment(quick=True)`
+    — the semantics of `--augment_type pitch_quick`, and of
+    `pitch_dropout`'s pitch stage under the default `--pitch_algo`)."""
+    b = x.shape[0]
+    cents = jax.random.randint(key, (b,), -shift_max,
+                               shift_max).astype(jnp.float32)
+    max_factor = 2.0 ** (shift_max / 1200.0)
+    return jax.vmap(
+        lambda xi, ci: _pitch_quick_one(xi, ci, max_factor))(x, cents)
+
+
 # ---------------------------------------------------------------------------
 # Gaussian additive noise (host: `RandomAdditiveNoiseAugment`)
 # ---------------------------------------------------------------------------
@@ -350,9 +403,13 @@ def artificial_reverb_dropout(x: Array, key: Array,
 
 def pitch_dropout(x: Array, key: Array, shift_max: int = 300,
                   t_ms: int = 100) -> Array:
-    """Host `PitchDropout` (augmentation.py:276-284)."""
+    """Host `PitchDropout` (augmentation.py:339-354): QUICK pitch + time
+    dropout — the host builds its pitch stage with quick=True under the
+    default `--pitch_algo` (the reference chain is `pitch ... rate -q`),
+    so the device port must use the quick resample, not the vocoder."""
     k1, k2 = jax.random.split(key)
-    return time_dropout(pitch(x, k1, shift_max=shift_max), k2, t_ms=t_ms)
+    return time_dropout(pitch_quick(x, k1, shift_max=shift_max), k2,
+                        t_ms=t_ms)
 
 
 # ---------------------------------------------------------------------------
@@ -483,13 +540,21 @@ def make_device_augment(augment_types: Sequence[str],
     factory; a missing resource raises like the host does. Unknown names
     raise ValueError.
     """
+    names = [canonical_augment_type(t) for t in augment_types or []]
+    # Host factory parity: in a combined chain CombinedTransforms passes
+    # pitch_quick=('pitch_quick' in augment_type) to EVERY pitch stage
+    # (`augmentation.py:582-584`), so a plain 'pitch' listed next to a
+    # 'pitch_quick' also runs the quick resample.
+    quick_contagion = len(names) > 1 and 'pitch_quick' in names
     chain = []
-    for name in augment_types or []:
-        name = canonical_augment_type(name)
+    for name in names:
         if name == 'bandreject':
             chain.append(functools.partial(bandreject,
                                            scaler=bandreject_scaler))
-        elif name in ('pitch', 'pitch_quick'):
+        elif name == 'pitch_quick' or (name == 'pitch' and quick_contagion):
+            chain.append(functools.partial(pitch_quick,
+                                           shift_max=shift_max))
+        elif name == 'pitch':
             chain.append(functools.partial(pitch, shift_max=shift_max))
         elif name == 'pitch_dropout':
             chain.append(functools.partial(pitch_dropout,

@@ -1031,8 +1031,9 @@ def main(argv):
         def _device_ok(t):
             if t not in DEVICE_AUGMENTATIONS:
                 return False
-            # the device pitch port is the phase vocoder; an explicit
-            # --pitch_algo wsola keeps pitch on the host pipeline
+            # device pitch ports: vocoder for 'pitch', quick resample for
+            # 'pitch_quick'/'pitch_dropout' (host semantics); an explicit
+            # --pitch_algo wsola keeps every pitch stage on the host
             if t.startswith('pitch') and \
                     getattr(args, 'pitch_algo', 'vocoder') == 'wsola':
                 return False

@@ -136,6 +136,67 @@ class TestPitch:
         assert err < 0.05 * np.abs(ref).max(), err
 
 
+class TestPitchQuick:
+    """`pitch_quick`/`pitch_dropout` must run the host's QUICK resample
+    (sox `rate -q` semantics), not the phase vocoder — the two produce
+    different training distributions."""
+
+    @pytest.mark.parametrize('cents', [-300.0, -137.0, -1.0, 1.0, 55.0,
+                                       299.0])
+    def test_matches_host_quick_branch(self, cents):
+        x = _tone(440, w=4160)
+        ref = ha.pitch_shift(x[None], cents, quick=True)[0]
+        got = np.asarray(ad._pitch_quick_one(
+            jnp.asarray(x), jnp.float32(cents), 2.0 ** (300.0 / 1200.0)))
+        err = np.abs(got - ref).max()
+        # identical math, f32 positions vs the host's f64 np.interp
+        assert err < 2e-3 * max(np.abs(ref).max(), 1e-6), (cents, err)
+
+    def test_zero_cents_identity(self):
+        x = _tone(300, w=4096)
+        got = np.asarray(ad._pitch_quick_one(jnp.asarray(x),
+                                             jnp.float32(0.0),
+                                             2.0 ** (300.0 / 1200.0)))
+        np.testing.assert_array_equal(got, x)
+
+    def test_factory_maps_quick_names_to_quick(self, monkeypatch):
+        """'pitch_quick' must NOT dispatch to the vocoder; a plain 'pitch'
+        next to a 'pitch_quick' inherits quick (host CombinedTransforms
+        contagion, augmentation.py:582-584), while a lone 'pitch' keeps
+        the vocoder."""
+        import cpc2_tpu.data.augment_device as adm
+        tags = []
+        monkeypatch.setattr(
+            adm, 'pitch_quick',
+            lambda x, key, shift_max=300: tags.append('quick') or x)
+        monkeypatch.setattr(
+            adm, 'pitch',
+            lambda x, key, shift_max=300: tags.append('vocoder') or x)
+        x = jnp.zeros((2, 4160), jnp.float32)
+        for names, expect in ((['pitch'], ['vocoder']),
+                              (['pitch_quick'], ['quick']),
+                              (['pitch', 'pitch_quick'],
+                               ['quick', 'quick'])):
+            tags.clear()
+            fn = adm.make_device_augment(names)
+            fn(x, jax.random.PRNGKey(0))
+            assert tags == expect, (names, tags)
+
+    def test_pitch_dropout_uses_quick(self, monkeypatch):
+        """pitch_dropout's pitch stage is the quick resample (the host
+        builds PitchAugment(quick=True) under the default --pitch_algo)."""
+        import cpc2_tpu.data.augment_device as adm
+        used = []
+        real_quick = adm.pitch_quick
+        monkeypatch.setattr(
+            adm, 'pitch_quick',
+            lambda *a, **k: used.append('quick') or real_quick(*a, **k))
+        x = jnp.asarray(np.stack([_tone(440, w=4160), _tone(660, w=4160)]))
+        y = adm.pitch_dropout(x, jax.random.PRNGKey(0))
+        assert y.shape == x.shape
+        assert used == ['quick']
+
+
 class TestSimpleAugs:
 
     def test_gaussian_noise_matches_host_formula(self):
