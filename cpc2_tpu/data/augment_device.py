@@ -126,6 +126,27 @@ def _frame(x: Array, n_fft: int, hop: int) -> Array:
     return xp[idx]
 
 
+def _resample_live_prefix(src: Array, true_len: Array, w: int) -> Array:
+    """Linear-resample the live prefix `src[0:true_len]` (traced length on
+    a static budget grid) down to `w` samples — host `np.interp` on
+    endpoint=False grids: dst j maps to src position j*true_len/w.
+
+    ONE row-gather of adjacent (src[i], src[i+1]) pairs instead of two
+    element gathers (each element gather profiled 1.3 ms/step on TPU).
+    Budget values past true_len are finite, and the pair partner's weight
+    is forced to 0 at the prefix edge, so they never leak into the
+    output."""
+    pos = (jnp.arange(w, dtype=jnp.float32)
+           * true_len.astype(jnp.float32) / w)
+    i0 = jnp.clip(pos.astype(jnp.int32), 0, true_len - 1)
+    fr = pos - i0.astype(jnp.float32)
+    # past-the-end pair partner clamps to the same sample (host: i1 == i0)
+    fr = jnp.where(i0 + 1 >= true_len, 0.0, fr)
+    pairs = jnp.stack([src[:-1], src[1:]], axis=-1)          # (L-1, 2)
+    rows = pairs[jnp.clip(i0, 0, pairs.shape[0] - 1)]        # (w, 2)
+    return (1 - fr) * rows[:, 0] + fr * rows[:, 1]
+
+
 def _pitch_one(x: Array, cents: Array,
                max_factor: float = 2.0 ** (400.0 / 1200.0)) -> Array:
     """Phase-vocoder pitch shift of one (W,) window by `cents` (traced).
@@ -182,19 +203,9 @@ def _pitch_one(x: Array, cents: Array,
     # host istft crops [pad : pad + round(w*factor)]
     true_len = jnp.round(w * factor).astype(jnp.int32)
 
-    # linear resample stretched[0:true_len] -> w samples (host np.interp on
-    # endpoint=False grids: dst j maps to src position j*true_len/w).
-    # ONE row-gather of adjacent (src[i], src[i+1]) pairs instead of two
-    # element gathers (each profiled 1.3 ms/step on TPU).
-    pos = jnp.arange(w, dtype=jnp.float32) * true_len.astype(jnp.float32) / w
-    i0 = jnp.clip(pos.astype(jnp.int32), 0, true_len - 1)
-    fr = pos - i0
-    # past-the-end pair partner clamps to the same sample (i1 == i0)
-    fr = jnp.where(i0 + 1 >= true_len, 0.0, fr)
+    # linear resample stretched[0:true_len] -> w samples
     src = jax.lax.dynamic_slice_in_dim(stretched, pad, total - pad)
-    pairs = jnp.stack([src[:-1], src[1:]], axis=-1)          # (L-1, 2)
-    rows = pairs[jnp.clip(i0, 0, pairs.shape[0] - 1)]        # (w, 2)
-    y = (1 - fr) * rows[:, 0] + fr * rows[:, 1]
+    y = _resample_live_prefix(src, true_len, w)
 
     # host: |cents| < 1 and non-finite results fall back to the input
     y = jnp.where(jnp.abs(cents) < 1, x, y)
@@ -240,12 +251,7 @@ def _pitch_quick_one(x: Array, cents: Array, max_factor: float) -> Array:
 
     # host: np.interp(linspace(0,1,w,endpoint=False),
     #                 linspace(0,1,L,endpoint=False), stretched)
-    p = (jnp.arange(w, dtype=jnp.float32)
-         * true_len.astype(jnp.float32) / w)
-    q0 = jnp.clip(p.astype(jnp.int32), 0, true_len - 1)
-    q1 = jnp.minimum(q0 + 1, true_len - 1)
-    fr2 = jnp.where(q1 == q0, 0.0, p - q0.astype(jnp.float32))
-    y = (1 - fr2) * stretched[q0] + fr2 * stretched[q1]
+    y = _resample_live_prefix(stretched, true_len, w)
 
     # host pitch_shift: |cents| < 1 and non-finite outputs return the input
     y = jnp.where(jnp.abs(cents) < 1, x, y)

@@ -569,7 +569,17 @@ def augmentation_factory(args, noise_dataset=None, applied_on_noise=False):
     if (not augment_type or augment_type == 'none'
             or not (args.augment_past or args.augment_future)):
         return None
-    augment_type = [canonical_augment_type(t) for t in augment_type]
+    # 'none' entries are no-ops: the reference's `== 'none'` guard above
+    # compares a LIST to a string (always False), so its single-element
+    # ['none'] falls through to the dispatch tail and raises
+    # RuntimeError('Unknown augment_type = none') even though 'none' is in
+    # the argparse choices (`data_augmentation.py:394,443`). Dropping them
+    # here makes ['none'] return None and ['pitch', 'none'] act as
+    # ['pitch'] (SURVEY §2.10: don't clone bugs).
+    augment_type = [canonical_augment_type(t) for t in augment_type
+                    if t != 'none']
+    if not augment_type:
+        return None
 
     batchSize = args.nGPU * args.batchSizeGPU
     additive_noise_sampling = ("temporalsamespeaker"

@@ -284,15 +284,20 @@ def use_fused_lstm(b: int, t: int, hdim: int) -> bool:
     env = os.environ.get('CPC2_FUSED_LSTM', '').lower()
     if env in ('0', 'off', 'false'):
         return False
-    tc = _pick_tc(t, b, hdim)
-    if tc > 32:
-        # no fitting multiple-of-8 chunk divisor: a full-T block would
-        # be legal but the unroll (and compile time) is unbounded
-        return False
-    # chunk blocks (gi/ga/dgi ~ b*tc*4H f32, pipeline double-buffered)
-    # and the two (4H, H) weight blocks must fit in scoped VMEM
-    if b * tc * 4 * hdim * 4 > 2 ** 20 or 4 * hdim * hdim * 4 > 2 ** 22:
-        return False
+    forced = env in ('1', 'on', 'true')
+    if not forced:
+        tc = _pick_tc(t, b, hdim)
+        if tc > 32:
+            # no fitting multiple-of-8 chunk divisor: a full-T block would
+            # be legal but the unroll (and compile time) is unbounded
+            return False
+        # chunk blocks (gi/ga/dgi ~ b*tc*4H f32, pipeline double-buffered)
+        # and the two (4H, H) weight blocks must fit in scoped VMEM
+        if b * tc * 4 * hdim * 4 > 2 ** 20 or 4 * hdim * hdim * 4 > 2 ** 22:
+            return False
+    # forced=1 overrides the unroll/VMEM heuristics (an over-budget shape
+    # fails loudly at compile time, never silently) but cannot fabricate
+    # a TPU backend.
     if os.environ.get('CPC2_FUSED_LSTM_INTERPRET', '') == '1':
         return True
     return tpu_backend_available()

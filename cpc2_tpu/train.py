@@ -1038,7 +1038,11 @@ def main(argv):
                     getattr(args, 'pitch_algo', 'vocoder') == 'wsola':
                 return False
             return True
-        aug_types = [canonical_augment_type(t) for t in args.augment_type]
+        # 'none' entries are no-ops (the factory drops them too): filter
+        # them BEFORE the split so they neither trip the ordering check
+        # nor reach the host factory as a bogus host-only type.
+        aug_types = [canonical_augment_type(t) for t in args.augment_type
+                     if t != 'none']
         dev_types = [t for t in aug_types if _device_ok(t)]
         host_aug_types = [t for t in aug_types if not _device_ok(t)]
         dev_pos = [i for i, t in enumerate(aug_types) if _device_ok(t)]
@@ -1452,12 +1456,17 @@ def parse_args(argv):
             "If you want to use temporalsamespeaker sampling type, you must "
             "set naming_convention accordingly.")
 
-    if not args.meta_aug and (args.meta_aug_type is not None
-                              or args.meta_aug_type == "none"):
+    # The reference writes these two checks with a precedence bug
+    # (`A and B or C` parses as `(A and B) or C`) and compares the
+    # nargs='+' LIST against the string "none" (always False,
+    # `cpc/train.py:657-661`) — so `--meta_aug --meta_aug_type none`
+    # sails past its validation and crashes later in the factory.
+    # Implement the intended rules instead (SURVEY §2.10).
+    meta_aug_active = any(t != 'none' for t in (args.meta_aug_type or []))
+    if not args.meta_aug and args.meta_aug_type is not None:
         raise ValueError("You specified parameters --meta_aug_type without "
                          "having activated --meta_aug flag.")
-    if args.meta_aug and args.meta_aug_type is None \
-            or args.meta_aug_type == "none":
+    if args.meta_aug and not meta_aug_active:
         raise ValueError("You specified flag --meta_aug, but you haven't "
                          "specified meta_aug_type")
 

@@ -355,6 +355,36 @@ class TestTrainCLI:
                         '--augment_type', 'time_dropout',
                         'artificial_reverb'])
 
+    def test_none_entries_do_not_trip_the_split(self, tmp_path):
+        """'none' entries are no-ops: they must neither count as host-side
+        types for the reorder check nor reach the host factory (which
+        rejects a bare ['none'] list in the reference)."""
+        import json
+        from cpc2_tpu import train
+        from cpc2_tpu.data.audio_io import save_wav
+        root = tmp_path / 'db'
+        d = root / 's1' / 'c1'
+        d.mkdir(parents=True)
+        rs = np.random.RandomState(2)
+        for i in range(2):
+            x = (0.1 * rs.randn(30000)).astype(np.float32)
+            save_wav(str(d / f's1-{i}.wav'), x, 16000)
+        ckpt = tmp_path / 'ck'
+        train.main(['--pathDB', str(root), '--file_extension', '.wav',
+                    '--pathCheckpoint', str(ckpt),
+                    '--hiddenEncoder', '16', '--hiddenGar', '16',
+                    '--nPredicts', '2', '--negativeSamplingExt', '4',
+                    '--sizeWindow', '4160', '--nGPU', '1',
+                    '--batchSizeGPU', '2', '--rnnMode', 'linear',
+                    '--arMode', 'GRU', '--samplingType', 'uniform',
+                    '--nEpoch', '1', '--save_step', '1',
+                    '--logging_step', '10',
+                    '--augment_past', '--augment_on_device',
+                    '--augment_type', 'time_dropout', 'none'])
+        with open(ckpt / 'checkpoint_logs.json') as f:
+            logs = json.load(f)
+        assert np.isfinite(np.asarray(logs['locLoss_train'])).all()
+
 
 class TestDeviceReverb:
 

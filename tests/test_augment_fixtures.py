@@ -236,6 +236,38 @@ class TestFactoryDispatchFixes:
         # default stays on the reference-like quick resample
         assert ha.PitchDropout().pitch.quick is True
 
+    def test_none_single_returns_no_augment(self):
+        # Reference: ['none'] slips past its list-vs-str 'none' guard and
+        # raises RuntimeError('Unknown augment_type = none') even though
+        # 'none' is an argparse choice (`data_augmentation.py:394,443`).
+        assert ha.augmentation_factory(self._args(['none'])) is None
+
+    def test_none_entries_filtered_from_chain(self):
+        aug = ha.augmentation_factory(self._args(['pitch', 'none']))
+        assert isinstance(aug, ha.PitchAugment) and aug.quick is False
+        aug = ha.augmentation_factory(
+            self._args(['none', 'bandreject', 'pitch']))
+        assert isinstance(aug, ha.CombinedTransforms)
+        assert len(aug.transfors_cfgs) == 2
+
+    def test_meta_aug_validation(self):
+        # Reference `train.py:657-661` has a precedence bug plus the same
+        # list-vs-str compare, so `--meta_aug --meta_aug_type none` sails
+        # through and crashes later; we validate it up front.
+        import pytest
+        from cpc2_tpu import train
+        base = ['--pathDB', '/tmp/x']
+        with pytest.raises(ValueError, match="haven't"):
+            train.parse_args(base + ['--meta_aug'])
+        with pytest.raises(ValueError, match="haven't"):
+            train.parse_args(base + ['--meta_aug', '--meta_aug_type',
+                                     'none'])
+        with pytest.raises(ValueError, match="without"):
+            train.parse_args(base + ['--meta_aug_type', 'natural_reverb'])
+        args = train.parse_args(base + ['--meta_aug', '--meta_aug_type',
+                                        'natural_reverb'])
+        assert args.meta_aug and args.meta_aug_type == ['natural_reverb']
+
     def test_device_factory_accepts_reference_spelling(self):
         chain = ad.make_device_augment(['pitch_deropout'])
         assert chain is not None
