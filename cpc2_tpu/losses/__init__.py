@@ -3,7 +3,8 @@ from .criterion import (CPCUnsupervisedCriterion, CPCUnsupersivedCriterion,
                         SpeakerCriterion, AdvSpeakerCriterion, PhoneCriterion,
                         CTCPhoneCriterion, NoneCriterion, FFNetwork,
                         ShiftedConv)
-from .custom_layers import EqualizedLinear, EqualizedConv1d, NormalizationLayer
+from .custom_layers import (EqualizedLinear, EqualizedConv1d,
+                            NormalizationLayer, upscale2d)
 from .seq_alignment import (beam_search, collapse_label_chain,
                             collapseLabelChain, needleman_wunsch_align_score,
                             get_seq_PER, getPER)

@@ -26,6 +26,17 @@ class NormalizationLayer(nn.Module):
                                           keepdims=True) + epsilon)
 
 
+def upscale2d(x: Array, factor: int = 2) -> Array:
+    """Nearest-neighbor 2-D upscale of (B, C, H, W) by an integer factor
+    (reference `custom_layers.py:22-30`). One XLA broadcast-reshape —
+    no gather."""
+    if not (isinstance(factor, int) and factor >= 1):
+        raise AssertionError("factor must be a positive int")
+    if factor == 1:
+        return x
+    return jnp.repeat(jnp.repeat(x, factor, axis=2), factor, axis=3)
+
+
 class EqualizedLinear(nn.Module):
     """Linear with runtime He scaling (`custom_layers.py:134-151`).
     Torch layout: module.weight (out, in), module.bias (out,)."""

@@ -268,8 +268,14 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
     def _route_tail(sequence, label, quality, mask):
         """Route a short batch so every example still trains (reference
         `cpc/train.py:145-187` semantics): mesh-divisible sizes join the
-        ragged-program list, others go to the single-device TailRunner;
-        only hidden-carry mode (shapes must persist) drops."""
+        ragged-program list, others go to the single-device TailRunner.
+        Drops are structurally impossible single-host: the only modes
+        left out are (a) hidden-carry, whose SequentialSampler emits
+        exclusively full batches (`data/samplers.py:69-89`, and the
+        reference's cuDNN RNN would reject a carry/batch size mismatch
+        anyway), and (b) multi-host, where per-host tails can differ and
+        a one-host update would desync the replicated state — the same
+        constraint the reference's DDP all-reduce imposes."""
         nonlocal dropped
         if (not keep_hidden and sequence.shape[0] > 0
                 and sequence.shape[0] % mesh.shape['data'] == 0):

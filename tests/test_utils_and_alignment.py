@@ -116,3 +116,22 @@ class TestLogs:
         prev = {"a": np.array([2.0, 2.0])}
         out = update_logs(logs, 2, prev)
         assert (out["a"] == np.array([1.0, 3.0])).all()
+
+
+class TestUpscale2d:
+
+    def test_matches_reference_formulation(self):
+        """Nearest-neighbor repeat, same as the reference's view/expand
+        trick (`cpc/criterion/custom_layers.py:22-30`)."""
+        import torch
+        from cpc2_tpu.losses import upscale2d
+        x = np.random.RandomState(0).randn(2, 3, 4, 5).astype(np.float32)
+        t = torch.from_numpy(x)
+        s = t.size()
+        ref = (t.view(-1, s[1], s[2], 1, s[3], 1)
+                .expand(-1, s[1], s[2], 3, s[3], 3)
+                .contiguous().view(-1, s[1], s[2] * 3, s[3] * 3).numpy())
+        out = np.asarray(upscale2d(x, factor=3))
+        assert out.shape == ref.shape
+        np.testing.assert_array_equal(out, ref)
+        np.testing.assert_array_equal(np.asarray(upscale2d(x, 1)), x)
