@@ -1,9 +1,11 @@
-"""Quantization CLI (reference `cpc/clustering/clustering_quantization.py`):
-per file, CPC features -> argmin cluster ids -> `quantized_outputs.txt`
-lines `name\\tid,id,...` (multi-group ids '-'-joined).
+"""Quantization CLI (parity surface:
+`cpc/clustering/clustering_quantization.py` — same flags and output
+format, own pipeline): per corpus file, CPC features -> nearest-centroid
+ids -> ``quantized_outputs.txt`` lines ``name\\tid,id,...`` ('-'-joined
+when the clustering used multiple groups).
 
-Run: `python -m cpc2_tpu.clustering.clustering_quantization <cluster_ckpt>
-<pathDB> <outdir> [...]`
+Run: ``python -m cpc2_tpu.clustering.clustering_quantization
+<cluster_ckpt> <pathDB> <outdir> [...]``
 """
 
 from __future__ import annotations
@@ -12,20 +14,12 @@ import argparse
 import json
 import os
 import sys
-from pathlib import Path
-from time import time
+import time
 
 import jax.numpy as jnp
 import numpy as np
 
 from .clustering import load_clustering_checkpoint
-
-
-def readArgs(path_dir):
-    print(f"Loading args from {path_dir}")
-    path_args = Path(path_dir) / "args.json"
-    with open(path_args, "r") as f:
-        return argparse.Namespace(**json.load(f))
 
 
 def parseArgs(argv):
@@ -67,148 +61,143 @@ def parseArgs(argv):
     return parser.parse_args(argv)
 
 
-def main(argv):
-    from ..data.corpus import findAllSeqs
-    from ..feature_loader import (FeatureModule, buildFeature,
-                                  buildFeature_batch, loadModel)
+def split_slice(n_files: int, spec: str):
+    """Range of file indices for a ``idxSplit-numSplits`` spec (1-based;
+    the last split absorbs the remainder)."""
+    parts = spec.split("-")
+    if len(parts) != 2 or not (int(parts[1]) >= int(parts[0]) >= 1):
+        raise ValueError("SPLIT must be under the form idxSplit-numSplits")
+    idx, total = map(int, parts)
+    per = n_files // total
+    start = per * (idx - 1)
+    end = n_files if idx == total else min(per * idx, n_files)
+    return start, end, idx, total
 
-    args = parseArgs(argv)
-    print("=" * 61)
-    print(f"Quantizing data from {args.pathDB}")
-    print("=" * 61)
 
-    if not os.path.exists(args.pathOutput):
-        print(f"\nCreating the output directory at {args.pathOutput}")
-        Path(args.pathOutput).mkdir(parents=True, exist_ok=True)
+def feature_fn_for_clustering(clustering_args, nobatch: bool):
+    """Rebuild the exact extractor the centroids were fit with: the CPC
+    checkpoint recorded in the clustering run's args.json, its level_gru
+    override, its encoder/context layer choice, its dropout regime
+    (train_mode), and any dimensionality-reduction projection."""
+    from ..feature_loader import FeatureModule, loadModel
 
-    if args.split:
-        assert (len(args.split.split("-")) == 2
-                and int(args.split.split("-")[1])
-                >= int(args.split.split("-")[0]) >= 1), \
-            "SPLIT must be under the form idxSplit-numSplits"
-        idx_split, num_splits = map(int, args.split.split("-"))
-
-    print(f"\nLooking for all {args.file_extension} files in {args.pathDB} "
-          f"with speakerLevel {args.recursionLevel}")
-    seqNames, speakers = findAllSeqs(args.pathDB,
-                                     speaker_level=args.recursionLevel,
-                                     extension=args.file_extension,
-                                     loadCache=True)
-    print(f"Done! Found {len(seqNames)} files and {len(speakers)} speakers!")
-
-    if not args.split:
-        nameOutput = "quantized_outputs.txt"
-    else:
-        nameOutput = f"quantized_outputs_split_{idx_split}-{num_splits}.txt"
-    if not args.separate_speaker:
-        outputFile = os.path.join(args.pathOutput, nameOutput)
-        assert not os.path.exists(outputFile), \
-            f"Output file {outputFile} already exists !!!"
-
-    if args.split:
-        startIdx = len(seqNames) // num_splits * (idx_split - 1)
-        if idx_split == num_splits:
-            endIdx = len(seqNames)
-        else:
-            endIdx = min(len(seqNames) // num_splits * idx_split,
-                         len(seqNames))
-        seqNames = seqNames[startIdx:endIdx]
-        print(f"\nQuantizing split {idx_split} out of {num_splits} splits, "
-              f"with {len(seqNames)} files (idx in range({startIdx}, "
-              f"{endIdx})).")
-
-    if args.debug:
-        nsamples = 20
-        print(f"\nDebug mode activated, only load {nsamples} samples!")
-        seqNames = seqNames[:nsamples]
-
-    assert args.pathCheckpoint.endswith(".pt")
-    clustering_args = readArgs(Path(args.pathCheckpoint).parent)
-    print(f"\nClutering args:\n"
-          f"{json.dumps(vars(clustering_args), indent=4, sort_keys=True)}")
-    print("-" * 50)
-
-    clusterModule = load_clustering_checkpoint(args.pathCheckpoint)
-
-    print("\nLoading CPC FeatureMaker")
+    override = None
     if getattr(clustering_args, 'level_gru', None) is not None:
-        updateConfig = argparse.Namespace(nLevelsGRU=clustering_args.level_gru)
-    else:
-        updateConfig = None
+        override = argparse.Namespace(
+            nLevelsGRU=clustering_args.level_gru)
     bundle = loadModel([clustering_args.pathCheckpoint],
-                       updateConfig=updateConfig)[0]
-    # train_mode comes from the CLUSTERING run's saved args, like the
-    # reference (`clustering_quantization.py:211-217`): quantization
-    # reproduces whatever dropout regime the centroids were fit under.
-    featureMaker = FeatureModule(
-        bundle, clustering_args.encoder_layer, keep_hidden=args.nobatch,
+                       updateConfig=override)[0]
+    fn = FeatureModule(
+        bundle, clustering_args.encoder_layer, keep_hidden=nobatch,
         train_mode=getattr(clustering_args, 'train_mode', False))
     if getattr(clustering_args, 'dimReduction', None) is not None:
         from ..research.dim_reduction import loadDimReduction
-        dim_red = loadDimReduction(clustering_args.dimReduction,
+        project = loadDimReduction(clustering_args.dimReduction,
                                    clustering_args.centroidLimits)
-        base_maker = featureMaker
-        featureMaker = lambda data: dim_red(base_maker(data))  # noqa: E731
-    print("CPC FeatureMaker loaded!")
+        base = fn
+        return lambda data: project(base(data))
+    return fn
 
-    print("\nQuantizing audio files...")
-    seqQuantLines = []
-    start_time = time()
-    for index, vals in enumerate(seqNames):
-        file_path = os.path.join(args.pathDB, vals[1])
-        if args.nobatch:
-            cFeatures = buildFeature(featureMaker, file_path, seqNorm=False,
-                                     strict=args.strict,
-                                     maxSizeSeq=args.max_size_seq)
-        else:
-            cFeatures = buildFeature_batch(featureMaker, file_path,
-                                           seqNorm=False, strict=args.strict,
-                                           maxSizeSeq=args.max_size_seq,
-                                           batch_size=args.batch_size)
 
-        dim_ck = clusterModule.Ck.shape[-1]
-        nGroups = cFeatures.shape[-1] // dim_ck
-        cFeatures = jnp.asarray(cFeatures).reshape(1, -1, dim_ck)
-        qFeatures = np.asarray(jnp.argmin(clusterModule(cFeatures), axis=-1))
-        qFeatures = qFeatures[0]
+def quantize_file(path, feature_fn, cluster_module, args) -> str:
+    """One file -> its quantized line: per frame, the argmin cluster id of
+    each centroid group, '-'-joined across groups, ','-joined over time."""
+    from ..feature_loader import buildFeature, buildFeature_batch
 
-        quantLine = ",".join("-".join(str(i) for i in item)
-                             for item in qFeatures.reshape(-1, nGroups))
-        seqQuantLines.append(quantLine)
-        if (index + 1) % 100 == 0:
-            print(f"  {index + 1}/{len(seqNames)} files")
+    if args.nobatch:
+        feats = buildFeature(feature_fn, path, seqNorm=False,
+                             strict=args.strict,
+                             maxSizeSeq=args.max_size_seq)
+    else:
+        feats = buildFeature_batch(feature_fn, path, seqNorm=False,
+                                   strict=args.strict,
+                                   maxSizeSeq=args.max_size_seq,
+                                   batch_size=args.batch_size)
+    dim = cluster_module.Ck.shape[-1]
+    groups = feats.shape[-1] // dim
+    dists = cluster_module(jnp.asarray(feats).reshape(1, -1, dim))
+    ids = np.asarray(jnp.argmin(dists, axis=-1))[0].reshape(-1, groups)
+    return ",".join("-".join(str(v) for v in row) for row in ids)
 
-    print(f"...done {len(seqQuantLines)} files in {time()-start_time} "
-          f"seconds.")
 
-    if args.separate_speaker:
-        # One output file per speaker (speaker = path component at
-        # recursionLevel, like findAllSeqs). The reference advertises this
-        # flag but its implementation is dead code that ends in a NameError
-        # after the whole quantization pass
-        # (`clustering_quantization.py:141-147,155,262`) — this writes
-        # `<speaker>_<nameOutput>` files instead of crashing.
-        by_speaker = {}
-        for vals, quantln in zip(seqNames, seqQuantLines):
-            speaker = vals[1].split("/")[args.recursionLevel - 1]
-            file_name = os.path.splitext(os.path.basename(vals[1]))[0]
-            by_speaker.setdefault(speaker, []).append(
-                "\t".join([file_name, quantln]))
-        for speaker, lines in by_speaker.items():
-            speaker_file = os.path.join(args.pathOutput,
-                                        f"{speaker}_{nameOutput}")
-            print(f"\nSaving outputs to {speaker_file}")
-            with open(speaker_file, "w") as f:
-                f.write("\n".join(lines))
+def write_quantized(out_dir, out_name, entries, by_speaker_level=None):
+    """`entries` = [(rel_path, line)]. One combined file, or — with
+    `by_speaker_level` set — one ``<speaker>_<out_name>`` per speaker
+    (speaker = path component at that level). The reference advertises
+    --separate-speaker but its implementation dead-ends in a NameError
+    after the whole quantization pass
+    (`clustering_quantization.py:141-147,155,262`); this writes the files."""
+    def fmt(rel, line):
+        return os.path.splitext(os.path.basename(rel))[0] + "\t" + line
+
+    if by_speaker_level is None:
+        target = os.path.join(out_dir, out_name)
+        with open(target, "w") as f:
+            f.write("\n".join(fmt(rel, ln) for rel, ln in entries))
+        print(f"wrote {target}")
         return
+    grouped = {}
+    for rel, ln in entries:
+        speaker = rel.split("/")[by_speaker_level - 1]
+        grouped.setdefault(speaker, []).append(fmt(rel, ln))
+    for speaker, lines in grouped.items():
+        target = os.path.join(out_dir, f"{speaker}_{out_name}")
+        with open(target, "w") as f:
+            f.write("\n".join(lines))
+        print(f"wrote {target}")
 
-    print(f"\nSaving outputs to {outputFile}")
-    outLines = []
-    for vals, quantln in zip(seqNames, seqQuantLines):
-        file_name = os.path.splitext(os.path.basename(vals[1]))[0]
-        outLines.append("\t".join([file_name, quantln]))
-    with open(outputFile, "w") as f:
-        f.write("\n".join(outLines))
+
+def main(argv):
+    from ..data.corpus import findAllSeqs
+
+    args = parseArgs(argv)
+    os.makedirs(args.pathOutput, exist_ok=True)
+
+    files, speakers = findAllSeqs(args.pathDB,
+                                  speaker_level=args.recursionLevel,
+                                  extension=args.file_extension,
+                                  loadCache=True)
+    print(f"Quantizing {len(files)} files ({len(speakers)} speakers) "
+          f"from {args.pathDB}")
+
+    out_name = "quantized_outputs.txt"
+    if args.split:
+        start, end, idx, total = split_slice(len(files), args.split)
+        files = files[start:end]
+        out_name = f"quantized_outputs_split_{idx}-{total}.txt"
+        print(f"split {idx}/{total}: files [{start}, {end})")
+    if args.debug:
+        files = files[:20]
+
+    if not args.separate_speaker:
+        target = os.path.join(args.pathOutput, out_name)
+        if os.path.exists(target):
+            raise FileExistsError(f"Output file {target} already exists !!!")
+
+    if not args.pathCheckpoint.endswith(".pt"):
+        raise ValueError("expected a .pt clustering checkpoint")
+    with open(os.path.join(os.path.dirname(args.pathCheckpoint),
+                           "args.json")) as f:
+        clustering_args = argparse.Namespace(**json.load(f))
+    print("clustering run args: "
+          + json.dumps(vars(clustering_args), sort_keys=True))
+
+    cluster_module = load_clustering_checkpoint(args.pathCheckpoint)
+    feature_fn = feature_fn_for_clustering(clustering_args, args.nobatch)
+
+    t0 = time.time()
+    entries = []
+    for i, (_, rel) in enumerate(files):
+        entries.append((rel, quantize_file(
+            os.path.join(args.pathDB, rel), feature_fn, cluster_module,
+            args)))
+        if (i + 1) % 100 == 0:
+            print(f"  {i + 1}/{len(files)} files")
+    print(f"quantized {len(entries)} files in {time.time() - t0:.1f}s")
+
+    write_quantized(args.pathOutput, out_name, entries,
+                    by_speaker_level=(args.recursionLevel
+                                      if args.separate_speaker else None))
 
 
 if __name__ == "__main__":

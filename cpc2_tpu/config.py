@@ -212,6 +212,15 @@ def set_tpu_config(parser):
                        'nPredicts/M heads. Extension beyond the reference '
                        '(DP-only); unsupervised CPC path only. See '
                        'training.build_steps_2d.')
+    group.add_argument('--dcn_axis_size', type=int, default=0,
+                       help='Build the data mesh as an explicit 2-level '
+                       "('dcn_data','ici_data') layout with this many "
+                       'slices on the outer (DCN) axis — multi-slice '
+                       'pods / multi-process pod runs. 0/1 (default) = '
+                       'flat 1-D data mesh. Must divide the device count. '
+                       'Step functions are unchanged '
+                       '(parallel.mesh.data_axes); composes with '
+                       '--distributed; not with --model_axis_size>1.')
     group.add_argument('--ckpt_format', type=str, default='torch',
                        choices=['torch', 'orbax'],
                        help='Checkpoint serialization: reference-compatible '

@@ -271,6 +271,127 @@ def pitch_quick(x: Array, key: Array, shift_max: int = 300) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# WSOLA pitch (host: `augmentation.py:_wsola_stretch` — the sox tempo/pitch
+# algorithm family, `/root/reference/cpc/data_augmentation.py:64-100`)
+#
+# WSOLA looks sequential (each segment's best lag depends on the tail the
+# previous segment left behind), but the search window is FIXED (sox tempo
+# music defaults: segment 82 ms, search ±14.68 ms, overlap 12 ms), so each
+# step is one static (2*search+1, ovr) masked cross-correlation matvec +
+# argmax; the whole stretch is a ~9-22-step `lax.scan` carrying the
+# ovr-sample tail. Two structural facts make it scatter-free:
+#   * the output write position is pos = i*hop — STATIC per scan step;
+#   * the crossfade reference `tail` always equals chunk_prev[hop:]
+#     (tail = x[best+hop : best+hop+ovr] and chunk = x[best : best+seg]
+#     with hop = seg-ovr, including the zero-padded end case), so the
+#     final output over [i*hop, (i+1)*hop) is exactly
+#     concat(crossfade(tail_prev, chunk_i[:ovr]), chunk_i[ovr:hop]) —
+#     the stretched signal is a plain reshape of the scanned rows.
+# ---------------------------------------------------------------------------
+
+_WS_SEG = int(82.0 * SAMPLE_RATE / 1000)       # 1312
+_WS_OVR = int(12.0 * SAMPLE_RATE / 1000)       # 192
+_WS_SEARCH = int(14.68 * SAMPLE_RATE / 1000)   # 234
+_WS_HOP = _WS_SEG - _WS_OVR                    # 1120
+
+
+def _round_ratio(num: Array, den: Array) -> Array:
+    """round(num/den) with python/numpy round-half-to-even semantics, in
+    exact int32 arithmetic (the host computes `int(round(pos * rate))` in
+    float64; for the magnitudes here the float64 result is the correctly
+    rounded rational, which this reproduces bit-exactly)."""
+    q = num // den
+    r = num - q * den
+    up = (2 * r > den) | ((2 * r == den) & (q % 2 == 1))
+    return q + up.astype(q.dtype)
+
+
+def _wsola_stretch_dev(x: Array, out_len: Array, max_out_len: int) -> Array:
+    """WSOLA time-stretch of one (W,) window to `out_len` samples (traced)
+    on a static budget of `max_out_len`. Returns the stretched signal on a
+    `ceil(max_out_len/hop)*hop` grid whose live prefix is `out_len`.
+
+    Bit-matches the host `_wsola_stretch` (itself pinned to the committed
+    float64 oracle) up to f32 rounding: same segment positions, same
+    first-max argmax tie-break (ascending candidate position), same
+    crossfade-REPLACE synthesis, same boundary fallbacks.
+
+    TPU layout: NO gathers — element gathers measured 135 ms/batch for
+    the whole pitch stage. Each step takes ONE `dynamic_slice` of
+    2*search+ovr samples from a zero-padded copy of x and scores all
+    2*search+1 lags with `jnp.correlate` (XLA lowers it to a conv the MXU
+    runs as a matmul); the chunk is a second `dynamic_slice` from the same
+    padded copy, whose trailing zeros realize the host's end-of-input
+    zero-fill for free."""
+    w = x.shape[0]
+    seg, ovr, search, hop = _WS_SEG, _WS_OVR, _WS_SEARCH, _WS_HOP
+    n_steps = -(-max_out_len // hop)
+    ramp = jnp.linspace(0.0, 1.0, ovr).astype(x.dtype)
+    # xp[search + k] == x[k], zeros outside; long enough that every slice
+    # below stays in range without clamping (want <= w)
+    xp = jnp.pad(x, (search, seg + search))
+    # int32 overflow guard for the exact-rational rounding below
+    assert (n_steps - 1) * hop * w < 2 ** 31, \
+        "window too large for int32 WSOLA position math"
+
+    def step(tail, i):
+        pos = i * hop
+        want = _round_ratio(pos * w, out_len)
+        # candidate search (host: sliding_window_view + argmax). Candidate
+        # j sits at position p = want - search + j; slice s makes
+        # s[j:j+ovr] == x[p:p+ovr] (zero-padded out of range). Positions
+        # outside [lo, hi] score -inf; jnp.argmax picks the first max, the
+        # same ascending-position tie-break as np.argmax over cands.
+        lo = jnp.maximum(0, want - search)
+        hi = jnp.minimum(w - seg, want + search)
+        s = jax.lax.dynamic_slice(xp, (want,), (2 * search + ovr,))
+        scores = jnp.correlate(s, tail, mode='valid',
+                               precision=jax.lax.Precision.HIGHEST)
+        p = want - search + jnp.arange(2 * search + 1)
+        j = jnp.argmax(jnp.where((p >= lo) & (p <= hi), scores, -jnp.inf))
+        best_c = jnp.where(hi > lo, want - search + j,
+                           # host fallback: max(0, min(want, w - seg))
+                           jnp.maximum(0, jnp.minimum(want, w - seg)))
+        # end-of-input zero-pad case keeps best = want (xp's trailing
+        # zeros supply the host's zero fill); first segment has no tail
+        best = jnp.where((want + seg > w) | (i == 0), want, best_c)
+        chunk = jax.lax.dynamic_slice(xp, (best + search,), (seg,))
+        blend = jnp.where(i == 0, chunk[:ovr],
+                          tail * (1 - ramp) + chunk[:ovr] * ramp)
+        return chunk[hop:], jnp.concatenate([blend, chunk[ovr:hop]])
+
+    _, out_rows = jax.lax.scan(step, jnp.zeros(ovr, x.dtype),
+                               jnp.arange(n_steps))
+    return out_rows.reshape(-1)
+
+
+def _pitch_wsola_one(x: Array, cents: Array, max_factor: float) -> Array:
+    """WSOLA pitch shift of one (W,) window by `cents` (traced): stretch
+    to round(W*factor) samples, linear-resample back to W — the host
+    `pitch_shift(..., algo='wsola')` pipeline, fully on device."""
+    w = x.shape[0]
+    factor = 2.0 ** (cents / 1200.0)
+    out_len = jnp.round(w * factor).astype(jnp.int32)
+    max_out = int(math.ceil(w * max_factor)) + 1
+    stretched = _wsola_stretch_dev(x, out_len, max_out)
+    y = _resample_live_prefix(stretched, out_len, w)
+    y = jnp.where(jnp.abs(cents) < 1, x, y)
+    return jnp.where(jnp.isfinite(y).all(), y, x).astype(jnp.float32)
+
+
+def pitch_wsola(x: Array, key: Array, shift_max: int = 300) -> Array:
+    """Per-window random WSOLA pitch shift ~ U{-shift_max, shift_max - 1}
+    cents — `--pitch_algo wsola` (the sox training distribution) in the
+    `--augment_on_device` fast path."""
+    b = x.shape[0]
+    cents = jax.random.randint(key, (b,), -shift_max,
+                               shift_max).astype(jnp.float32)
+    max_factor = 2.0 ** (shift_max / 1200.0)
+    return jax.vmap(
+        lambda xi, ci: _pitch_wsola_one(xi, ci, max_factor))(x, cents)
+
+
+# ---------------------------------------------------------------------------
 # Gaussian additive noise (host: `RandomAdditiveNoiseAugment`)
 # ---------------------------------------------------------------------------
 
@@ -408,14 +529,15 @@ def artificial_reverb_dropout(x: Array, key: Array,
 
 
 def pitch_dropout(x: Array, key: Array, shift_max: int = 300,
-                  t_ms: int = 100) -> Array:
-    """Host `PitchDropout` (augmentation.py:339-354): QUICK pitch + time
-    dropout — the host builds its pitch stage with quick=True under the
-    default `--pitch_algo` (the reference chain is `pitch ... rate -q`),
-    so the device port must use the quick resample, not the vocoder."""
+                  t_ms: int = 100, pitch_algo: str = 'vocoder') -> Array:
+    """Host `PitchDropout` (augmentation.py:339-354): pitch + time
+    dropout. Under the default `--pitch_algo` the host builds its pitch
+    stage with quick=True (the reference chain is `pitch ... rate -q`), so
+    the device port uses the quick resample; `--pitch_algo wsola` switches
+    the stage to WSOLA (host: `PitchAugment(quick=(algo != 'wsola'))`)."""
     k1, k2 = jax.random.split(key)
-    return time_dropout(pitch_quick(x, k1, shift_max=shift_max), k2,
-                        t_ms=t_ms)
+    stage = pitch_wsola if pitch_algo == 'wsola' else pitch_quick
+    return time_dropout(stage(x, k1, shift_max=shift_max), k2, t_ms=t_ms)
 
 
 # ---------------------------------------------------------------------------
@@ -535,7 +657,8 @@ def make_device_augment(augment_types: Sequence[str],
                         ir_paths: Optional[str] = None,
                         ir_prob: float = 1.0,
                         ir_batch_wise: bool = False,
-                        noise_sampling: str = 'uniform'
+                        noise_sampling: str = 'uniform',
+                        pitch_algo: str = 'vocoder'
                         ) -> Optional[Callable]:
     """Composable device transform covering the full host
     `augmentation_factory` vocabulary. Returns `f(x, key) -> x` over (B, W)
@@ -558,13 +681,18 @@ def make_device_augment(augment_types: Sequence[str],
             chain.append(functools.partial(bandreject,
                                            scaler=bandreject_scaler))
         elif name == 'pitch_quick' or (name == 'pitch' and quick_contagion):
+            # host pitch_shift checks `quick` BEFORE `algo`, so quick
+            # stages stay quick even under --pitch_algo wsola
             chain.append(functools.partial(pitch_quick,
                                            shift_max=shift_max))
         elif name == 'pitch':
-            chain.append(functools.partial(pitch, shift_max=shift_max))
+            chain.append(functools.partial(
+                pitch_wsola if pitch_algo == 'wsola' else pitch,
+                shift_max=shift_max))
         elif name == 'pitch_dropout':
             chain.append(functools.partial(pitch_dropout,
-                                           shift_max=shift_max, t_ms=t_ms))
+                                           shift_max=shift_max, t_ms=t_ms,
+                                           pitch_algo=pitch_algo))
         elif name == 'random_noise':
             chain.append(functools.partial(gaussian_noise, snr=noise_snr))
         elif name == 'time_dropout':

@@ -1,11 +1,22 @@
-"""ZeroSpeech Track-1 feature export
-(reference `cpc/eval/build_zeroSpeech_features.py`).
+"""ZeroSpeech Track-1 feature export (parity surface:
+`cpc/eval/build_zeroSpeech_features.py` — same CLI, same on-disk formats,
+own pipeline).
 
-Dumps per-file features in fea/npz/npy (and optionally arrayfire) formats,
-optionally through a phone-posterior head or a cluster one-hot head.
+Per corpus file, CPC features (context or encoder) are written as one of:
 
-Run: `python -m cpc2_tpu.eval.build_zeroSpeech_features <pathDB> <pathOut>
-<checkpoint> [...]`
+* ``fea`` — text lines ``<t> <f_1> ... <f_D>``;
+* ``npz`` — arrays ``time`` / ``features`` / ``totTime``;
+* ``npy`` — the raw (T, D) matrix;
+* ``af``  — arrayfire containers (same three arrays as npz).
+
+Frame timestamps are mid-frame: ``t = step/2 + i*step`` with
+``step = 160/16000`` (the encoder's downsampling). Optional heads stack
+onto the extractor: a phone-posterior classifier (``--addCriterion``),
+a PCA/SFA projection (``--dimReduction``), or k-means cluster
+posteriors/one-hots (``--clusters``).
+
+Run: ``python -m cpc2_tpu.eval.build_zeroSpeech_features <pathDB>
+<pathOut> <checkpoint> [...]``
 """
 
 from __future__ import annotations
@@ -24,132 +35,132 @@ from ..feature_loader import (FeatureModule, ModelClusterCombined,
 from ..models.encoder import DOWNSAMPLING
 
 
-def getArgs(pathCheckpoints):
-    pathArgs = os.path.join(os.path.dirname(pathCheckpoints),
-                            "checkpoint_args.json")
-    with open(pathArgs, 'rb') as f:
-        return json.load(f)
+def _write_fea(path, times, values, tot_time):
+    with open(path, 'w') as f:
+        for t, row in zip(times, values):
+            f.write(' '.join(str(v) for v in [t] + row.tolist()) + '\n')
 
 
-def buildAllFeature(featureMaker, pathDB, pathOut, seqList, stepSize=0.01,
-                    strict=False, maxSizeSeq=64000, format='fea',
-                    seqNorm=False):
-    tot_seqs = len(seqList)
-    start_step = stepSize / 2
-    for nseq, seqPath in enumerate(seqList):
-        feature = buildFeature(featureMaker, os.path.join(pathDB, seqPath),
-                               strict=strict or seqNorm,
-                               maxSizeSeq=maxSizeSeq, seqNorm=seqNorm)
-        feature = np.asarray(feature)
-        _, n_steps, hidden_size = feature.shape
-        out_name = (os.path.basename(os.path.splitext(seqPath)[0])
-                    + f'.{format}')
-        fname = os.path.join(pathOut, out_name)
-
-        if format == 'npz':
-            time = [start_step + step * stepSize for step in range(n_steps)]
-            values = feature[0].astype(np.float32)
-            tot_time = np.array([stepSize * n_steps], dtype=np.float32)
-            with open(fname, 'wb') as f:
-                np.savez(f, time=time, features=values, totTime=tot_time)
-        elif format == 'npy':
-            values = feature[0].astype(np.float32)
-            with open(fname, 'wb') as f:
-                np.save(f, values)
-        elif format == 'af':
-            import arrayfire as af
-            time = [start_step + step * stepSize for step in range(n_steps)]
-            values = feature[0].astype(np.float32)
-            tot_time = np.array([stepSize * n_steps], dtype=np.float32)
-            af.save_array("time", af.Array(time, dtype=af.Dtype.f32), fname)
-            af.save_array("totTime", af.interop.from_ndarray(tot_time),
-                          fname, append=True)
-            af.save_array("features", af.interop.from_ndarray(values),
-                          fname, append=True)
-        else:
-            with open(fname, 'w') as f:
-                for step in range(n_steps):
-                    line = ([start_step + step * stepSize]
-                            + feature[0, step, :].tolist())
-                    f.write(' '.join(str(x) for x in line) + '\n')
-        if (nseq + 1) % 100 == 0:
-            print(f"  {nseq + 1}/{tot_seqs} files")
+def _write_npz(path, times, values, tot_time):
+    with open(path, 'wb') as f:
+        np.savez(f, time=times, features=values, totTime=tot_time)
 
 
-def main(argv):
-    parser = argparse.ArgumentParser(
-        'Build features for zerospeech Track1 evaluation')
-    parser.add_argument('pathDB', help='Path to the reference dataset')
-    parser.add_argument('pathOut', help='Path to the output features')
-    parser.add_argument('pathCheckpoint', help='Checkpoint to load')
-    parser.add_argument('--extension', type=str, default='.wav')
-    parser.add_argument('--addCriterion', action='store_true')
-    parser.add_argument('--oneHot', action='store_true')
-    parser.add_argument('--maxSizeSeq', default=64000, type=int)
-    parser.add_argument('--train_mode', action='store_true')
-    parser.add_argument('--format', default='fea', type=str,
-                        choices=['npz', 'fea', 'npy', 'af'])
-    parser.add_argument('--strict', action='store_true')
-    parser.add_argument('--dimReduction', type=str, default=None)
-    parser.add_argument('--centroidLimits', type=int, nargs=2, default=None)
-    parser.add_argument('--getEncoded', action='store_true')
-    parser.add_argument('--clusters', type=str, default=None)
-    parser.add_argument('--seqNorm', action='store_true')
-    args = parser.parse_args(argv)
+def _write_npy(path, times, values, tot_time):
+    with open(path, 'wb') as f:
+        np.save(f, values)
 
-    if not os.path.isdir(args.pathOut):
-        os.mkdir(args.pathOut)
-    with open(os.path.join(os.path.dirname(args.pathOut),
-                           f"{os.path.basename(args.pathOut)}.json"),
-              'w') as f:
-        json.dump(vars(args), f, indent=2)
 
-    outData = [x[1] for x in findAllSeqs(args.pathDB,
-                                         extension=args.extension,
-                                         loadCache=False)[0]]
+def _write_af(path, times, values, tot_time):
+    import arrayfire as af
+    af.save_array("time", af.Array(times, dtype=af.Dtype.f32), path)
+    af.save_array("totTime", af.interop.from_ndarray(tot_time), path,
+                  append=True)
+    af.save_array("features", af.interop.from_ndarray(values), path,
+                  append=True)
 
+
+_WRITERS = {'fea': _write_fea, 'npz': _write_npz, 'npy': _write_npy,
+            'af': _write_af}
+
+
+def export_file(feature_fn, in_path, out_path, fmt, step_size,
+                strict=False, max_size_seq=64000, seq_norm=False):
+    """Extract one file's features and write them in `fmt`."""
+    feats = np.asarray(buildFeature(feature_fn, in_path,
+                                    strict=strict or seq_norm,
+                                    maxSizeSeq=max_size_seq,
+                                    seqNorm=seq_norm))[0]
+    n_steps = feats.shape[0]
+    times = [step_size / 2 + i * step_size for i in range(n_steps)]
+    tot_time = np.array([step_size * n_steps], dtype=np.float32)
+    _WRITERS[fmt](out_path, times, feats.astype(np.float32), tot_time)
+
+
+def assemble_feature_fn(args):
+    """Compose the extractor the flags describe: base CPC features, then
+    any of the phone / dim-reduction / cluster heads on top."""
     bundle = loadModel([args.pathCheckpoint])[0]
-    stepSize = DOWNSAMPLING / 16000
-    print(f"stepSize : {stepSize}")
-    featureMaker = FeatureModule(bundle, args.getEncoded,
-                                 train_mode=args.train_mode)
-    featureMaker.collapse = False
+    fn = FeatureModule(bundle, args.getEncoded, train_mode=args.train_mode)
+    fn.collapse = False
 
     if args.addCriterion:
-        criterion, nPhones = load_supervised_criterion(args.pathCheckpoint)
-        featureMaker = ModelPhoneCombined(featureMaker, criterion,
-                                          args.oneHot)
+        criterion, _ = load_supervised_criterion(args.pathCheckpoint)
+        fn = ModelPhoneCombined(fn, criterion, args.oneHot)
+
     if args.dimReduction is not None:
         from ..research.dim_reduction import loadDimReduction
-        dimRed = loadDimReduction(args.dimReduction, args.centroidLimits)
-        base_maker = featureMaker
-        ds = base_maker.get_downsampling_factor()
+        project = loadDimReduction(args.dimReduction, args.centroidLimits)
+        base, factor = fn, fn.get_downsampling_factor()
 
-        class _Seq:
+        class _Projected:
             def __call__(self, data):
-                return dimRed(np.asarray(base_maker(data)))
+                return project(np.asarray(base(data)))
 
             def get_downsampling_factor(self):
-                return ds
+                return factor
             getDownsamplingFactor = get_downsampling_factor
-        featureMaker = _Seq()
+        fn = _Projected()
+
     if args.clusters is not None:
         import torch
         from ..clustering.clustering import kMeanCluster
-        cluster_state_dict = torch.load(args.clusters, map_location='cpu',
-                                        weights_only=False)
-        nClusters = cluster_state_dict['n_clusters']
-        clusterModule = kMeanCluster(
-            cluster_state_dict['state_dict']['Ck'].numpy())
-        mode = 'oneHot' if args.oneHot else 'softmax'
-        print(f"{nClusters} clusters found")
-        featureMaker = ModelClusterCombined(featureMaker, clusterModule,
-                                            nClusters, mode)
+        payload = torch.load(args.clusters, map_location='cpu',
+                             weights_only=False)
+        centroids = payload['state_dict']['Ck'].numpy()
+        print(f"{payload['n_clusters']} clusters found")
+        fn = ModelClusterCombined(fn, kMeanCluster(centroids),
+                                  payload['n_clusters'],
+                                  'oneHot' if args.oneHot else 'softmax')
+    return fn
 
-    buildAllFeature(featureMaker, args.pathDB, args.pathOut, outData,
-                    stepSize=stepSize, strict=args.strict,
-                    maxSizeSeq=args.maxSizeSeq, format=args.format,
-                    seqNorm=args.seqNorm)
+
+def parse_export_args(argv):
+    p = argparse.ArgumentParser(
+        'Build features for zerospeech Track1 evaluation')
+    p.add_argument('pathDB', help='Path to the reference dataset')
+    p.add_argument('pathOut', help='Path to the output features')
+    p.add_argument('pathCheckpoint', help='Checkpoint to load')
+    p.add_argument('--extension', type=str, default='.wav')
+    p.add_argument('--addCriterion', action='store_true')
+    p.add_argument('--oneHot', action='store_true')
+    p.add_argument('--maxSizeSeq', default=64000, type=int)
+    p.add_argument('--train_mode', action='store_true')
+    p.add_argument('--format', default='fea', type=str,
+                   choices=sorted(_WRITERS))
+    p.add_argument('--strict', action='store_true')
+    p.add_argument('--dimReduction', type=str, default=None)
+    p.add_argument('--centroidLimits', type=int, nargs=2, default=None)
+    p.add_argument('--getEncoded', action='store_true')
+    p.add_argument('--clusters', type=str, default=None)
+    p.add_argument('--seqNorm', action='store_true')
+    return p.parse_args(argv)
+
+
+def main(argv):
+    args = parse_export_args(argv)
+
+    os.makedirs(args.pathOut, exist_ok=True)
+    sidecar = os.path.join(os.path.dirname(args.pathOut),
+                           os.path.basename(args.pathOut) + '.json')
+    with open(sidecar, 'w') as f:
+        json.dump(vars(args), f, indent=2)
+
+    rel_paths = [rel for _, rel in
+                 findAllSeqs(args.pathDB, extension=args.extension,
+                             loadCache=False)[0]]
+    step_size = DOWNSAMPLING / 16000
+    print(f"stepSize : {step_size}")
+    feature_fn = assemble_feature_fn(args)
+
+    for i, rel in enumerate(rel_paths):
+        stem = os.path.basename(os.path.splitext(rel)[0])
+        export_file(feature_fn, os.path.join(args.pathDB, rel),
+                    os.path.join(args.pathOut, f'{stem}.{args.format}'),
+                    args.format, step_size, strict=args.strict,
+                    max_size_seq=args.maxSizeSeq, seq_norm=args.seqNorm)
+        if (i + 1) % 100 == 0:
+            print(f"  {i + 1}/{len(rel_paths)} files")
 
 
 if __name__ == "__main__":

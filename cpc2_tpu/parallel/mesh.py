@@ -4,8 +4,12 @@ The reference's two parallelism strategies (single-node DataParallel,
 multi-node NCCL DDP — `cpc/train.py:523-532`, `distributed_mode.py`) both
 reduce to data parallelism. Here that is ONE program: a `shard_map` over a
 1-D `('data',)` mesh — per-device batches, replicated params, gradient
-`psum` compiled by XLA onto ICI (and DCN across slices, by growing the mesh
-to ('dcn_data', 'ici_data') without touching the step function).
+`psum` compiled by XLA onto ICI. Across slices the mesh grows to an
+explicit 2-level ('dcn_data', 'ici_data') layout
+(`make_mesh(dcn_axis_size=...)`, `--dcn_axis_size`) without touching the
+step function: steps address `data_axes(mesh)`, which names either the
+flat axis or the pair (tests/test_dcn_mesh.py pins trajectory equality
+between the two).
 
 Per-shard InfoNCE negative sampling falls out of shard_map for free and
 matches the reference's per-GPU negative pool semantics
@@ -19,18 +23,62 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data_axis_size: int = -1, devices=None) -> Mesh:
-    """1-D data-parallel mesh. data_axis_size == -1 uses all devices.
+def make_mesh(data_axis_size: int = -1, devices=None,
+              dcn_axis_size: int = 0) -> Mesh:
+    """Data-parallel mesh. data_axis_size == -1 uses all devices.
 
-    On multi-slice pods, devices are ordered slice-major so the gradient
-    psum's reduction tree keeps intra-slice hops on ICI and crosses DCN once
-    per slice (the multi-slice analogue of the reference's NCCL ring)."""
+    dcn_axis_size <= 1 (default): a flat 1-D ('data',) mesh. On
+    multi-slice pods, devices are ordered slice-major so the gradient
+    psum's reduction tree keeps intra-slice hops on ICI and crosses DCN
+    once per slice (the multi-slice analogue of the reference's NCCL ring,
+    `/root/reference/cpc/distributed_training/distributed_mode.py:138-142`).
+
+    dcn_axis_size > 1: an explicit 2-level ('dcn_data', 'ici_data') mesh —
+    the outer axis spans slices (DCN links), the inner axis the chips of
+    one slice (ICI links). The train step is UNCHANGED: its collectives
+    and batch specs address `data_axes(mesh)`, which resolves to the axis
+    pair here, so XLA lowers the gradient pmean to an ICI
+    reduce-scatter/all-gather within each slice plus one DCN cross-slice
+    reduction — the hierarchy is expressed in the mesh, not the program.
+    `dcn_axis_size` must divide the device count (slice count on real
+    pods; simulated freely on a virtual CPU mesh)."""
     devices = list(devices if devices is not None else jax.devices())
     if len({getattr(d, 'slice_index', 0) for d in devices}) > 1:
         devices.sort(key=lambda d: (getattr(d, 'slice_index', 0), d.id))
     if data_axis_size > 0:
         devices = devices[:data_axis_size]
+    if dcn_axis_size and dcn_axis_size > 1:
+        if len(devices) % dcn_axis_size:
+            raise ValueError(
+                f"dcn_axis_size={dcn_axis_size} does not divide the "
+                f"{len(devices)}-device data mesh")
+        return Mesh(
+            np.asarray(devices).reshape(dcn_axis_size, -1),
+            ('dcn_data', 'ici_data'))
     return Mesh(np.asarray(devices), ('data',))
+
+
+def data_axes(mesh: Mesh):
+    """The data-parallel axis name(s) of `mesh`: 'data' on the flat mesh,
+    ('dcn_data', 'ici_data') on the 2-level multi-slice mesh. Valid
+    anywhere an axis name is accepted — PartitionSpec entries,
+    `lax.pmean`/`psum`, `lax.axis_index` — so step functions written
+    against `data_axes(mesh)` run unchanged on either mesh."""
+    return (('dcn_data', 'ici_data') if 'dcn_data' in mesh.axis_names
+            else 'data')
+
+
+def batch_pspec(mesh: Mesh, ndim: int) -> P:
+    """PartitionSpec sharding axis 0 over the mesh's data axes."""
+    return P(data_axes(mesh), *([None] * (ndim - 1)))
+
+
+def data_extent(mesh: Mesh) -> int:
+    """Total device count across the mesh's data axes (the batch-axis
+    divisor, whatever the mesh level count)."""
+    if 'dcn_data' in mesh.axis_names:
+        return mesh.shape['dcn_data'] * mesh.shape['ici_data']
+    return mesh.shape.get('data', mesh.devices.size)
 
 
 def make_mesh_2d(data_axis_size: int, model_axis_size: int,
@@ -49,7 +97,7 @@ def make_mesh_2d(data_axis_size: int, model_axis_size: int,
 
 
 def local_batch_size(batch_size_per_device: int, mesh: Mesh) -> int:
-    return batch_size_per_device * mesh.shape.get('data', mesh.devices.size)
+    return batch_size_per_device * data_extent(mesh)
 
 
 def shard_batch(mesh: Mesh, *arrays):
@@ -69,8 +117,7 @@ def shard_batch(mesh: Mesh, *arrays):
         if a is None:
             out.append(None)
             continue
-        spec = P('data', *([None] * (np.ndim(a) - 1)))
-        sharding = NamedSharding(mesh, spec)
+        sharding = NamedSharding(mesh, batch_pspec(mesh, np.ndim(a)))
         if n_proc > 1:
             a = np.asarray(a)
             global_shape = (a.shape[0] * n_proc,) + a.shape[1:]
@@ -142,8 +189,8 @@ class WireStager:
     def _restore_fn(self, mode):
         if mode not in self._restore:
             import jax.numpy as jnp
-            out_sharding = NamedSharding(
-                self._mesh, P('data', None, None, None))
+            out_sharding = NamedSharding(self._mesh,
+                                         batch_pspec(self._mesh, 4))
 
             def restore(x):
                 if mode.startswith('i16'):
@@ -258,7 +305,7 @@ class DeviceCorpus:
         if key not in self._gather:
             w = self._w
             out_sharding = NamedSharding(self._mesh,
-                                         P('data', None, None, None))
+                                         batch_pspec(self._mesh, 4))
             self._gather[key] = jax.jit(
                 lambda c, ii: device_gather_windows(c, ii, w),
                 out_shardings=out_sharding)

@@ -35,7 +35,8 @@ from .losses import (CPCUnsupervisedCriterion, CTCPhoneCriterion,
 from .models.cpc import compute_bert_mask, compute_mask_indices
 from .models.encoder import encoded_seq_len
 from .parallel.distributed import init_distributed_mode
-from .parallel.mesh import (DeviceCorpus, WireStager, make_mesh,
+from .parallel.mesh import (DeviceCorpus, WireStager,
+                            data_extent as _mesh_data_extent, make_mesh,
                             shard_batch)
 from .utils.prefetch import prefetch
 from .training import (build_steps, create_train_state,
@@ -44,8 +45,10 @@ from .utils import misc as utils
 
 
 def get_criterion(args, downsampling, n_speakers, n_phones,
-                  pool_axis_size=1):
-    """Reference `train.py:27-59`."""
+                  pool_axis_size=1, data_axis='data'):
+    """Reference `train.py:27-59`. `data_axis` names the mesh axis (or
+    axis pair, on the 2-level --dcn_axis_size mesh) the global-negatives
+    pool gathers over."""
     dim_features = args.hiddenGar if not args.onEncoder else args.hiddenEncoder
     if not getattr(args, 'supervised', False):
         if args.cpc_mode == 'none':
@@ -70,7 +73,7 @@ def get_criterion(args, downsampling, n_speakers, n_phones,
             growth_rate=args.growth_rate,
             inflection_point_x=args.inflection_point_x,
             global_negatives=getattr(args, 'global_negatives', False),
-            pool_axis_size=pool_axis_size,
+            pool_axis_size=pool_axis_size, data_axis=data_axis,
             neg_pool_group=getattr(args, 'neg_pool_group', 0),
             head_remat=getattr(args, 'head_remat', False))
     elif getattr(args, 'pathPhone', None) is not None:
@@ -278,7 +281,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         constraint the reference's DDP all-reduce imposes."""
         nonlocal dropped
         if (not keep_hidden and sequence.shape[0] > 0
-                and sequence.shape[0] % mesh.shape['data'] == 0):
+                and sequence.shape[0] % _mesh_data_extent(mesh) == 0):
             ragged.append((sequence, label, quality, mask))
         elif (not keep_hidden and sequence.shape[0] > 0
                 and tail_runner is not None):
@@ -609,7 +612,7 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
                 # offsets -> host windows for the ragged-tail programs
                 sequence = data_loader.dataset.gather_windows(sequence)
             if (not keep_hidden and sequence.shape[0] > 0
-                    and sequence.shape[0] % mesh.shape['data'] == 0):
+                    and sequence.shape[0] % _mesh_data_extent(mesh) == 0):
                 ragged.append((sequence, label, mask))
             elif (not keep_hidden and sequence.shape[0] > 0
                     and tail_runner is not None):
@@ -707,6 +710,18 @@ def run(train_dataset, val_dataset, batch_size, sampling_mode, state,
 
         state = set_learning_rate(state, lr_fn(epoch))
 
+        # Host-side draws (sampler shuffles, pack offsets, host-pipeline
+        # augmentation) are re-keyed per epoch as a pure function of
+        # (random_seed, epoch): a killed-and-resumed run replays epoch N's
+        # exact batch sequence, so resume is bit-identical to an
+        # uninterrupted run (tests/test_orbax.py pins this; the device-side
+        # key is already fold_in(rng, epoch) below). The reference's single
+        # global stream (`/root/reference/cpc/train.py:296`) loses
+        # replayability the moment a job is preempted.
+        if args.random_seed is not None:
+            utils.set_seed((args.random_seed + 7919 * (epoch + 1))
+                           % (2 ** 31))
+
         train_loader = train_dataset.getDataLoader(
             batch_size, sampling_mode, True, numWorkers=0,
             remove_artefacts=args.no_artefacts,
@@ -802,7 +817,12 @@ def _save_training_checkpoint(state, best_params, model_bundle, args, path):
         import torch
         leaves = [torch.from_numpy(np.array(leaf))
                   for leaf in jax.tree_util.tree_leaves(state.opt_state)]
-        opt_plain = {'format': 'optax_leaves', 'leaves': leaves}
+        # 'step' restores the global step counter: the compiled step's
+        # negative-sampling key is fold_in(rng, state.step), so a resume
+        # that restarted at step 0 would replay epoch 0's negative draws
+        # (and diverge from the uninterrupted trajectory — test_orbax.py)
+        opt_plain = {'format': 'optax_leaves', 'leaves': leaves,
+                     'step': int(state.step)}
         save_checkpoint(model_sd, crit_sd, opt_plain, best_sd, path)
 
 
@@ -891,6 +911,9 @@ def main(argv):
     # (world_size x this) is assembled in shard_batch via
     # jax.make_array_from_process_local_data. Single-host: nGPU devices.
     model_axis = max(getattr(args, 'model_axis_size', 1), 1)
+    if getattr(args, 'dcn_axis_size', 0) > 1 and model_axis > 1:
+        raise ValueError("--dcn_axis_size composes with the data-parallel "
+                         "paths only, not --model_axis_size > 1")
     if model_axis > 1:
         if (getattr(args, 'supervised', False)
                 or args.cpc_mode in ('bert', 'none')):
@@ -1035,15 +1058,11 @@ def main(argv):
                                           make_device_augment)
 
         def _device_ok(t):
-            if t not in DEVICE_AUGMENTATIONS:
-                return False
-            # device pitch ports: vocoder for 'pitch', quick resample for
-            # 'pitch_quick'/'pitch_dropout' (host semantics); an explicit
-            # --pitch_algo wsola keeps every pitch stage on the host
-            if t.startswith('pitch') and \
-                    getattr(args, 'pitch_algo', 'vocoder') == 'wsola':
-                return False
-            return True
+            # device pitch ports cover every algo family: vocoder or WSOLA
+            # for 'pitch' (per --pitch_algo), quick resample for
+            # 'pitch_quick', and quick-or-WSOLA for 'pitch_dropout' (host
+            # semantics: PitchDropout(quick=(algo != 'wsola')))
+            return t in DEVICE_AUGMENTATIONS
         # 'none' entries are no-ops (the factory drops them too): filter
         # them BEFORE the split so they neither trip the ordering check
         # nor reach the host factory as a bogus host-only type.
@@ -1071,7 +1090,8 @@ def main(argv):
             ir_prob=args.impulse_response_prob,
             ir_batch_wise=args.ir_batch_wise,
             noise_sampling=("temporalsamespeaker"
-                            if args.temporal_additive_noise else "uniform"))
+                            if args.temporal_additive_noise else "uniform"),
+            pitch_algo=getattr(args, 'pitch_algo', 'vocoder'))
         if chain is not None:
             device_augment = (chain, args.augment_past, args.augment_future,
                               args.past_equal_future)
@@ -1153,16 +1173,20 @@ def main(argv):
         else:
             mesh = make_mesh_2d(args.nGPU // model_axis, model_axis)
     elif args.distributed and jax.process_count() > 1:
-        mesh = make_mesh(-1)
+        mesh = make_mesh(-1, dcn_axis_size=args.dcn_axis_size)
     else:
         mesh = make_mesh(args.data_axis_size if args.data_axis_size > 0
-                         else args.nGPU)
+                         else args.nGPU,
+                         dcn_axis_size=args.dcn_axis_size)
     print(f"Mesh: {mesh}")
 
     # Criterion
+    from .parallel.mesh import data_axes as _data_axes
+    _dax = _data_axes(mesh)
+    _data_extent = _mesh_data_extent(mesh)
     criterion = get_criterion(
-        args, 160, len(speakers), n_phones,
-        pool_axis_size=mesh.shape['data']
+        args, 160, len(speakers), n_phones, data_axis=_dax,
+        pool_axis_size=_data_extent
         if getattr(args, 'global_negatives', False) else 1)
     criterion_vars = init_criterion_vars(criterion, args, model_bundle)
     if args.load is not None and args.loadCriterion:
@@ -1209,6 +1233,9 @@ def main(argv):
                     state = state.replace(
                         opt_state=jax.tree_util.tree_unflatten(treedef,
                                                                leaves))
+                    if 'step' in opt_saved:
+                        state = state.replace(
+                            step=jnp.asarray(opt_saved['step']))
                     print("Restored optimizer state")
                 elif opt_saved is not None and not isinstance(opt_saved,
                                                               dict):

@@ -135,6 +135,10 @@ def build_steps(model: nn.Module, criterion: nn.Module,
     # everything the loss consumes, half the recurrence cost. CPCBertModel
     # keeps the reference's single forward (its mask label couples halves).
     is_bert = model.__class__.__name__ == 'CPCBertModel'
+    # 'data' on the flat mesh, ('dcn_data','ici_data') on the 2-level
+    # multi-slice mesh — same program either way (parallel.mesh.data_axes)
+    from .parallel.mesh import data_axes
+    DATA = data_axes(mesh)
 
     def forward(params, batch_stats, batch, labels, quality, rng, train,
                 mask_indices, hidden=None):
@@ -153,7 +157,7 @@ def build_steps(model: nn.Module, criterion: nn.Module,
             mutable = ['batch_stats'] if train else []
 
         # Per-device, per-step rng streams.
-        dev = jax.lax.axis_index('data')
+        dev = jax.lax.axis_index(DATA)
         key = jax.random.fold_in(jax.random.fold_in(rng, dev), 0)
         k_drop, k_neg, k_drop2 = jax.random.split(key, 3)
 
@@ -240,11 +244,11 @@ def build_steps(model: nn.Module, criterion: nn.Module,
 
         grads, (losses, accs, new_bs, new_hidden) = jax.grad(
             loss_fn, has_aux=True)(state.params)
-        grads = jax.lax.pmean(grads, 'data')
-        losses = jax.lax.pmean(losses, 'data')
-        accs = jax.lax.pmean(accs, 'data')
+        grads = jax.lax.pmean(grads, DATA)
+        losses = jax.lax.pmean(losses, DATA)
+        accs = jax.lax.pmean(accs, DATA)
         if new_bs:
-            new_bs = jax.lax.pmean(new_bs, 'data')
+            new_bs = jax.lax.pmean(new_bs, DATA)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=new_params, opt_state=new_opt,
@@ -257,15 +261,15 @@ def build_steps(model: nn.Module, criterion: nn.Module,
             state.params, state.batch_stats, batch, labels, quality,
             jax.random.fold_in(rng, state.step), False, mask_indices,
             hidden)
-        return (jax.lax.pmean(losses, 'data'), jax.lax.pmean(accs, 'data'),
+        return (jax.lax.pmean(losses, DATA), jax.lax.pmean(accs, DATA),
                 new_hidden)
 
     if _return_bodies:
         return train_body, val_body
 
-    data_spec = P('data')
+    data_spec = P(DATA)
     rep = P()
-    hid_spec = P(None, 'data') if keep_hidden else rep
+    hid_spec = P(None, DATA) if keep_hidden else rep
 
     n_in = (rep, data_spec, data_spec,
             data_spec if has_quality else rep, rep,
@@ -609,8 +613,10 @@ def build_multi_step(model: nn.Module, criterion: nn.Module,
         state, (losses, accs) = jax.lax.scan(scan_fn, state, xs)
         return state, losses, accs
 
+    from .parallel.mesh import data_axes
+    DATA = data_axes(mesh)
     rep = P()
-    stacked = P(None, 'data')
+    stacked = P(None, DATA)
     n_in = (rep, rep, stacked, stacked,
             stacked if has_quality else rep, rep,
             stacked if uses_mask else rep)
@@ -700,12 +706,13 @@ def shard_stacked_batch(mesh: Mesh, *arrays):
     """Place (n_inner, B, ...) host arrays on the mesh, sharded over axis 1
     (the per-step batch axis used by `build_multi_step`)."""
     from jax.sharding import NamedSharding
+    from .parallel.mesh import data_axes
     import numpy as _np
     out = []
     for a in arrays:
         if a is None:
             out.append(None)
             continue
-        spec = P(None, 'data', *([None] * (_np.ndim(a) - 2)))
+        spec = P(None, data_axes(mesh), *([None] * (_np.ndim(a) - 2)))
         out.append(jax.device_put(a, NamedSharding(mesh, spec)))
     return out if len(out) != 1 else out[0]

@@ -194,6 +194,85 @@ class TestWsolaHostImplementation:
         assert isinstance(aug, ha.PitchAugment) and aug.algo == 'wsola'
 
 
+class TestWsolaDeviceImplementation:
+    """Device (TPU fast-path) WSOLA pitch: the ~22-step lax.scan with a
+    static-lag correlation matvec per segment must match the committed
+    sox-family oracle like the host port does — so `--pitch_algo wsola`
+    trains on the sox distribution WITHOUT leaving the
+    `--augment_on_device` fast path (round-3 verdict item #1)."""
+
+    @pytest.mark.parametrize('ci', [0, 1, 2, 3])
+    @pytest.mark.parametrize('name', INPUTS)
+    def test_matches_oracle(self, oracles, ci, name):
+        cents = float(oracles[f'cents_{ci}'])
+        x = oracles[f'in_{name}']
+        fn = jax.jit(ad._pitch_wsola_one, static_argnums=2)
+        got = np.asarray(fn(jnp.asarray(x), jnp.float32(cents),
+                            2.0 ** (400.0 / 1200.0)))
+        ref = oracles[f'wsola_{ci}_{name}']
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() < 5e-3 * scale, (ci, name)
+
+    def test_envelope_fidelity(self, oracles):
+        """The verdict's done-criterion: device WSOLA keeps the amplitude
+        envelope the vocoder smears (corr >= 0.9 vs the input, where the
+        vocoder measures ~0.65)."""
+        x = oracles['in_speechy']
+        fn = jax.jit(ad._pitch_wsola_one, static_argnums=2)
+        got = np.asarray(fn(jnp.asarray(x), jnp.float32(300.0),
+                            2.0 ** (400.0 / 1200.0)))
+
+        def env(y, frame=256):
+            n = (len(y) // frame) * frame
+            return np.sqrt((y[:n].reshape(-1, frame) ** 2).mean(1))
+
+        corr = np.corrcoef(env(x), env(got))[0, 1]
+        assert corr > 0.9, corr
+
+    def test_unity_gain_on_constant(self):
+        # same regression as the host: the crossfade REPLACES the resident
+        # tail; accumulate semantics would read +6 dB over every overlap
+        x = jnp.ones(8192)
+        y = np.asarray(ad._wsola_stretch_dev(x, jnp.int32(9000), 9000))
+        assert np.abs(y[:7000] - 1.0).max() < 1e-5
+
+    def test_batched_entry_point(self):
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(3, 8192).astype(np.float32))
+        y = ad.pitch_wsola(x, jax.random.PRNGKey(0), shift_max=300)
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()
+        # distinct per-window draws
+        assert not np.allclose(np.asarray(y[0]) - np.asarray(x[0]),
+                               np.asarray(y[1]) - np.asarray(x[1]))
+
+    def test_factory_routes_pitch_algo(self, oracles):
+        """make_device_augment(['pitch'], pitch_algo='wsola') must run the
+        WSOLA port (train.py hands --pitch_algo through); 'pitch_quick'
+        stays quick (host pitch_shift checks quick before algo)."""
+        x = jnp.asarray(np.tile(oracles['in_speechy'], (2, 1)))
+        key = jax.random.PRNGKey(7)
+        chain = ad.make_device_augment(['pitch'], pitch_algo='wsola')
+        direct = ad.pitch_wsola(x, jax.random.fold_in(key, 0),
+                                shift_max=300)
+        np.testing.assert_array_equal(np.asarray(chain(x, key)),
+                                      np.asarray(direct))
+        quick = ad.make_device_augment(['pitch_quick'], pitch_algo='wsola')
+        direct_q = ad.pitch_quick(x, jax.random.fold_in(key, 0),
+                                  shift_max=300)
+        np.testing.assert_array_equal(np.asarray(quick(x, key)),
+                                      np.asarray(direct_q))
+
+    def test_pitch_dropout_routes_pitch_algo(self):
+        x = jnp.asarray(np.random.RandomState(1)
+                        .randn(2, 8192).astype(np.float32))
+        key = jax.random.PRNGKey(3)
+        got = ad.pitch_dropout(x, key, pitch_algo='wsola')
+        k1, k2 = jax.random.split(key)
+        want = ad.time_dropout(ad.pitch_wsola(x, k1), k2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 class TestFactoryDispatchFixes:
     """Regressions for three reference bugs we fix rather than clone
     (SURVEY §2.10): the list-vs-str `pitch_quick` compare
