@@ -251,14 +251,20 @@ def set_tpu_config(parser):
                        'split, host chain applied first). On a '
                        'single-core host this removes the augmentation '
                        'bottleneck (~90 -> ~15 ms/batch measured).')
-    group.add_argument('--pitch_algo', type=str, default='vocoder',
+    group.add_argument('--pitch_algo', type=str, default='wsola',
                        choices=['vocoder', 'wsola'],
-                       help='Host pitch-shift algorithm: phase vocoder '
-                       '(default; what the device fast path uses too) or '
-                       'WSOLA with sox tempo\'s music defaults — the '
-                       'algorithm family sox itself uses, for a training '
-                       'distribution closer to the WavAugment recipe '
-                       '(docs/augmentation_parity.md).')
+                       help='Pitch-shift stretch algorithm, host and '
+                       'device fast path alike. wsola (default): sox '
+                       'tempo\'s WSOLA with its music defaults — the '
+                       'algorithm family sox `pitch` itself is, i.e. the '
+                       'WavAugment training distribution; applies to '
+                       'every pitch stage (pitch/pitch_quick/'
+                       'pitch_dropout), since the reference\'s quick '
+                       'variants only degrade the resample, not the '
+                       'stretch. vocoder: the legacy phase-vocoder '
+                       'approximation (quick stages fall back to a '
+                       'linear stretch). docs/augmentation_parity.md '
+                       'has the measured family gap and A/B.')
     group.add_argument('--adam_mu_dtype', type=str, default='fp32',
                        choices=['fp32', 'bf16'],
                        help='Dtype of Adam\'s first moment. bf16 halves '

@@ -529,12 +529,12 @@ def artificial_reverb_dropout(x: Array, key: Array,
 
 
 def pitch_dropout(x: Array, key: Array, shift_max: int = 300,
-                  t_ms: int = 100, pitch_algo: str = 'vocoder') -> Array:
+                  t_ms: int = 100, pitch_algo: str = 'wsola') -> Array:
     """Host `PitchDropout` (augmentation.py:339-354): pitch + time
-    dropout. Under the default `--pitch_algo` the host builds its pitch
-    stage with quick=True (the reference chain is `pitch ... rate -q`), so
-    the device port uses the quick resample; `--pitch_algo wsola` switches
-    the stage to WSOLA (host: `PitchAugment(quick=(algo != 'wsola'))`)."""
+    dropout. Default `--pitch_algo wsola` runs the WSOLA stretch (the
+    reference chain `pitch ... rate -q` is a WSOLA stretch + quick
+    RESAMPLE — sox's `-q` never changes the stretch); the legacy
+    'vocoder' algo keeps round 3's quick linear-stretch shortcut."""
     k1, k2 = jax.random.split(key)
     stage = pitch_wsola if pitch_algo == 'wsola' else pitch_quick
     return time_dropout(stage(x, k1, shift_max=shift_max), k2, t_ms=t_ms)
@@ -658,7 +658,7 @@ def make_device_augment(augment_types: Sequence[str],
                         ir_prob: float = 1.0,
                         ir_batch_wise: bool = False,
                         noise_sampling: str = 'uniform',
-                        pitch_algo: str = 'vocoder'
+                        pitch_algo: str = 'wsola'
                         ) -> Optional[Callable]:
     """Composable device transform covering the full host
     `augmentation_factory` vocabulary. Returns `f(x, key) -> x` over (B, W)
@@ -670,8 +670,12 @@ def make_device_augment(augment_types: Sequence[str],
     raise ValueError.
     """
     names = [canonical_augment_type(t) for t in augment_types or []]
-    # Host factory parity: in a combined chain CombinedTransforms passes
-    # pitch_quick=('pitch_quick' in augment_type) to EVERY pitch stage
+    # Under the default pitch_algo='wsola' EVERY pitch stage runs the
+    # WSOLA stretch (host pitch_shift dispatches on algo first — sox
+    # `pitch` is WSOLA in all the reference chains, quick or not). The
+    # legacy 'vocoder' algo keeps round 3's mapping, incl. the host
+    # factory's quick contagion: CombinedTransforms passes
+    # pitch_quick=('pitch_quick' in augment_type) to every pitch stage
     # (`augmentation.py:582-584`), so a plain 'pitch' listed next to a
     # 'pitch_quick' also runs the quick resample.
     quick_contagion = len(names) > 1 and 'pitch_quick' in names
@@ -680,15 +684,14 @@ def make_device_augment(augment_types: Sequence[str],
         if name == 'bandreject':
             chain.append(functools.partial(bandreject,
                                            scaler=bandreject_scaler))
+        elif name in ('pitch', 'pitch_quick') and pitch_algo == 'wsola':
+            chain.append(functools.partial(pitch_wsola,
+                                           shift_max=shift_max))
         elif name == 'pitch_quick' or (name == 'pitch' and quick_contagion):
-            # host pitch_shift checks `quick` BEFORE `algo`, so quick
-            # stages stay quick even under --pitch_algo wsola
             chain.append(functools.partial(pitch_quick,
                                            shift_max=shift_max))
         elif name == 'pitch':
-            chain.append(functools.partial(
-                pitch_wsola if pitch_algo == 'wsola' else pitch,
-                shift_max=shift_max))
+            chain.append(functools.partial(pitch, shift_max=shift_max))
         elif name == 'pitch_dropout':
             chain.append(functools.partial(pitch_dropout,
                                            shift_max=shift_max, t_ms=t_ms,

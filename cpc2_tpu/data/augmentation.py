@@ -197,13 +197,16 @@ def _wsola_stretch(x: np.ndarray, out_len: int, sr: float = SAMPLE_RATE,
 
 
 def pitch_shift(x: np.ndarray, cents: float, quick: bool = False,
-                algo: str = 'vocoder') -> np.ndarray:
+                algo: str = 'wsola') -> np.ndarray:
     """Shift pitch by `cents` (1/100 semitone) keeping duration, like sox
     `pitch` + `rate`. Input/output (C, W).
 
-    algo: 'vocoder' (phase vocoder, the batched-device-friendly default)
-    or 'wsola' (sox's own stretch family; closer to the WavAugment
-    training distribution — docs/augmentation_parity.md)."""
+    algo: 'wsola' (default — sox `pitch` IS the WSOLA/tempo family, for
+    EVERY reference chain incl. the quick ones: `rate -q` only degrades
+    the resample stage, `/root/reference/cpc/data_augmentation.py:64-108`)
+    or 'vocoder' (the round-3 phase-vocoder approximation, kept as a
+    fallback; under it `quick` selects the linear-stretch shortcut).
+    See docs/augmentation_parity.md for the measured family gap."""
     if abs(cents) < 1:
         return x.astype(np.float32)
     factor = 2.0 ** (cents / 1200.0)
@@ -212,14 +215,14 @@ def pitch_shift(x: np.ndarray, cents: float, quick: bool = False,
     n_fft, hop = 1024, 256
     win = np.hanning(n_fft + 1)[:-1]
     for ch in range(c):
-        if quick:
+        if algo == 'wsola':
+            stretched = _wsola_stretch(x[ch].astype(np.float64),
+                                       int(round(w * factor)))
+        elif quick:
             # cheap: linear-interp resample then crop/pad (small artifacts)
             stretched = np.interp(
                 np.arange(0, w, 1.0 / factor) / factor * factor,
                 np.arange(w), x[ch])
-        elif algo == 'wsola':
-            stretched = _wsola_stretch(x[ch].astype(np.float64),
-                                       int(round(w * factor)))
         else:
             spec = _stft(x[ch], n_fft, hop, win)
             spec2 = _phase_vocoder(spec, 1.0 / factor, hop)
@@ -239,7 +242,7 @@ class PitchAugment:
     """`:64-100` — random shift ~ U{-shift_max, shift_max} cents."""
 
     def __init__(self, quick: bool = False, shift_max: int = 300,
-                 algo: str = 'vocoder'):
+                 algo: str = 'wsola'):
         self.quick = quick
         self.shift_max = shift_max
         self.algo = algo
@@ -340,11 +343,13 @@ class PitchDropout:
     """pitch + time dropout (`:103-132`)."""
 
     def __init__(self, T_ms: int = 100, shift_max: int = 300,
-                 algo: str = 'vocoder'):
-        # The reference chain is `pitch ... rate -q` (quick resample,
-        # `:106`); quick matches that. An explicit algo='wsola' is our
-        # closer-to-sox opt-in (docs/augmentation_parity.md) — honor it,
-        # since pitch_shift's quick branch bypasses the algo dispatch.
+                 algo: str = 'wsola'):
+        # The reference chain is `pitch ... rate -q`: sox `pitch` is the
+        # WSOLA stretch and `-q` only degrades the RESAMPLE stage
+        # (`/root/reference/cpc/data_augmentation.py:103-108`), so the
+        # default algo runs the WSOLA stretch here too. The legacy
+        # algo='vocoder' keeps round 3's behavior for this chain: the
+        # quick linear-stretch shortcut (docs/augmentation_parity.md).
         self.pitch = PitchAugment(quick=(algo != 'wsola'),
                                   shift_max=shift_max, algo=algo)
         self.dropout = TimeDropoutAugment(T_ms)
@@ -530,7 +535,7 @@ def get_augment(augment_type, **kwargs):
         return PitchAugment(quick=(kwargs['pitch_quick']
                                    or augment_type == 'pitch_quick'),
                             shift_max=kwargs['shift_max'],
-                            algo=kwargs.get('pitch_algo', 'vocoder'))
+                            algo=kwargs.get('pitch_algo', 'wsola'))
     elif augment_type == 'artificial_reverb':
         return ReverbAugment()
     elif augment_type == 'time_dropout':
@@ -541,7 +546,7 @@ def get_augment(augment_type, **kwargs):
         return RandomAdditiveNoiseAugment(kwargs['additive_noise_snr'])
     elif augment_type == 'pitch_dropout':
         return PitchDropout(kwargs['t_ms'], shift_max=kwargs['shift_max'],
-                            algo=kwargs.get('pitch_algo', 'vocoder'))
+                            algo=kwargs.get('pitch_algo', 'wsola'))
     elif augment_type == 'natural_reverb':
         return NaturalReverb(ir_paths=kwargs['pathImpulseResponses'],
                              p=kwargs['impulse_response_prob'],
@@ -602,7 +607,7 @@ def augmentation_factory(args, noise_dataset=None, applied_on_noise=False):
                     "batchSize": batchSize,
                     "ir_batch_wise": ir_batch_wise,
                     "shift_max": args.shift_max,
-                    "pitch_algo": getattr(args, 'pitch_algo', 'vocoder')}
+                    "pitch_algo": getattr(args, 'pitch_algo', 'wsola')}
         return CombinedTransforms(augment_type, **aug_args)
     augment_type = augment_type[0]
 
@@ -611,7 +616,7 @@ def augmentation_factory(args, noise_dataset=None, applied_on_noise=False):
     elif augment_type in ['pitch', 'pitch_quick']:
         return PitchAugment(quick=augment_type == 'pitch_quick',
                             shift_max=args.shift_max,
-                            algo=getattr(args, 'pitch_algo', 'vocoder'))
+                            algo=getattr(args, 'pitch_algo', 'wsola'))
     elif augment_type == 'artificial_reverb':
         return ReverbAugment()
     elif augment_type == 'time_dropout':
@@ -627,7 +632,7 @@ def augmentation_factory(args, noise_dataset=None, applied_on_noise=False):
         return ReverbDropout(args.t_ms)
     elif augment_type == 'pitch_dropout':
         return PitchDropout(args.t_ms, shift_max=args.shift_max,
-                            algo=getattr(args, 'pitch_algo', 'vocoder'))
+                            algo=getattr(args, 'pitch_algo', 'wsola'))
     elif augment_type == 'natural_reverb':
         return NaturalReverb(ir_paths=args.pathImpulseResponses,
                              p=args.impulse_response_prob,

@@ -4,7 +4,7 @@ from .criterion import (CPCUnsupervisedCriterion, CPCUnsupersivedCriterion,
                         CTCPhoneCriterion, NoneCriterion, FFNetwork,
                         ShiftedConv)
 from .custom_layers import (EqualizedLinear, EqualizedConv1d,
-                            NormalizationLayer, upscale2d)
+                            NormalizationLayer, Upscale2d, upscale2d)
 from .seq_alignment import (beam_search, collapse_label_chain,
                             collapseLabelChain, needleman_wunsch_align_score,
                             get_seq_PER, getPER)

@@ -37,6 +37,9 @@ def upscale2d(x: Array, factor: int = 2) -> Array:
     return jnp.repeat(jnp.repeat(x, factor, axis=2), factor, axis=3)
 
 
+# Reference-spelled alias (torch-style naming parity, like collapseLabelChain)
+Upscale2d = upscale2d
+
 class EqualizedLinear(nn.Module):
     """Linear with runtime He scaling (`custom_layers.py:134-151`).
     Torch layout: module.weight (out, in), module.bias (out,)."""

@@ -89,7 +89,7 @@ class TestPitch:
     @pytest.mark.parametrize('cents', [-300.0, -120.0, 150.0, 299.0])
     def test_matches_host_vocoder(self, cents):
         x = _tone(440, w=8192)
-        ref = ha.pitch_shift(x[None], cents)[0]
+        ref = ha.pitch_shift(x[None], cents, algo='vocoder')[0]
         got = np.asarray(ad._pitch_one(jnp.asarray(x),
                                        jnp.float32(cents)))
         # same algorithm, float32 fft vs float64 numpy: allow small error
@@ -131,7 +131,7 @@ class TestPitch:
         f = _dominant_freq(y)
         assert abs(f - 440 * 2 ** (cents / 1200.0)) < 30, f
         # host reference on the same shift agrees
-        ref = ha.pitch_shift(x[None], cents)[0]
+        ref = ha.pitch_shift(x[None], cents, algo='vocoder')[0]
         err = np.abs(y - ref).max()
         assert err < 0.05 * np.abs(ref).max(), err
 
@@ -145,7 +145,8 @@ class TestPitchQuick:
                                        299.0])
     def test_matches_host_quick_branch(self, cents):
         x = _tone(440, w=4160)
-        ref = ha.pitch_shift(x[None], cents, quick=True)[0]
+        ref = ha.pitch_shift(x[None], cents, quick=True,
+                             algo='vocoder')[0]
         got = np.asarray(ad._pitch_quick_one(
             jnp.asarray(x), jnp.float32(cents), 2.0 ** (300.0 / 1200.0)))
         err = np.abs(got - ref).max()
@@ -159,41 +160,54 @@ class TestPitchQuick:
                                              2.0 ** (300.0 / 1200.0)))
         np.testing.assert_array_equal(got, x)
 
-    def test_factory_maps_quick_names_to_quick(self, monkeypatch):
-        """'pitch_quick' must NOT dispatch to the vocoder; a plain 'pitch'
-        next to a 'pitch_quick' inherits quick (host CombinedTransforms
-        contagion, augmentation.py:582-584), while a lone 'pitch' keeps
-        the vocoder."""
+    def test_factory_dispatch_under_each_algo(self, monkeypatch):
+        """Default pitch_algo='wsola': EVERY pitch stage runs the WSOLA
+        stretch (sox `pitch` is WSOLA in all the reference chains — the
+        quick variants only degrade the resample). Legacy 'vocoder' keeps
+        round 3's mapping: lone 'pitch' -> vocoder, quick names and the
+        host CombinedTransforms contagion (augmentation.py:582-584) ->
+        quick linear stretch."""
         import cpc2_tpu.data.augment_device as adm
         tags = []
-        monkeypatch.setattr(
-            adm, 'pitch_quick',
-            lambda x, key, shift_max=300: tags.append('quick') or x)
-        monkeypatch.setattr(
-            adm, 'pitch',
-            lambda x, key, shift_max=300: tags.append('vocoder') or x)
+        for name, tag in (('pitch_quick', 'quick'), ('pitch', 'vocoder'),
+                          ('pitch_wsola', 'wsola')):
+            monkeypatch.setattr(
+                adm, name,
+                lambda x, key, shift_max=300, t=tag: tags.append(t) or x)
         x = jnp.zeros((2, 4160), jnp.float32)
-        for names, expect in ((['pitch'], ['vocoder']),
-                              (['pitch_quick'], ['quick']),
-                              (['pitch', 'pitch_quick'],
-                               ['quick', 'quick'])):
+        cases = (
+            (['pitch'], 'wsola', ['wsola']),
+            (['pitch_quick'], 'wsola', ['wsola']),
+            (['pitch', 'pitch_quick'], 'wsola', ['wsola', 'wsola']),
+            (['pitch'], 'vocoder', ['vocoder']),
+            (['pitch_quick'], 'vocoder', ['quick']),
+            (['pitch', 'pitch_quick'], 'vocoder', ['quick', 'quick']),
+        )
+        for names, algo, expect in cases:
             tags.clear()
-            fn = adm.make_device_augment(names)
+            fn = adm.make_device_augment(names, pitch_algo=algo)
             fn(x, jax.random.PRNGKey(0))
-            assert tags == expect, (names, tags)
+            assert tags == expect, (names, algo, tags)
 
-    def test_pitch_dropout_uses_quick(self, monkeypatch):
-        """pitch_dropout's pitch stage is the quick resample (the host
-        builds PitchAugment(quick=True) under the default --pitch_algo)."""
+    def test_pitch_dropout_stage_per_algo(self, monkeypatch):
+        """pitch_dropout's pitch stage: WSOLA stretch by default (the
+        reference chain `pitch ... rate -q` is WSOLA + quick RESAMPLE),
+        quick linear stretch under the legacy vocoder algo."""
         import cpc2_tpu.data.augment_device as adm
         used = []
-        real_quick = adm.pitch_quick
+        real_quick, real_wsola = adm.pitch_quick, adm.pitch_wsola
         monkeypatch.setattr(
             adm, 'pitch_quick',
             lambda *a, **k: used.append('quick') or real_quick(*a, **k))
+        monkeypatch.setattr(
+            adm, 'pitch_wsola',
+            lambda *a, **k: used.append('wsola') or real_wsola(*a, **k))
         x = jnp.asarray(np.stack([_tone(440, w=4160), _tone(660, w=4160)]))
         y = adm.pitch_dropout(x, jax.random.PRNGKey(0))
         assert y.shape == x.shape
+        assert used == ['wsola']
+        used.clear()
+        adm.pitch_dropout(x, jax.random.PRNGKey(0), pitch_algo='vocoder')
         assert used == ['quick']
 
 

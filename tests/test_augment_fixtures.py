@@ -247,17 +247,21 @@ class TestWsolaDeviceImplementation:
                                np.asarray(y[1]) - np.asarray(x[1]))
 
     def test_factory_routes_pitch_algo(self, oracles):
-        """make_device_augment(['pitch'], pitch_algo='wsola') must run the
-        WSOLA port (train.py hands --pitch_algo through); 'pitch_quick'
-        stays quick (host pitch_shift checks quick before algo)."""
+        """make_device_augment(['pitch']) runs the WSOLA port by default
+        (train.py hands --pitch_algo through); 'pitch_quick' ALSO runs
+        WSOLA under the default algo — sox `pitch` is the WSOLA stretch
+        in the reference's quick chains too (`rate -q` only degrades the
+        resample); the legacy vocoder algo restores the quick shortcut."""
         x = jnp.asarray(np.tile(oracles['in_speechy'], (2, 1)))
         key = jax.random.PRNGKey(7)
-        chain = ad.make_device_augment(['pitch'], pitch_algo='wsola')
         direct = ad.pitch_wsola(x, jax.random.fold_in(key, 0),
                                 shift_max=300)
-        np.testing.assert_array_equal(np.asarray(chain(x, key)),
-                                      np.asarray(direct))
-        quick = ad.make_device_augment(['pitch_quick'], pitch_algo='wsola')
+        for names in (['pitch'], ['pitch_quick']):
+            chain = ad.make_device_augment(names)
+            np.testing.assert_array_equal(np.asarray(chain(x, key)),
+                                          np.asarray(direct))
+        quick = ad.make_device_augment(['pitch_quick'],
+                                       pitch_algo='vocoder')
         direct_q = ad.pitch_quick(x, jax.random.fold_in(key, 0),
                                   shift_max=300)
         np.testing.assert_array_equal(np.asarray(quick(x, key)),
@@ -308,12 +312,16 @@ class TestFactoryDispatchFixes:
             aug = ha.augmentation_factory(self._args([spelling]))
             assert isinstance(aug, ha.PitchDropout), spelling
 
-    def test_pitch_dropout_honors_wsola(self):
-        dropout = ha.PitchDropout(algo='wsola')
+    def test_pitch_dropout_honors_pitch_algo(self):
+        # Default: the WSOLA stretch (the reference chain `pitch ...
+        # rate -q` is WSOLA + quick RESAMPLE — `-q` never changes the
+        # stretch); legacy vocoder algo keeps the quick linear shortcut.
+        dropout = ha.PitchDropout()
         assert dropout.pitch.quick is False
         assert dropout.pitch.algo == 'wsola'
-        # default stays on the reference-like quick resample
-        assert ha.PitchDropout().pitch.quick is True
+        legacy = ha.PitchDropout(algo='vocoder')
+        assert legacy.pitch.quick is True
+        assert legacy.pitch.algo == 'vocoder'
 
     def test_none_single_returns_no_augment(self):
         # Reference: ['none'] slips past its list-vs-str 'none' guard and

@@ -174,6 +174,18 @@ def test_two_process_train_cli_2d(tmp_path):
     _run_train_cli_two_proc(tmp_path, ['--model_axis_size', '2'])
 
 
+def test_two_process_train_cli_dcn(tmp_path):
+    """Multi-slice simulation: the same 2-process CLI run over the
+    2-level ('dcn_data','ici_data') mesh (`--dcn_axis_size 2`) with the
+    OUTER axis across processes — each process's 4 local devices form one
+    'slice'. The step program is unchanged (it addresses
+    `data_axes(mesh)`); the harness asserts both ranks log identical
+    psum'd metrics, i.e. the two-axis gradient pmean kept the replicated
+    state in sync across the simulated DCN boundary. Single-mesh
+    trajectory parity is pinned in tests/test_dcn_mesh.py."""
+    _run_train_cli_two_proc(tmp_path, ['--dcn_axis_size', '2'])
+
+
 class TestPeekDistributed:
     """The early multi-host bootstrap must fire for BOTH ways a run becomes
     distributed: a literal --distributed flag, and an auto-resume whose
