@@ -28,7 +28,8 @@ class CPCBertCriterion(BaseCriterion):
 
     @nn.compact
     def __call__(self, c_feature: Array, encoded_data: Array, label: Array,
-                 signal_quality=None, train: bool = True):
+                 signal_quality=None, train: bool = True,
+                 example_weights=None):
         b, s, _ = c_feature.shape
         d = encoded_data.shape[-1]
         mask = label.astype(bool)                       # (B, S) True = masked
@@ -57,6 +58,16 @@ class CPCBertCriterion(BaseCriterion):
         correct = pos_scores >= jnp.max(neg_scores, axis=-1)
 
         w = mask.astype(jnp.float32)
+        if example_weights is not None:
+            # per-example mean over that example's masked positions,
+            # weighted sum over the batch (caller normalizes globally)
+            ew = example_weights.astype(jnp.float32)
+            per_n = jnp.maximum(jnp.sum(w, axis=1), 1)
+            per_loss = jnp.sum(losses * w, axis=1) / per_n
+            per_acc = jnp.sum(correct.astype(jnp.float32) * w,
+                              axis=1) / per_n
+            return (jnp.sum(per_loss * ew).reshape(1, 1),
+                    jnp.sum(per_acc * ew).reshape(1, 1))
         loss = jnp.sum(losses * w) / n_pos
         acc = jnp.sum(correct.astype(jnp.float32) * w) / n_pos
         return loss.reshape(1, 1), acc.reshape(1, 1)

@@ -293,7 +293,7 @@ class NoneCriterion(BaseCriterion):
 
     @nn.compact
     def __call__(self, c_feature, encoded_data, label, signal_quality=None,
-                 train: bool = True):
+                 train: bool = True, example_weights=None):
         return jnp.zeros((1, 1)), jnp.zeros((1, 1))
 
 
@@ -413,7 +413,8 @@ class CPCUnsupervisedCriterion(BaseCriterion):
 
     def __call__(self, c_feature: Array, encoded_data: Array, label=None,
                  signal_quality: Optional[Array] = None, train: bool = True,
-                 negative_indices: Optional[Array] = None):
+                 negative_indices: Optional[Array] = None,
+                 example_weights: Optional[Array] = None):
         c_feature, encoded_data = self._oriented(c_feature, encoded_data)
         b, s, _ = c_feature.shape
         d = encoded_data.shape[-1]
@@ -528,8 +529,21 @@ class CPCUnsupervisedCriterion(BaseCriterion):
                 self.growth_rate * (q - self.inflection_point_x))
             losses = losses * weight[:, None, None]
 
-        out_losses = jnp.mean(losses, axis=(0, 2))           # (K,)
-        out_acc = jnp.mean(correct.astype(jnp.float32), axis=(0, 2))
+        if example_weights is not None:
+            # Padded-batch mode (multi-host ragged tails,
+            # `training.build_steps(example_weighted=True)`): per-example
+            # means over the window, WEIGHTED SUMS over the batch — the
+            # caller divides by the global psum of weights, so zero-weight
+            # pad rows contribute nothing to loss, metrics, or gradients.
+            ew = example_weights.astype(losses.dtype)
+            out_losses = jnp.sum(jnp.mean(losses, axis=2) * ew[:, None],
+                                 axis=0)                 # (K,)
+            out_acc = jnp.sum(
+                jnp.mean(correct.astype(jnp.float32), axis=2)
+                * ew[:, None], axis=0)
+        else:
+            out_losses = jnp.mean(losses, axis=(0, 2))       # (K,)
+            out_acc = jnp.mean(correct.astype(jnp.float32), axis=(0, 2))
         out_losses = out_losses[self.n_skipped:][None, :]
         out_acc = out_acc[self.n_skipped:][None, :]
         return out_losses, out_acc
@@ -565,14 +579,18 @@ class SpeakerCriterion(BaseCriterion):
 
     @nn.compact
     def __call__(self, c_feature: Array, other_encoded: Array, label: Array,
-                 signal_quality=None, train: bool = True):
+                 signal_quality=None, train: bool = True,
+                 example_weights=None):
         feats = c_feature[:, -1, :]
         logits = TorchLinear(self.n_speakers,
                              name='linearSpeakerClassifier')(feats)
-        loss = jnp.mean(_cross_entropy(logits, label)).reshape(1, 1)
-        acc = jnp.mean((jnp.argmax(logits, -1) == label)
-                       .astype(jnp.float32)).reshape(1, 1)
-        return loss, acc
+        ce = _cross_entropy(logits, label)
+        hit = (jnp.argmax(logits, -1) == label).astype(jnp.float32)
+        if example_weights is not None:
+            ew = example_weights.astype(ce.dtype)
+            return (jnp.sum(ce * ew).reshape(1, 1),
+                    jnp.sum(hit * ew).reshape(1, 1))
+        return jnp.mean(ce).reshape(1, 1), jnp.mean(hit).reshape(1, 1)
 
 
 class AdvSpeakerCriterion(BaseCriterion):
@@ -634,15 +652,19 @@ class PhoneCriterion(BaseCriterion):
     getPrediction = get_prediction
 
     def __call__(self, c_feature: Array, other_encoded: Array, label: Array,
-                 signal_quality=None, train: bool = True):
+                 signal_quality=None, train: bool = True,
+                 example_weights=None):
         feats = other_encoded if self.on_encoder else c_feature
         logits = self.get_prediction(feats)
-        logits = logits.reshape(-1, logits.shape[-1])
-        label = label.reshape(-1)
-        loss = jnp.mean(_cross_entropy(logits, label)).reshape(1, 1)
-        acc = jnp.mean((jnp.argmax(logits, -1) == label)
-                       .astype(jnp.float32)).reshape(1, 1)
-        return loss, acc
+        ce = _cross_entropy(logits.reshape(-1, logits.shape[-1]),
+                            label.reshape(-1)).reshape(label.shape)
+        hit = (jnp.argmax(logits, -1) == label).astype(jnp.float32)
+        if example_weights is not None:
+            # per-example mean over frames, weighted sum over the batch
+            ew = example_weights.astype(ce.dtype)
+            return (jnp.sum(jnp.mean(ce, axis=-1) * ew).reshape(1, 1),
+                    jnp.sum(jnp.mean(hit, axis=-1) * ew).reshape(1, 1))
+        return jnp.mean(ce).reshape(1, 1), jnp.mean(hit).reshape(1, 1)
 
 
 def collapse_label_chain_padded(labels: Array) -> Tuple[Array, Array]:
@@ -669,7 +691,8 @@ class CTCPhoneCriterion(BaseCriterion):
 
     @nn.compact
     def __call__(self, c_feature: Array, other_encoded: Array, label: Array,
-                 signal_quality=None, train: bool = True):
+                 signal_quality=None, train: bool = True,
+                 example_weights=None):
         if self.on_encoder:
             raise ValueError("On encoder version not implemented yet")
         import optax
@@ -692,6 +715,9 @@ class CTCPhoneCriterion(BaseCriterion):
         feasible = sizes <= s
         loss = jnp.where(feasible & jnp.isfinite(loss), loss, 0.0)
         loss = loss / jnp.maximum(sizes.astype(loss.dtype), 1)
+        if example_weights is not None:
+            ew = example_weights.astype(loss.dtype)
+            return jnp.sum(loss * ew).reshape(1, 1), jnp.zeros((1, 1))
         return jnp.mean(loss).reshape(1, 1), jnp.zeros((1, 1))
 
 

@@ -244,6 +244,155 @@ class TailRunner:
         return out
 
 
+class PodTailRunner:
+    """Multi-host ragged tails: pad-and-mask on the MAIN mesh.
+
+    Round-3 verdict item 5: the reference trains every batch
+    (`cpc/train.py:145-187`), but under multi-host SPMD a per-host tail
+    of differing size used to be dropped (a one-host update would desync
+    the replicated state). Instead, every host buffers its short batches
+    during the lock-step main loop; at epoch end the pod agrees on the
+    maximum buffered count (one tiny `process_allgather`), and runs that
+    many example-weighted steps (`training.build_steps(
+    example_weighted=True)`): each host pads its i-th tail to the full
+    per-host batch shape by cyclically repeating its own rows (so
+    batch-norm stats see real audio) with a 0/1 validity vector; hosts
+    out of tails submit an all-masked filler. Loss, metrics, and
+    gradients normalize by the global psum of valid counts, so the
+    update is the EXACT mean over real examples and every process
+    executes the same program — no drop, no desync.
+
+    Duck-types TailRunner (`add` / `run_train` / `run_val`);
+    `wants_all_ragged` routes every non-full batch here (the
+    mesh-divisible `ragged` fast path would desync processes whose
+    batch at the same index is full)."""
+
+    wants_all_ragged = True
+
+    def __init__(self, model_module, criterion, tx, args, mesh,
+                 local_batch, frames, device_augment=None):
+        self._modules = (model_module, criterion, tx)
+        self._args = args
+        self._mesh = mesh
+        self._local_batch = int(local_batch)
+        self._frames = frames
+        self._device_augment = device_augment
+        self._steps = None
+        self._items = []
+
+    def add(self, item):
+        self._items.append(item)
+
+    def _build(self):
+        if self._steps is not None:
+            return
+        from .training import build_steps
+        model_module, criterion, tx = self._modules
+        args = self._args
+        self._steps = build_steps(
+            model_module, criterion, tx, self._mesh,
+            has_quality=args.signal_quality_path is not None,
+            uses_mask=args.cpc_mode == 'bert' or args.mask_prob > 0,
+            keep_hidden=False, remat=getattr(args, 'remat', False),
+            device_augment=self._device_augment, example_weighted=True)
+
+    def _padded(self, item):
+        """Pad one host-local (t, 2, 1, W) item to the full local batch
+        by cyclic row repetition; valid marks the real rows."""
+        seq, lab, qual, msk = item
+        t, b = seq.shape[0], self._local_batch
+        idx = np.arange(b) % t
+        valid = (np.arange(b) < t).astype(np.float32)
+        seq_p = np.asarray(seq, np.float32)[idx]
+        lab_p = np.asarray(lab)[idx].astype(np.int32)
+        qual_p = None if qual is None else np.asarray(
+            qual, np.float32)[idx]
+        msk_p = None
+        if msk is not None:
+            # (2t, F) mask rows: [0,t) past view, [t,2t) future view
+            msk_p = np.concatenate([msk[:t][idx], msk[t:][idx]])
+        return seq_p, lab_p, qual_p, msk_p, valid
+
+    def _filler(self):
+        """All-masked stand-in for hosts that ran out of tails: repeat
+        the last buffered item if any (real audio for the BN stats),
+        zeros otherwise; weight 0 either way."""
+        if self._items:
+            seq_p, lab_p, qual_p, msk_p, _ = self._padded(self._items[-1])
+        else:
+            args, b = self._args, self._local_batch
+            seq_p = np.zeros((b, 2, 1, args.sizeWindow), np.float32)
+            lab_p = np.zeros((b,), np.int32)
+            qual_p = msk_p = None
+            if args.signal_quality_path is not None:
+                qual_p = np.zeros((b, self._frames), np.float32)
+            if args.cpc_mode == 'bert' or args.mask_prob > 0:
+                msk_p = np.zeros((2 * b, self._frames), bool)
+        return seq_p, lab_p, qual_p, msk_p, np.zeros(
+            (self._local_batch,), np.float32)
+
+    def _agreed_rounds(self):
+        """Pod-wide max of buffered tail counts (every process calls this
+        at the same point — the end of the lock-step epoch loop)."""
+        if jax.process_count() == 1:
+            return len(self._items)
+        from jax.experimental import multihost_utils
+        counts = multihost_utils.process_allgather(
+            np.int32(len(self._items)))
+        return int(np.max(counts))
+
+    def _stage(self, seq, lab, qual, msk, valid):
+        batch = shard_batch(self._mesh, seq)
+        lab = shard_batch(self._mesh, lab)
+        valid = shard_batch(self._mesh, valid)
+        qual = None if qual is None else shard_batch(self._mesh, qual)
+        msk = None if msk is None else shard_batch(self._mesh, msk)
+        return batch, lab, qual, msk, valid
+
+    def _rounds(self):
+        # agree BEFORE the early-out: the allgather is a collective every
+        # process must reach even with an empty local buffer
+        n = self._agreed_rounds()
+        if n:
+            self._build()
+        for i in range(n):
+            if i < len(self._items):
+                yield self._padded(self._items[i])
+            else:
+                yield self._filler()
+
+    def run_train(self, state, rng):
+        """Returns (state, [(n_local_examples, losses, accs), ...])."""
+        out = []
+        for seq, lab, qual, msk, valid in self._rounds():
+            train_step, _ = self._steps
+            n_local = int(valid.sum())
+            batch, lab, qual, msk, valid = self._stage(seq, lab, qual,
+                                                       msk, valid)
+            state, losses, accs = train_step(state, batch, lab, rng, valid,
+                                             quality=qual,
+                                             mask_indices=msk)
+            out.append((n_local, np.asarray(losses), np.asarray(accs)))
+        self._items = []
+        return state, out
+
+    def run_val(self, state, rng):
+        out = []
+        for item_i, (seq, lab, qual, msk, valid) in enumerate(
+                self._rounds()):
+            _, val_step = self._steps
+            n_local = int(valid.sum())
+            batch, lab, qual, msk, valid = self._stage(seq, lab, qual,
+                                                       msk, valid)
+            losses, accs = val_step(
+                state, batch, lab,
+                jax.random.fold_in(rng, 2 ** 17 + item_i), valid,
+                mask_indices=msk)
+            out.append((n_local, np.asarray(losses), np.asarray(accs)))
+        self._items = []
+        return out
+
+
 def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 rng, frames, expected_batch, multi_step=None,
                 tail_runner=None, device_corpus=None):
@@ -270,21 +419,24 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
 
     def _route_tail(sequence, label, quality, mask):
         """Route a short batch so every example still trains (reference
-        `cpc/train.py:145-187` semantics): mesh-divisible sizes join the
-        ragged-program list, others go to the single-device TailRunner.
-        Drops are structurally impossible single-host: the only modes
-        left out are (a) hidden-carry, whose SequentialSampler emits
-        exclusively full batches (`data/samplers.py:69-89`, and the
-        reference's cuDNN RNN would reject a carry/batch size mismatch
-        anyway), and (b) multi-host, where per-host tails can differ and
-        a one-host update would desync the replicated state — the same
-        constraint the reference's DDP all-reduce imposes."""
+        `cpc/train.py:145-187` semantics): single-host, mesh-divisible
+        sizes join the ragged-program list and others go to the
+        single-device TailRunner; multi-host, EVERY short batch goes to
+        the PodTailRunner, whose pad-and-mask example-weighted steps run
+        on the main mesh at epoch end with counts agreed pod-wide — so
+        per-host tails of differing sizes train without desyncing the
+        replicated state. Drops are structurally impossible outside the
+        hidden-carry mode, whose SequentialSampler emits exclusively
+        full batches (`data/samplers.py:69-89`; the reference's cuDNN
+        RNN would reject a carry/batch size mismatch anyway)."""
         nonlocal dropped
-        if (not keep_hidden and sequence.shape[0] > 0
-                and sequence.shape[0] % _mesh_data_extent(mesh) == 0):
+        if keep_hidden or sequence.shape[0] == 0:
+            dropped += 1
+        elif getattr(tail_runner, 'wants_all_ragged', False):
+            tail_runner.add((sequence, label, quality, mask))
+        elif sequence.shape[0] % _mesh_data_extent(mesh) == 0:
             ragged.append((sequence, label, quality, mask))
-        elif (not keep_hidden and sequence.shape[0] > 0
-                and tail_runner is not None):
+        elif tail_runner is not None:
             tail_runner.add((sequence, label, quality, mask))
         else:
             dropped += 1
@@ -563,13 +715,16 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         _account(all_losses, all_acc)
     dispatch_buffer.clear()
 
-    # Non-mesh-divisible tails: the single-device tail program.
-    n_tail = 0
+    # Non-mesh-divisible tails: the single-device tail program
+    # (single-host) or the pod-synchronized pad-and-mask program
+    # (multi-host).
+    n_tail, n_tail_ex = 0, 0
     if tail_runner is not None:
         state, tail_out = tail_runner.run_train(state, rng)
         n_tail = len(tail_out)
         for n_ex, all_losses, all_acc in tail_out:
             n_examples += n_ex
+            n_tail_ex += n_ex
             _account(all_losses, all_acc)
 
     if pending_losses:
@@ -581,11 +736,12 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
         logs["locAcc_train"] += np.asarray(
             jnp.concatenate(pending_accs)).sum(0)
     if ragged or n_tail:
-        print(f"(ran {len(ragged) + n_tail} ragged tail batches through "
+        n_ragged_ex = sum(seq.shape[0] for seq, _, _, _ in ragged)
+        print(f"(ran {len(ragged) + n_tail} ragged tail batches "
+              f"({n_ragged_ex + n_tail_ex} local examples) through "
               f"their own program)")
     if dropped:
-        print(f"(dropped {dropped} ragged batches: multi-host or "
-              f"hidden-carry mode)")
+        print(f"(dropped {dropped} ragged batches: hidden-carry mode)")
     logs = utils.update_logs(logs, max(it, 1))
     logs["iter"] = it
     utils.show_logs("Average training loss on epoch", logs)
@@ -611,11 +767,16 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
             if device_corpus is not None:
                 # offsets -> host windows for the ragged-tail programs
                 sequence = data_loader.dataset.gather_windows(sequence)
-            if (not keep_hidden and sequence.shape[0] > 0
-                    and sequence.shape[0] % _mesh_data_extent(mesh) == 0):
+            if keep_hidden or sequence.shape[0] == 0:
+                pass
+            elif getattr(tail_runner, 'wants_all_ragged', False):
+                # multi-host: every short batch goes to the pod runner
+                # (the mesh-divisible path would desync processes whose
+                # batch at the same index is full)
+                tail_runner.add((sequence, label, None, mask))
+            elif sequence.shape[0] % _mesh_data_extent(mesh) == 0:
                 ragged.append((sequence, label, mask))
-            elif (not keep_hidden and sequence.shape[0] > 0
-                    and tail_runner is not None):
+            elif tail_runner is not None:
                 tail_runner.add((sequence, label, None, mask))
             continue
         if device_corpus is not None:
@@ -1349,7 +1510,11 @@ def main(argv):
                            else None))
     args._spd = spd
 
-    # Non-mesh-divisible tail batches (single-host only; see TailRunner).
+    # Ragged tail batches: single-host, the natural-size single-device
+    # TailRunner; multi-host, the pad-and-mask PodTailRunner on the main
+    # mesh (example-weighted steps keep every process in sync). The 2-D
+    # head-sharded mesh keeps the single-host runner only — the weighted
+    # step variant is built for the data-parallel paths.
     tail_runner = None
     if jax.process_count() == 1:
         if criterion_local is not None:
@@ -1362,6 +1527,11 @@ def main(argv):
         tail_runner = TailRunner(model_bundle.module, criterion, tx, args,
                                  mesh, restore_fn,
                                  device_augment=device_augment)
+    elif criterion_local is None:
+        tail_runner = PodTailRunner(model_bundle.module, criterion, tx,
+                                    args, mesh, batch_size,
+                                    encoded_seq_len(args.sizeWindow),
+                                    device_augment=device_augment)
 
     run(train_dataset, val_dataset, batch_size, args.samplingType, state,
         train_step, val_step, mesh, args, args.nEpoch,

@@ -106,9 +106,20 @@ def build_steps(model: nn.Module, criterion: nn.Module,
                 tx: optax.GradientTransformation, mesh: Mesh,
                 has_quality: bool = False, uses_mask: bool = False,
                 keep_hidden: bool = False, remat: bool = False,
-                device_augment=None,
+                device_augment=None, example_weighted: bool = False,
                 _return_bodies: bool = False):
     """Returns (train_step, val_step), jitted over `mesh`.
+
+    example_weighted: the steps take an extra `valid` (B,) float operand
+    (sharded like the batch) and compute the EXACT global mean over
+    valid examples — per-shard weighted sums from the criterion,
+    normalized by the psum of weights, gradients psum'd (each shard's
+    loss term is its share of the global mean). This is how multi-host
+    ragged tails run (train.PodTailRunner): every host pads its short
+    tail to the full batch shape, zero-weight pad rows contribute
+    nothing, and the replicated state stays in sync. With all-ones
+    weights the math coincides with the pmean path. keep_hidden is not
+    supported in this mode.
 
     Batch layout: (B_local*n_dev, 2, 1, W) float32 on axis 0 of the mesh.
 
@@ -141,7 +152,7 @@ def build_steps(model: nn.Module, criterion: nn.Module,
     DATA = data_axes(mesh)
 
     def forward(params, batch_stats, batch, labels, quality, rng, train,
-                mask_indices, hidden=None):
+                mask_indices, hidden=None, valid=None):
         b = batch.shape[0]
         past, future = batch[:, 0, 0, :], batch[:, 1, 0, :]
         combined = jnp.concatenate([past, future], axis=0)
@@ -217,9 +228,10 @@ def build_steps(model: nn.Module, criterion: nn.Module,
             lab = labels
 
         crit_vars = {'params': params['criterion']}
+        crit_kwargs = {} if valid is None else {'example_weights': valid}
         losses, accs = criterion.apply(
             crit_vars, c, e, lab, quality, train=train,
-            rngs={'negatives': k_neg, 'dropout': k_drop2})
+            rngs={'negatives': k_neg, 'dropout': k_drop2}, **crit_kwargs)
         if is_bert or not keep_hidden:
             new_hidden = None
         elif new_hidden is not None:
@@ -264,11 +276,75 @@ def build_steps(model: nn.Module, criterion: nn.Module,
         return (jax.lax.pmean(losses, DATA), jax.lax.pmean(accs, DATA),
                 new_hidden)
 
+    # --- example-weighted variant (multi-host ragged tails) ---
+    def train_body_w(state: TrainState, batch, labels, quality, rng,
+                     mask_indices, valid):
+        # total valid examples across the whole mesh — independent of
+        # params, so taking it outside loss_fn is exact
+        total = jnp.maximum(jax.lax.psum(jnp.sum(valid), DATA), 1e-9)
+
+        def loss_fn(params):
+            losses, accs, new_bs, _ = fwd_train(
+                params, state.batch_stats, batch, labels, quality,
+                jax.random.fold_in(rng, state.step), True, mask_indices,
+                None, valid)
+            # local share of the global valid-mean objective
+            return jnp.sum(losses) / total, (losses, accs, new_bs)
+
+        grads, (losses, accs, new_bs) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        # each shard holds its share of the global mean: SUM, not mean
+        grads = jax.lax.psum(grads, DATA)
+        losses = jax.lax.psum(losses, DATA) / total
+        accs = jax.lax.psum(accs, DATA) / total
+        if new_bs:
+            new_bs = jax.lax.pmean(new_bs, DATA)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, opt_state=new_opt,
+                               batch_stats=new_bs, step=state.step + 1)
+        return new_state, losses, accs
+
+    def val_body_w(state: TrainState, batch, labels, quality, rng,
+                   mask_indices, valid):
+        total = jnp.maximum(jax.lax.psum(jnp.sum(valid), DATA), 1e-9)
+        losses, accs, _, _ = forward(
+            state.params, state.batch_stats, batch, labels, quality,
+            jax.random.fold_in(rng, state.step), False, mask_indices,
+            None, valid)
+        return (jax.lax.psum(losses, DATA) / total,
+                jax.lax.psum(accs, DATA) / total)
+
     if _return_bodies:
         return train_body, val_body
 
     data_spec = P(DATA)
     rep = P()
+
+    if example_weighted:
+        assert not keep_hidden, \
+            "example-weighted steps do not carry hidden state"
+        n_in_w = (rep, data_spec, data_spec,
+                  data_spec if has_quality else rep, rep,
+                  data_spec if uses_mask else rep, data_spec)
+        train_w = jax.jit(shard_map(train_body_w, mesh=mesh,
+                                    in_specs=n_in_w,
+                                    out_specs=(rep, rep, rep)),
+                          donate_argnums=(0,))
+        val_w = jax.jit(shard_map(val_body_w, mesh=mesh, in_specs=n_in_w,
+                                  out_specs=(rep, rep)))
+
+        def train_step_w(state, batch, labels, rng, valid, quality=None,
+                         mask_indices=None):
+            return train_w(state, batch, labels, quality, rng,
+                           mask_indices, valid)
+
+        def val_step_w(state, batch, labels, rng, valid, quality=None,
+                       mask_indices=None):
+            return val_w(state, batch, labels, quality, rng, mask_indices,
+                         valid)
+        return train_step_w, val_step_w
+
     hid_spec = P(None, DATA) if keep_hidden else rep
 
     n_in = (rep, data_spec, data_spec,
