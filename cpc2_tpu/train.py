@@ -393,6 +393,9 @@ class PodTailRunner:
         return out
 
 
+_EPOCH_END = object()       # prefetch-transform sentinel: flush buffers
+
+
 def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 rng, frames, expected_batch, multi_step=None,
                 tail_runner=None, device_corpus=None):
@@ -416,6 +419,32 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
     dispatch_buffer = []
     ragged = []
     stager = WireStager(mesh)
+
+    # The unsupervised CPC criterion never reads the per-window speaker
+    # label (its `label` arg is ignored, reference `criterion.py:329`
+    # likewise) — uploading the (B,) int32 vector per dispatch buys
+    # nothing but a tunnel RPC. Stage one cached zeros array per shape
+    # instead; supervised/BERT paths keep the real labels.
+    labels_unused = (not getattr(args, 'supervised', False)
+                     and args.cpc_mode != 'bert')
+    _label_cache = {}
+
+    def _stage_labels(labs, stacked=False):
+        labs = np.asarray(labs).astype(np.int32)
+        if not labels_unused:
+            if stacked:
+                from .training import shard_stacked_batch
+                return shard_stacked_batch(mesh, labs)
+            return shard_batch(mesh, labs)
+        key = (labs.shape, stacked)
+        if key not in _label_cache:
+            z = np.zeros_like(labs)
+            if stacked:
+                from .training import shard_stacked_batch
+                _label_cache[key] = shard_stacked_batch(mesh, z)
+            else:
+                _label_cache[key] = shard_batch(mesh, z)
+        return _label_cache[key]
 
     def _route_tail(sequence, label, quality, mask):
         """Route a short batch so every example still trains (reference
@@ -452,6 +481,33 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 all_losses.reshape(-1, all_losses.shape[-1]))
             pending_accs.append(all_acc.reshape(-1, all_acc.shape[-1]))
 
+    deferred_window = None
+
+    def _emit_window(w_losses, w_accs, window_steps, it_at, w_examples):
+        """Fetch + print one completed logging window (the reference's
+        per-loggingStep telemetry, `cpc/train.py:124-134`). Called one
+        dispatch AFTER the boundary so the sync lands on a full
+        pipeline."""
+        nonlocal last_logs, start_time
+        logs["locLoss_train"] += np.asarray(
+            jnp.concatenate(w_losses)).sum(0)
+        logs["locAcc_train"] += np.asarray(
+            jnp.concatenate(w_accs)).sum(0)
+        new_time = time.perf_counter()
+        elapsed = new_time - start_time
+        print(f"Update {it_at}")
+        print(f"elapsed: {elapsed:.1f} s")
+        print(f"{1000.0 * elapsed / window_steps:.1f} ms per batch, "
+              f"{1000.0 * elapsed / max(w_examples, 1):.1f} ms / "
+              f"example")
+        # window mean: divide the window's sum by the number of optimizer
+        # steps accumulated IN the window (the reference divides by
+        # loggingStep, `cpc/train.py:160-164`)
+        loc_logs = utils.update_logs(logs, max(window_steps, 1), last_logs)
+        last_logs = deepcopy(logs)
+        utils.show_logs("Training loss", loc_logs)
+        start_time = new_time
+
     def _dispatch_stacked(state):
         from .training import shard_stacked_batch
         seqs = np.stack([b[0] for b in dispatch_buffer])
@@ -460,7 +516,8 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                  if dispatch_buffer[0][2] is not None else None)
         masks = (np.stack([b[3] for b in dispatch_buffer])
                  if dispatch_buffer[0][3] is not None else None)
-        batches, labs = shard_stacked_batch(mesh, seqs, labs)
+        batches = shard_stacked_batch(mesh, seqs)
+        labs = _stage_labels(labs, stacked=True)
         if quals is not None:
             quals = shard_stacked_batch(mesh, quals)
         if masks is not None:
@@ -471,28 +528,12 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
 
     # --corpus_on_device x --steps_per_dispatch: groups of (B,) offset
     # vectors dispatch as ONE (spd, B) int32 program whose scan body
-    # gathers each step's batch from the resident pack. Items carry the
-    # pack array they index into so a mid-group pack swap (prefetch thread
-    # runs ahead) drains the old group against the right pack first.
+    # gathers each step's batch from the resident pack. Full groups are
+    # assembled and staged on the prefetch thread (the 'idxgroup' _prep
+    # below); items carry the pack array they index into so a mid-group
+    # pack swap (prefetch thread runs ahead) drains the old group against
+    # the right pack first.
     idx_buffer = []
-
-    def _dispatch_idx(state):
-        from .training import shard_stacked_batch
-        corpus_ref = idx_buffer[0][0]
-        offs = np.stack([b[1] for b in idx_buffer])
-        labs = np.stack([b[2] for b in idx_buffer])
-        quals = (np.stack([b[3] for b in idx_buffer])
-                 if idx_buffer[0][3] is not None else None)
-        masks = (np.stack([b[4] for b in idx_buffer])
-                 if idx_buffer[0][4] is not None else None)
-        offs, labs = shard_stacked_batch(mesh, offs, labs)
-        if quals is not None:
-            quals = shard_stacked_batch(mesh, quals)
-        if masks is not None:
-            masks = shard_stacked_batch(mesh, masks)
-        idx_buffer.clear()
-        return multi_step(state, corpus_ref, offs, labs, rng,
-                          quality=quals, mask_indices=masks)
 
     def _drain_idx(state):
         """Run a partial offset group (pack boundary / epoch tail) through
@@ -535,30 +576,82 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 return ('ragged', sequence, label, quality, mask)
             else:
                 staged = stager.put(sequence)
-            lab = shard_batch(mesh, np.asarray(label).astype(np.int32))
+            lab = _stage_labels(label)
             qual = (shard_batch(mesh, quality.astype(np.float32))
                     if quality is not None else None)
             msk = shard_batch(mesh, mask) if mask is not None else None
             return ('staged', sequence.shape[0], staged, lab, qual, msk)
     elif device_corpus is not None:
+        # spd>1 x corpus_on_device: the whole dispatch group is assembled
+        # AND staged on the prefetch thread — np.stack + the (spd, B)
+        # offset device_put overlap the previous group's device compute,
+        # so the dispatch thread's per-group work is ONE multi_step call.
+        # (Measured: group assembly on the dispatch thread cost
+        # ~0.5 ms/batch of device idle on the tunnel backend.) Groups
+        # break at pack swaps (offsets must index the pack they were
+        # drawn from) and at the epoch tail (partial groups run through
+        # the single-step program, identical math).
+        group_buf = []
+
+        def _flush_group():
+            if not group_buf:
+                return None
+            items = list(group_buf)
+            group_buf.clear()
+            if len(items) < spd:
+                return ('idxpartial', items)
+            from .training import shard_stacked_batch
+            offs_d = shard_stacked_batch(
+                mesh, np.stack([b[1] for b in items]))
+            labs_d = _stage_labels(np.stack([b[2] for b in items]),
+                                   stacked=True)
+            quals_d = (shard_stacked_batch(
+                mesh, np.stack([b[3] for b in items]))
+                if items[0][3] is not None else None)
+            masks_d = (shard_stacked_batch(
+                mesh, np.stack([b[4] for b in items]))
+                if items[0][4] is not None else None)
+            n_ex = sum(b[1].shape[0] for b in items)
+            return ('idxgroup', items[0][0], offs_d, labs_d, quals_d,
+                    masks_d, n_ex)
+
         def _prep(full_data):
+            if full_data is _EPOCH_END:
+                return _flush_group()
             sequence, label, quality, mask = _stack_batch(
                 full_data, frames, args, True)
             if sequence.shape[0] != expected_batch:
                 seq = data_loader.dataset.gather_windows(sequence)
                 return ('ragged', seq, label, quality, mask)
             device_corpus.ensure(data_loader.dataset.data)
-            return ('idx', device_corpus.resident,
+            item = (device_corpus.resident,
                     np.asarray(sequence, np.int32),
                     np.asarray(label).astype(np.int32),
                     None if quality is None else quality.astype(np.float32),
                     mask)
+            flushed = None
+            if group_buf and group_buf[0][0] is not item[0]:
+                flushed = _flush_group()        # pack swapped mid-group
+            group_buf.append(item)
+            if flushed is not None:
+                return flushed
+            if len(group_buf) == spd:
+                return _flush_group()
+            return None
     else:
         def _prep(full_data):
             return ('host',) + _stack_batch(full_data, frames, args, True)
-    data_iter = prefetch(data_loader, getattr(args, 'host_prefetch', 2),
+    src = data_loader
+    if spd > 1 and device_corpus is not None:
+        def _with_end(loader):
+            yield from loader
+            yield _EPOCH_END          # lets _prep flush its partial group
+        src = _with_end(data_loader)
+    data_iter = prefetch(src, getattr(args, 'host_prefetch', 2),
                          transform=_prep)
     for step, item in enumerate(data_iter):
+        if item is None:              # buffered into a pending group
+            continue
         if profile_dir is not None:
             # Trace a small window of steady-state steps with jax.profiler.
             # One trace per run: clearing args.profile_dir keeps epoch 2
@@ -602,20 +695,22 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                 # (spd, 1, nPredicts) -> (spd, nPredicts)
                 all_losses = all_losses.reshape(spd, -1)
                 all_acc = all_acc.reshape(spd, -1)
-        elif item[0] == 'idx':
-            _, corpus_ref, offsets, label, quality, mask = item
-            if idx_buffer and idx_buffer[0][0] is not corpus_ref:
-                # pack swapped mid-group: drain the old pack's offsets
-                # through the single-step program against their own pack
-                state = _drain_idx(state)
-            n_examples += offsets.shape[0]
-            idx_buffer.append((corpus_ref, offsets, label, quality, mask))
-            if len(idx_buffer) < spd:
-                all_losses = None
-            else:
-                state, all_losses, all_acc = _dispatch_idx(state)
-                all_losses = all_losses.reshape(spd, -1)
-                all_acc = all_acc.reshape(spd, -1)
+        elif item[0] == 'idxgroup':
+            # pre-staged on the prefetch thread: one multi_step call
+            _, corpus_ref, offs_d, labs_d, quals_d, masks_d, n_ex = item
+            n_examples += n_ex
+            state, all_losses, all_acc = multi_step(
+                state, corpus_ref, offs_d, labs_d, rng, quality=quals_d,
+                mask_indices=masks_d)
+            all_losses = all_losses.reshape(spd, -1)
+            all_acc = all_acc.reshape(spd, -1)
+        elif item[0] == 'idxpartial':
+            # pack boundary / epoch tail: fewer than spd offset vectors —
+            # single-step program, same math
+            idx_buffer.extend(item[1])
+            n_examples += sum(b[1].shape[0] for b in item[1])
+            state = _drain_idx(state)
+            all_losses = None
         else:
             _, bsz, batch, label, quality, mask = item
             n_examples += bsz
@@ -628,6 +723,16 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
                     state, batch, label, rng, quality=quality,
                     mask_indices=mask)
         if all_losses is not None and all_losses.size > 0:
+            # A freshly dispatched group is now queued on the device:
+            # emit the previous window's deferred boundary FIRST, so its
+            # metric fetch (a device sync) finds the pipeline full
+            # instead of draining it to idle while the host prints —
+            # measured ~0.4 ms/batch of device idle per 50-step window
+            # on the tunnel backend when the boundary was processed
+            # inline.
+            if deferred_window is not None:
+                _emit_window(*deferred_window)
+                deferred_window = None
             if "locLoss_train" not in logs:
                 logs["locLoss_train"] = np.zeros(all_losses.shape[-1])
                 logs["locAcc_train"] = np.zeros(all_losses.shape[-1])
@@ -647,33 +752,19 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
             # logging_step % spd != 0 the old `(step+1) % logging_step`
             # check only fired at the LCM (e.g. every 200 steps for
             # 50/8) and then divided by logging_step, inflating the
-            # printed ms/batch 4x.
+            # printed ms/batch 4x. Processing is DEFERRED until the next
+            # dispatch is in flight (see above).
             if it - last_it >= logging_step:
-                window_steps = it - last_it
-                logs["locLoss_train"] += np.asarray(
-                    jnp.concatenate(pending_losses)).sum(0)
-                logs["locAcc_train"] += np.asarray(
-                    jnp.concatenate(pending_accs)).sum(0)
+                deferred_window = (pending_losses, pending_accs,
+                                   it - last_it, it, n_examples)
                 pending_losses, pending_accs = [], []
-                jax.block_until_ready(state.params)
-                new_time = time.perf_counter()
-                elapsed = new_time - start_time
-                print(f"Update {it}")
-                print(f"elapsed: {elapsed:.1f} s")
-                print(f"{1000.0 * elapsed / window_steps:.1f} ms per batch, "
-                      f"{1000.0 * elapsed / max(n_examples, 1):.1f} ms / "
-                      f"example")
-                # window mean: divide the window's sum by the number of
-                # optimizer steps accumulated IN the window (the reference
-                # divides by loggingStep, `cpc/train.py:160-164`; passing
-                # the cumulative `it` here made window N read ~1/N of the
-                # true value)
-                loc_logs = utils.update_logs(logs, max(it - last_it, 1),
-                                             last_logs)
-                last_logs = deepcopy(logs)
                 last_it = it
-                utils.show_logs("Training loss", loc_logs)
-                start_time, n_examples = new_time, 0
+                n_examples = 0
+
+    if deferred_window is not None:
+        # epoch ended right after a boundary: emit it now
+        _emit_window(*deferred_window)
+        deferred_window = None
 
     if profile_started:
         # epoch ended before step 15: close the trace instead of leaving
