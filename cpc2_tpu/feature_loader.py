@@ -142,6 +142,11 @@ def load_model(path_checkpoints: Sequence[str], loadStateDict: bool = True,
     """Reference `loadModel` (`feature_loader.py:238-283`): build from the
     checkpoint's stored args, optionally recurse through its own `load`
     chain, concat multiple checkpoints."""
+    if not path_checkpoints:
+        raise ValueError(
+            "load_model needs at least one checkpoint path — even with "
+            "loadStateDict=False / --no_pretraining, the checkpoint's "
+            "stored args define the architecture to build")
     bundles: List[ModelBundle] = []
     hidden_gar, hidden_encoder = 0, 0
     for path in path_checkpoints:

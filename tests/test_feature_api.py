@@ -319,3 +319,13 @@ class TestTrainMode:
         # deterministic given the seed: a second instance replays the stream
         fm_replay = fl.FeatureModule(bundle, False, train_mode=True)
         np.testing.assert_array_equal(first, np.asarray(fm_replay(data)))
+
+
+def test_load_model_empty_list_raises_clearly():
+    """--no_pretraining still needs a checkpoint (its stored args define
+    the architecture); an empty load list must fail with guidance, not
+    an IndexError (regression: round-4 probe run)."""
+    import pytest
+    from cpc2_tpu import feature_loader as fl
+    with pytest.raises(ValueError, match='at least one checkpoint'):
+        fl.loadModel([], loadStateDict=False)
