@@ -135,10 +135,10 @@ def _make_fused_theta(dist_name: str, symmetric: bool):
     return jax.jit(fused)
 
 
-def _make_fused_theta_batched(dist_name: str, symmetric: bool):
-    """Like `_make_fused_theta` but over a leading axis of G groups that
-    share one padded shape: (G, N, S, D) features, (G, N) lengths/valid
-    masks -> (G,) win/tie numerators. One program scores G triplet groups."""
+def _make_fused_core(dist_name: str, symmetric: bool):
+    """Traceable body scoring G same-shape triplet groups in one program:
+    (G, N, S, D) features, (G, N) lengths/valid masks -> (G,) win/tie
+    numerators."""
     dist_fn = _cosine_dist_g if dist_name == 'cosine' else _euclid_dist_g
 
     def dtw_pairs(q, r, lq, lr):
@@ -165,7 +165,74 @@ def _make_fused_theta_batched(dist_name: str, symmetric: bool):
         wins = (dxa_e < dxb_e).astype(jnp.float32) \
             + 0.5 * (dxa_e == dxb_e).astype(jnp.float32)
         return jnp.sum(wins * w, axis=(1, 2, 3))
-    return jax.jit(fused)
+    return fused
+
+
+def _make_fused_theta_batched(dist_name: str, symmetric: bool):
+    return jax.jit(_make_fused_core(dist_name, symmetric))
+
+
+def _make_fused_theta_gather(dist_name: str, symmetric: bool):
+    """The batched scorer fed by token-row INDICES into a device-resident
+    (T, D) feature matrix: per flush the host uploads one int32 buffer
+    (indices + lengths + valid masks, ~D x fewer bytes than the
+    materialized feature blocks) and the program gathers/pads on device.
+    Junk rows gathered beyond a token's true length never reach the DTW
+    answer cell (monotone paths through (n1-1, n2-1) only visit
+    in-length cells), exactly like the zero padding they replace — the
+    host-value path and this one produce identical scores
+    (tests/test_abx.py pins it)."""
+    core = _make_fused_core(dist_name, symmetric)
+
+    def gathered(feats, buf, sa, sb, sx):
+        def take(shape, off):
+            size = 1
+            for d in shape:
+                size *= d
+            return buf[off:off + size].reshape(shape), off + size
+        ia, off = take(sa, 0)
+        ib, off = take(sb, off)
+        ix, off = take(sx, off)
+        la, off = take(sa[:2], off)
+        lb, off = take(sb[:2], off)
+        lx, off = take(sx[:2], off)
+        va, off = take(sa[:2], off)
+        vb, off = take(sb[:2], off)
+        vx, off = take(sx[:2], off)
+        return core(feats[ia], feats[ib], feats[ix], la, lb, lx,
+                    va != 0, vb != 0, vx != 0)
+    return jax.jit(gathered, static_argnums=(2, 3, 4))
+
+
+def _make_fused_theta_packed(dist_name: str, symmetric: bool):
+    """The batched scorer behind ONE flat float32 operand: the host packs
+    all nine per-flush arrays (three (G,N,S,D) feature blocks, lengths,
+    valid masks — lengths/masks are exact in f32) into a single buffer,
+    so a flush costs one upload + one dispatch instead of nine uploads.
+    On remote-dispatch backends each upload is a ~100 ms round trip —
+    with ~7 flushes x 9 arrays this WAS the entire ABX wall (device busy
+    measured 0.5% before, scripts/profile_eval.py)."""
+    core = _make_fused_core(dist_name, symmetric)
+
+    def packed(buf, sa, sb, sx):
+        def take(shape, off):
+            size = 1
+            for d in shape:
+                size *= d
+            return buf[off:off + size].reshape(shape), off + size
+        a, off = take(sa, 0)
+        b, off = take(sb, off)
+        x, off = take(sx, off)
+        la, off = take(sa[:2], off)
+        lb, off = take(sb[:2], off)
+        lx, off = take(sx[:2], off)
+        va, off = take(sa[:2], off)
+        vb, off = take(sb[:2], off)
+        vx, off = take(sx[:2], off)
+        return core(a, b, x,
+                    la.astype(jnp.int32), lb.astype(jnp.int32),
+                    lx.astype(jnp.int32), va != 0, vb != 0, vx != 0)
+    return jax.jit(packed, static_argnums=(1, 2, 3))
 
 
 @jax.jit
@@ -204,6 +271,28 @@ def _fused_theta_batched(dist_name: str, symmetric: bool):
         _FUSED_BATCHED_CACHE[key] = _make_fused_theta_batched(dist_name,
                                                               symmetric)
     return _FUSED_BATCHED_CACHE[key]
+
+
+_FUSED_PACKED_CACHE = {}
+
+
+def _fused_theta_packed(dist_name: str, symmetric: bool):
+    key = (dist_name, symmetric)
+    if key not in _FUSED_PACKED_CACHE:
+        _FUSED_PACKED_CACHE[key] = _make_fused_theta_packed(dist_name,
+                                                            symmetric)
+    return _FUSED_PACKED_CACHE[key]
+
+
+_FUSED_GATHER_CACHE = {}
+
+
+def _fused_theta_gather(dist_name: str, symmetric: bool):
+    key = (dist_name, symmetric)
+    if key not in _FUSED_GATHER_CACHE:
+        _FUSED_GATHER_CACHE[key] = _make_fused_theta_gather(dist_name,
+                                                            symmetric)
+    return _FUSED_GATHER_CACHE[key]
 
 
 def _pad_group(g, sizes):
@@ -319,7 +408,21 @@ def get_abx_scores_dtw_on_group(group_iterator, distance_function,
     denoms = np.empty(n, np.float64)
     pending = []                  # (device (G,) numerators, [indices])
     buffers = {}                  # shape key -> list of (index, padded...)
-    fused = _fused_theta_batched(dist_name, symmetric)
+
+    # Device-resident feature matrix for the index-gather fast path: the
+    # loader's flat (T, D) block uploads ONCE; each flush then ships only
+    # int32 indices/lengths/masks and the program gathers the padded
+    # blocks on device. Re-uploading materialized feature values per
+    # flush measured ~1.7 s/flush over the remote tunnel (the whole ABX
+    # wall; scripts/profile_eval.py) — the same values were already on
+    # the wire once during feature extraction.
+    feats_np = getattr(getattr(group_iterator, 'dataset', None), 'data',
+                       None)
+    feats_dev = None
+    if isinstance(feats_np, np.ndarray) and feats_np.ndim == 2:
+        feats_dev = jnp.asarray(np.ascontiguousarray(feats_np, np.float32))
+    fused_gather = _fused_theta_gather(dist_name, symmetric)
+    fused_packed = _fused_theta_packed(dist_name, symmetric)
 
     def flush(key):
         items = buffers.pop(key)
@@ -331,11 +434,36 @@ def get_abx_scores_dtw_on_group(group_iterator, distance_function,
             arrs = [it[pos] for it in items]
             if gb > g_true:  # pad with all-invalid dummy groups
                 arrs += [np.zeros_like(arrs[0])] * (gb - g_true)
-            return jnp.asarray(np.stack(arrs))
+            return np.stack(arrs)
 
-        out = fused(stack(1), stack(4), stack(7),
-                    stack(2), stack(5), stack(8),
-                    stack(3), stack(6), stack(9))
+        use_gather = feats_dev is not None and all(
+            it[10] is not None and it[11] is not None and it[12] is not None
+            for it in items)
+        if use_gather:
+            t_rows = feats_dev.shape[0]
+
+            def idx_block(pos_start, pos_feat):
+                st = stack(pos_start)                     # (G, N)
+                s_pad = items[0][pos_feat].shape[1]
+                idx = st[:, :, None] + np.arange(s_pad)[None, None, :]
+                return np.clip(idx, 0, t_rows - 1)
+
+            ia = idx_block(10, 1)
+            ib = idx_block(11, 4)
+            ix = idx_block(12, 7)
+            buf = np.concatenate([t.astype(np.int32).ravel() for t in (
+                ia, ib, ix, stack(2), stack(5), stack(8),
+                stack(3), stack(6), stack(9))])
+            out = fused_gather(feats_dev, jnp.asarray(buf),
+                               ia.shape, ib.shape, ix.shape)
+        else:
+            # fallback: ONE flat f32 value upload per flush (lengths and
+            # masks are exact in f32)
+            a, b, x = stack(1), stack(4), stack(7)
+            buf = np.concatenate([t.astype(np.float32).ravel() for t in (
+                a, b, x, stack(2), stack(5), stack(8),
+                stack(3), stack(6), stack(9))])
+            out = fused_packed(jnp.asarray(buf), a.shape, b.shape, x.shape)
         pending.append((out, idxs))
 
     done = 0
@@ -353,9 +481,19 @@ def get_abx_scores_dtw_on_group(group_iterator, distance_function,
         coords_list[index] = coords
         denoms[index] = n_pos * nb
 
+        def pad_starts(g, bn):
+            st = getattr(g, 'token_starts', None)
+            if st is None:
+                return None
+            out = np.zeros(bn, np.int64)
+            out[:len(st)] = st
+            return out
+
         key = (ap.shape, bp.shape, xp.shape)
         buffers.setdefault(key, []).append(
-            (index, ap, la, va, bp, lb, vb, xp, lx, vx))
+            (index, ap, la, va, bp, lb, vb, xp, lx, vx,
+             pad_starts(a, ap.shape[0]), pad_starts(b, bp.shape[0]),
+             pad_starts(x, xp.shape[0])))
         if len(buffers[key]) >= _GROUP_BATCH:
             flush(key)
         done += 1

@@ -183,6 +183,15 @@ class ABXFeatureLoader:
         raise ValueError(f"Invalid mode: {mode}")
 
 
+class TokenBlock(np.ndarray):
+    """A materialized group block that additionally remembers where its
+    token rows live in the loader's flat feature matrix
+    (`token_starts`, one offset per block row). Plain ndarray in every
+    other respect; views/copies drop the attribute, which downstream
+    code treats as 'no gather fast path'."""
+    token_starts = None
+
+
 class ABXIterator:
     """Base class building ABX triplets
     (reference `abx_iterators.py:264-312`)."""
@@ -214,11 +223,20 @@ class ABXIterator:
         longest = max(size for _, size, _ in rows)
 
         block = np.zeros((len(rows), longest, self.dataset.feature_dim),
-                         dtype=np.float32)
+                         dtype=np.float32).view(TokenBlock)
         lengths = np.zeros(len(rows), dtype=np.int64)
         for j, (slice_, size, _) in enumerate(rows):
             block[j, :size] = slice_
             lengths[j] = size
+        # Row offsets into the loader's flat (T, D) feature matrix: the
+        # device scorer gathers the block FROM a device-resident copy of
+        # that matrix instead of re-uploading the materialized values
+        # (`get_abx_scores_dtw_on_group`); on remote-dispatch backends
+        # those value uploads were the entire ABX wall. The materialized
+        # values stay the source of truth for the host path.
+        block.token_starts = np.asarray(
+            [self.dataset.features[self.index_csp[i]][0] for i in chosen],
+            dtype=np.int64)
         return block, lengths, group_id
 
     def __len__(self):

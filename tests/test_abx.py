@@ -371,3 +371,71 @@ class TestBatchedGroupScoring:
         np.testing.assert_allclose(np.array(singles), values, atol=2e-7)
         np.testing.assert_array_equal(
             coords, np.array([g[0] for g in groups], dtype=np.int64))
+
+
+class TestGatherPathEquality:
+    """The index-gather fast path (flush ships int32 token indices into a
+    device-resident feature matrix instead of re-uploading materialized
+    blocks) must score EVERY group identically to the value-upload path:
+    gathered junk beyond a token's length never reaches the DTW answer
+    cell, exactly like the zero padding it replaces."""
+
+    def test_gather_equals_value_path(self):
+        import jax
+        from cpc2_tpu.eval.abx import abx_group_computation as abx_g
+        from cpc2_tpu.eval.abx import abx_iterators
+
+        rs = np.random.RandomState(7)
+        t, d = 300, 16
+
+        class _DS:
+            feature_dim = d
+            data = rs.randn(t, d).astype(np.float32)
+
+        class _It:
+            dataset = _DS()
+            symmetric = False
+
+            def __init__(self, strip_starts):
+                self.strip = strip_starts
+                # 5 groups with ragged member counts/lengths
+                self.groups = []
+                g_rs = np.random.RandomState(1)
+                for gi in range(5):
+                    def member(n):
+                        starts = g_rs.randint(0, t - 12, n)
+                        sizes = g_rs.randint(2, 12, n)
+                        longest = sizes.max()
+                        blk = np.zeros((n, longest, d), np.float32).view(
+                            abx_iterators.TokenBlock)
+                        for j, (st, sz) in enumerate(zip(starts, sizes)):
+                            blk[j, :sz] = _DS.data[st:st + sz]
+                        blk.token_starts = starts.astype(np.int64)
+                        if self.strip:
+                            blk = np.asarray(blk)   # drops token_starts
+                        return blk, sizes.astype(np.int64)
+                    a = member(3)
+                    b = member(2)
+                    x = member(4)
+                    coords = (gi, 0, 1, 0)
+                    self.groups.append((coords, a, b, x))
+
+            def __len__(self):
+                return len(self.groups)
+
+            def __iter__(self):
+                return iter(self.groups)
+
+            def get_board_size(self):
+                return (5, 2, 2, 1)
+
+        dist = abx_g.get_distance_function_from_name('cosine')
+        out = {}
+        for strip in (False, True):
+            it = _It(strip)
+            coords, values, board = abx_g.get_abx_scores_dtw_on_group(
+                it, dist, it.symmetric)
+            out[strip] = np.asarray(values)
+        # strip=True forces the value-upload path; strip=False the gather
+        np.testing.assert_allclose(out[False], out[True], atol=1e-6)
+        assert np.isfinite(out[False]).all()
