@@ -172,6 +172,23 @@ def _make_fused_theta_batched(dist_name: str, symmetric: bool):
     return jax.jit(_make_fused_core(dist_name, symmetric))
 
 
+def _unpack_flush_buffer(buf, sa, sb, sx):
+    """Split one flat flush buffer into the nine per-flush arrays: three
+    (G, N, S[, D]) blocks, then lengths and valid masks ((G, N) each) —
+    the single layout both the value-packed and index-gather scorers
+    consume."""
+    out = []
+    off = 0
+    for shape in (sa, sb, sx, sa[:2], sb[:2], sx[:2],
+                  sa[:2], sb[:2], sx[:2]):
+        size = 1
+        for d in shape:
+            size *= d
+        out.append(buf[off:off + size].reshape(shape))
+        off += size
+    return out
+
+
 def _make_fused_theta_gather(dist_name: str, symmetric: bool):
     """The batched scorer fed by token-row INDICES into a device-resident
     (T, D) feature matrix: per flush the host uploads one int32 buffer
@@ -185,20 +202,8 @@ def _make_fused_theta_gather(dist_name: str, symmetric: bool):
     core = _make_fused_core(dist_name, symmetric)
 
     def gathered(feats, buf, sa, sb, sx):
-        def take(shape, off):
-            size = 1
-            for d in shape:
-                size *= d
-            return buf[off:off + size].reshape(shape), off + size
-        ia, off = take(sa, 0)
-        ib, off = take(sb, off)
-        ix, off = take(sx, off)
-        la, off = take(sa[:2], off)
-        lb, off = take(sb[:2], off)
-        lx, off = take(sx[:2], off)
-        va, off = take(sa[:2], off)
-        vb, off = take(sb[:2], off)
-        vx, off = take(sx[:2], off)
+        ia, ib, ix, la, lb, lx, va, vb, vx = _unpack_flush_buffer(
+            buf, sa, sb, sx)
         return core(feats[ia], feats[ib], feats[ix], la, lb, lx,
                     va != 0, vb != 0, vx != 0)
     return jax.jit(gathered, static_argnums=(2, 3, 4))
@@ -215,20 +220,8 @@ def _make_fused_theta_packed(dist_name: str, symmetric: bool):
     core = _make_fused_core(dist_name, symmetric)
 
     def packed(buf, sa, sb, sx):
-        def take(shape, off):
-            size = 1
-            for d in shape:
-                size *= d
-            return buf[off:off + size].reshape(shape), off + size
-        a, off = take(sa, 0)
-        b, off = take(sb, off)
-        x, off = take(sx, off)
-        la, off = take(sa[:2], off)
-        lb, off = take(sb[:2], off)
-        lx, off = take(sx[:2], off)
-        va, off = take(sa[:2], off)
-        vb, off = take(sb[:2], off)
-        vx, off = take(sx[:2], off)
+        a, b, x, la, lb, lx, va, vb, vx = _unpack_flush_buffer(
+            buf, sa, sb, sx)
         return core(a, b, x,
                     la.astype(jnp.int32), lb.astype(jnp.int32),
                     lx.astype(jnp.int32), va != 0, vb != 0, vx != 0)
@@ -262,37 +255,29 @@ def _fused_theta(dist_name: str, symmetric: bool):
     return _FUSED_CACHE[key]
 
 
-_FUSED_BATCHED_CACHE = {}
+_SCORER_MAKERS = {'batched': _make_fused_theta_batched,
+                  'packed': _make_fused_theta_packed,
+                  'gather': _make_fused_theta_gather}
+_SCORER_CACHE = {}
+
+
+def _scorer(kind: str, dist_name: str, symmetric: bool):
+    key = (kind, dist_name, symmetric)
+    if key not in _SCORER_CACHE:
+        _SCORER_CACHE[key] = _SCORER_MAKERS[kind](dist_name, symmetric)
+    return _SCORER_CACHE[key]
 
 
 def _fused_theta_batched(dist_name: str, symmetric: bool):
-    key = (dist_name, symmetric)
-    if key not in _FUSED_BATCHED_CACHE:
-        _FUSED_BATCHED_CACHE[key] = _make_fused_theta_batched(dist_name,
-                                                              symmetric)
-    return _FUSED_BATCHED_CACHE[key]
-
-
-_FUSED_PACKED_CACHE = {}
+    return _scorer('batched', dist_name, symmetric)
 
 
 def _fused_theta_packed(dist_name: str, symmetric: bool):
-    key = (dist_name, symmetric)
-    if key not in _FUSED_PACKED_CACHE:
-        _FUSED_PACKED_CACHE[key] = _make_fused_theta_packed(dist_name,
-                                                            symmetric)
-    return _FUSED_PACKED_CACHE[key]
-
-
-_FUSED_GATHER_CACHE = {}
+    return _scorer('packed', dist_name, symmetric)
 
 
 def _fused_theta_gather(dist_name: str, symmetric: bool):
-    key = (dist_name, symmetric)
-    if key not in _FUSED_GATHER_CACHE:
-        _FUSED_GATHER_CACHE[key] = _make_fused_theta_gather(dist_name,
-                                                            symmetric)
-    return _FUSED_GATHER_CACHE[key]
+    return _scorer('gather', dist_name, symmetric)
 
 
 def _pad_group(g, sizes):

@@ -10,6 +10,7 @@ Run: `python -m cpc2_tpu.train --pathDB ... --pathCheckpoint ...`
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import random
@@ -260,7 +261,11 @@ class PodTailRunner:
     out of tails submit an all-masked filler. Loss, metrics, and
     gradients normalize by the global psum of valid counts, so the
     update is the EXACT mean over real examples and every process
-    executes the same program — no drop, no desync.
+    executes the same program — no drop, no desync from tail-SIZE
+    differences. (Per-host batch COUNTS must still match — the
+    lock-step invariant the reference's DDP imposes too; `run` checks
+    loader lengths up front and docs/parallelism.md states the full
+    sharding contract.)
 
     Duck-types TailRunner (`add` / `run_train` / `run_val`);
     `wants_all_ragged` routes every non-full batch here (the
@@ -313,10 +318,14 @@ class PodTailRunner:
             msk_p = np.concatenate([msk[:t][idx], msk[t:][idx]])
         return seq_p, lab_p, qual_p, msk_p, valid
 
-    def _filler(self):
+    def _filler(self, with_quality):
         """All-masked stand-in for hosts that ran out of tails: repeat
         the last buffered item if any (real audio for the BN stats),
-        zeros otherwise; weight 0 either way."""
+        zeros otherwise; weight 0 either way. `with_quality` must mirror
+        what tail-HOLDING hosts stage this phase (train items carry the
+        quality array when --signal_quality_path is set; val items carry
+        None) — processes in one collective round must trace the same
+        program signature."""
         if self._items:
             seq_p, lab_p, qual_p, msk_p, _ = self._padded(self._items[-1])
         else:
@@ -324,10 +333,12 @@ class PodTailRunner:
             seq_p = np.zeros((b, 2, 1, args.sizeWindow), np.float32)
             lab_p = np.zeros((b,), np.int32)
             qual_p = msk_p = None
-            if args.signal_quality_path is not None:
+            if with_quality:
                 qual_p = np.zeros((b, self._frames), np.float32)
             if args.cpc_mode == 'bert' or args.mask_prob > 0:
                 msk_p = np.zeros((2 * b, self._frames), bool)
+        if not with_quality:
+            qual_p = None
         return seq_p, lab_p, qual_p, msk_p, np.zeros(
             (self._local_batch,), np.float32)
 
@@ -349,7 +360,7 @@ class PodTailRunner:
         msk = None if msk is None else shard_batch(self._mesh, msk)
         return batch, lab, qual, msk, valid
 
-    def _rounds(self):
+    def _rounds(self, with_quality):
         # agree BEFORE the early-out: the allgather is a collective every
         # process must reach even with an empty local buffer
         n = self._agreed_rounds()
@@ -359,12 +370,13 @@ class PodTailRunner:
             if i < len(self._items):
                 yield self._padded(self._items[i])
             else:
-                yield self._filler()
+                yield self._filler(with_quality)
 
     def run_train(self, state, rng):
         """Returns (state, [(n_local_examples, losses, accs), ...])."""
         out = []
-        for seq, lab, qual, msk, valid in self._rounds():
+        with_quality = self._args.signal_quality_path is not None
+        for seq, lab, qual, msk, valid in self._rounds(with_quality):
             train_step, _ = self._steps
             n_local = int(valid.sum())
             batch, lab, qual, msk, valid = self._stage(seq, lab, qual,
@@ -377,9 +389,11 @@ class PodTailRunner:
         return state, out
 
     def run_val(self, state, rng):
+        # val items never carry quality (val_epoch stages None), so the
+        # filler must not either
         out = []
         for item_i, (seq, lab, qual, msk, valid) in enumerate(
-                self._rounds()):
+                self._rounds(False)):
             _, val_step = self._steps
             n_local = int(valid.sum())
             batch, lab, qual, msk, valid = self._stage(seq, lab, qual,
@@ -391,6 +405,33 @@ class PodTailRunner:
             out.append((n_local, np.asarray(losses), np.asarray(accs)))
         self._items = []
         return out
+
+
+def _make_label_stager(mesh, args):
+    """The unsupervised CPC criterion never reads the per-window speaker
+    label (its `label` arg is ignored, reference `criterion.py:329`
+    likewise) — uploading the (B,) int32 vector per dispatch buys
+    nothing but a tunnel RPC. Stage one cached zeros array per shape
+    instead; supervised/BERT paths keep the real labels. Shared by the
+    train and val epoch loops."""
+    labels_unused = (not getattr(args, 'supervised', False)
+                     and args.cpc_mode != 'bert')
+    cache = {}
+
+    def stage(labs, stacked=False):
+        labs = np.asarray(labs).astype(np.int32)
+        if stacked:
+            from .training import shard_stacked_batch
+            put = functools.partial(shard_stacked_batch, mesh)
+        else:
+            put = functools.partial(shard_batch, mesh)
+        if not labels_unused:
+            return put(labs)
+        key = (labs.shape, stacked)
+        if key not in cache:
+            cache[key] = put(np.zeros_like(labs))
+        return cache[key]
+    return stage
 
 
 _EPOCH_END = object()       # prefetch-transform sentinel: flush buffers
@@ -420,31 +461,7 @@ def train_epoch(data_loader, state, train_step, mesh, args, logging_step,
     ragged = []
     stager = WireStager(mesh)
 
-    # The unsupervised CPC criterion never reads the per-window speaker
-    # label (its `label` arg is ignored, reference `criterion.py:329`
-    # likewise) — uploading the (B,) int32 vector per dispatch buys
-    # nothing but a tunnel RPC. Stage one cached zeros array per shape
-    # instead; supervised/BERT paths keep the real labels.
-    labels_unused = (not getattr(args, 'supervised', False)
-                     and args.cpc_mode != 'bert')
-    _label_cache = {}
-
-    def _stage_labels(labs, stacked=False):
-        labs = np.asarray(labs).astype(np.int32)
-        if not labels_unused:
-            if stacked:
-                from .training import shard_stacked_batch
-                return shard_stacked_batch(mesh, labs)
-            return shard_batch(mesh, labs)
-        key = (labs.shape, stacked)
-        if key not in _label_cache:
-            z = np.zeros_like(labs)
-            if stacked:
-                from .training import shard_stacked_batch
-                _label_cache[key] = shard_stacked_batch(mesh, z)
-            else:
-                _label_cache[key] = shard_batch(mesh, z)
-        return _label_cache[key]
+    _stage_labels = _make_label_stager(mesh, args)
 
     def _route_tail(sequence, label, quality, mask):
         """Route a short batch so every example still trains (reference
@@ -846,6 +863,7 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
     ragged = []
     pending = []
     stager = WireStager(mesh)
+    _stage_labels = _make_label_stager(mesh, args)
     keep_hidden = getattr(args, '_keep_hidden', False)
     hidden = None
     if keep_hidden:
@@ -875,7 +893,7 @@ def val_epoch(data_loader, state, val_step, mesh, args, rng, frames,
             batch = device_corpus.put(sequence)
         else:
             batch = stager.put(sequence)
-        label = shard_batch(mesh, np.asarray(label).astype(np.int32))
+        label = _stage_labels(label)
         if mask is not None:
             mask = shard_batch(mesh, mask)
         # Per-batch key: the compiled val body folds in state.step, which
@@ -988,6 +1006,31 @@ def run(train_dataset, val_dataset, batch_size, sampling_mode, state,
               "batch size %d" % (len(train_loader),
                                  len(val_loader) if val_loader else 0,
                                  batch_size))
+
+        if args.distributed and jax.process_count() > 1:
+            # Lock-step guard: every process must dispatch the same number
+            # of FULL-batch global steps; a host with more would issue a
+            # collective no one else joins (the reference's DDP hangs the
+            # same way on unequal per-rank loaders). PodTailRunner lifts
+            # the tail-SIZE constraint — ragged batches of any per-host
+            # size train — but ragged batches must occur at matching
+            # positions (pack ends / the epoch end, where samplers place
+            # them). This up-front check catches length divergence with a
+            # clear error instead of a mid-epoch hang; a full-vs-ragged
+            # COMPOSITION mismatch at the same index remains the caller's
+            # sharding responsibility (docs/parallelism.md), as in the
+            # reference.
+            from jax.experimental import multihost_utils
+            counts = multihost_utils.process_allgather(np.asarray(
+                [len(train_loader), len(val_loader) if val_loader else 0],
+                np.int32))
+            if not (counts == counts[0]).all():
+                raise RuntimeError(
+                    "per-host loader lengths diverge across processes "
+                    f"({counts.tolist()}): the lock-step epoch loop needs "
+                    "every process to yield the same batch count. Shard "
+                    "--pathTrain/--pathVal so hosts carry equal window "
+                    "counts (see docs/parallelism.md).")
 
         state, loc_logs_train = train_epoch(
             train_loader, state, train_step, mesh, args,

@@ -298,7 +298,20 @@ def build_steps(model: nn.Module, criterion: nn.Module,
         losses = jax.lax.psum(losses, DATA) / total
         accs = jax.lax.psum(accs, DATA) / total
         if new_bs:
-            new_bs = jax.lax.pmean(new_bs, DATA)
+            # Batch-norm running stats average only over shards holding
+            # at least one REAL example: the validity weights mask loss/
+            # grads/metrics but a shard's batch statistics are computed
+            # from whatever rows it carries, and an out-of-tails host's
+            # all-zero filler must not pollute the replicated stats.
+            # (Cyclic-repeat pad rows within a participating shard DO
+            # enter its stats — real audio, same trade a reference
+            # DataParallel tail shard makes.) Some shard always
+            # participates: a round exists only because some host holds
+            # a real tail.
+            m = (jnp.sum(valid) > 0).astype(jnp.float32)
+            m_tot = jnp.maximum(jax.lax.psum(m, DATA), 1.0)
+            new_bs = jax.tree.map(
+                lambda n: jax.lax.psum(n * m, DATA) / m_tot, new_bs)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=new_params, opt_state=new_opt,

@@ -109,20 +109,23 @@ class TestStepsPerDispatchComposition:
                      extra + ['--steps_per_dispatch', '3'])
         for key in ('locLoss_train', 'locAcc_train', 'locLoss_val',
                     'locAcc_val'):
-            # fp-fusion tolerance on losses (the scanned body fuses
-            # reductions differently; Adam amplifies the ~1e-7 logit
-            # wobble over two epochs — step-level equality at 1e-6 is
-            # pinned in tests/test_multi_step.py). Accuracies are means
-            # of DISCRETE pos>=max(neg) comparisons, and this corpus of
-            # stationary tones makes them tie-dominated (negatives drawn
-            # from the same near-periodic window score within ulps of
-            # the positive), so the same wobble that moves the loss by
-            # 5e-5 flips whole blocks of ties — the loss row is the real
-            # trajectory pin, the acc row only guards gross divergence.
-            atol = 1e-4 if 'Loss' in key else 0.05
-            np.testing.assert_allclose(
-                np.asarray(one[key], np.float64),
-                np.asarray(three[key], np.float64), atol=atol, err_msg=key)
+            a = np.asarray(one[key], np.float64)
+            b = np.asarray(three[key], np.float64)
+            # Epoch 0 starts from identical state, so the fp-fusion
+            # wobble (the scanned body fuses reductions differently) has
+            # not been amplified yet: pin it TIGHT — this row is the real
+            # regression guard for the spd composition. By epoch 1 Adam
+            # has amplified the ~1e-7 logit wobble into the params
+            # (step-level equality at 1e-6 is pinned in
+            # tests/test_multi_step.py), and accuracies — means of
+            # DISCRETE pos>=max(neg) comparisons, tie-dominated on this
+            # stationary-tone corpus — flip in whole blocks, so later
+            # epochs only guard gross divergence.
+            tight = 2e-5 if 'Loss' in key else 2e-3
+            loose = 1e-4 if 'Loss' in key else 0.05
+            np.testing.assert_allclose(a[0], b[0], atol=tight,
+                                       err_msg=f'{key} epoch 0')
+            np.testing.assert_allclose(a, b, atol=loose, err_msg=key)
 
 
 class TestGuards:

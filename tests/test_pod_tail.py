@@ -176,7 +176,8 @@ class TestPodTailRunnerSingleProcess:
         1e-9 floor — the state must stay finite and unchanged-ish (zero
         gradient contribution)."""
         args, mesh, runner, state = self._runner()
-        seq_p, lab_p, qual_p, msk_p, valid = runner._filler()
+        seq_p, lab_p, qual_p, msk_p, valid = runner._filler(
+            with_quality=False)
         assert valid.sum() == 0
         runner._build()
         step, _ = runner._steps
