@@ -179,6 +179,11 @@ def main():
         "value": round(float(value), 2),
         "unit": "audio-hours/hour/chip",
         "vs_baseline": round(float(value) / TORCH_GPU_BASELINE_AH_PER_H, 3),
+        # the denominator is an ESTIMATED ~95 ms/step V100 (no GPU exists
+        # in this environment to measure one); the caveat must travel
+        # with every derived number — BASELINE.md has the measured
+        # same-host torch-CPU anchor (8,280 ms/step)
+        "baseline_estimated": True,
     }))
     print(f"# {1000 * best:.2f} ms/step "
           f"({max(inner, 1)} steps/dispatch), "

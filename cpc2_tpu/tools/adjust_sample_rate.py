@@ -1,14 +1,14 @@
-"""Resample audio files matched to a transcript list
-(reference `cpc/eval/utils/adjust_sample_rate.py`).
+"""Resample audio files matched to a transcript list (parity surface:
+`cpc/eval/utils/adjust_sample_rate.py` — same CLI flags, own pipeline).
 
-The reference used torchaudio's sinc resampler on Common Voices mp3; here
-resampling is a polyphase scipy filter. mp3 input is decoded by the
+The reference used torchaudio's sinc resampler on Common Voices mp3;
+here resampling is a polyphase scipy filter. mp3 input is decoded by the
 native FFmpeg-backed shim (`csrc/audiodec.cc`) when it is built; on
 machines without the FFmpeg dev libraries, `.mp3` fails fast with a
 conversion hint rather than crashing mid-decode.
 
-Run: `python -m cpc2_tpu.tools.adjust_sample_rate <path_db>
-<path_phone_files> <path_out> [--out_sample_rate 16000]`
+Run: ``python -m cpc2_tpu.tools.adjust_sample_rate <path_db>
+<path_phone_files> <path_out> [--out_sample_rate 16000]``
 """
 
 from __future__ import annotations
@@ -26,6 +26,7 @@ from ..data.audio_io import load_audio, save_wav
 
 
 def resample(data: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resample to target_sr (identity when rates match)."""
     if sr == target_sr:
         return data
     g = math.gcd(sr, target_sr)
@@ -33,22 +34,45 @@ def resample(data: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
         np.float32)
 
 
+def convert_one(src: str, dst: str, target_sr: int) -> None:
+    """Decode -> resample -> write one file as 16-bit wav at target_sr."""
+    data, sr = load_audio(src)
+    save_wav(dst, resample(np.asarray(data), sr, target_sr), target_sr)
+
+
 def adjust_sample_rate(path_db, file_list, path_db_out, target_sr):
-    for index, item in enumerate(file_list):
-        path_in = os.path.join(path_db, item)
-        path_out = os.path.join(
-            path_db_out, str(Path(item).with_suffix('.wav')))
-        data, sr = load_audio(path_in)
-        data = resample(np.asarray(data), sr, target_sr)
-        save_wav(path_out, data, target_sr)
-        if (index + 1) % 100 == 0:
-            print(f"  {index + 1}/{len(file_list)}")
+    """Convert every `file_list` entry under `path_db` into
+    `path_db_out/<stem>.wav` at `target_sr`."""
+    for i, rel in enumerate(file_list, start=1):
+        convert_one(os.path.join(path_db, rel),
+                    os.path.join(path_db_out,
+                                 str(Path(rel).with_suffix('.wav'))),
+                    target_sr)
+        if i % 100 == 0:
+            print(f"  {i}/{len(file_list)}")
 
 
 def get_names_list(path_tsv_file):
-    with open(path_tsv_file, 'r') as f:
-        data = f.readlines()
-    return [x.split()[0] for x in data]
+    """First whitespace-separated column of a transcript table — the
+    audio file names that have a transcription."""
+    with open(path_tsv_file) as f:
+        return [line.split()[0] for line in f if line.strip()]
+
+
+def transcribed_audio(path_db: str, extension: str,
+                      transcript_tsv: str) -> list:
+    """Audio files in `path_db` (non-recursive, `extension`) whose stem
+    appears in the transcript table, sorted."""
+    with_transcript = {Path(n).stem
+                      for n in get_names_list(transcript_tsv)} \
+        | set(get_names_list(transcript_tsv))
+    found = [f for f in os.listdir(path_db)
+             if Path(f).suffix == extension]
+    print(f"Found {len(found)} in the dataset")
+    keep = sorted(f for f in found
+                  if Path(f).stem in with_transcript
+                  or f in with_transcript)
+    return keep
 
 
 def parse_args(argv):
@@ -72,18 +96,11 @@ def main(argv):
         from ..data.audio_io import _MP3_HELP, _get_audec_lib
         if _get_audec_lib() is None:
             raise SystemExit(f"--file_extension .mp3: {_MP3_HELP}")
-    file_list_db = [f for f in os.listdir(args.path_db)
-                    if Path(f).suffix == args.file_extension]
-    print(f"Found {len(file_list_db)} in the dataset")
-    file_list_phone = get_names_list(args.path_phone_files)
-    print(f"Found {len(file_list_phone)} with a phone transcription")
-
-    transcribed = set(file_list_phone)
-    out_list = sorted(f for f in file_list_db
-                      if Path(f).stem in transcribed)
-    print(f"Converting {len(out_list)} files")
+    targets = transcribed_audio(args.path_db, args.file_extension,
+                                args.path_phone_files)
+    print(f"Converting {len(targets)} files")
     Path(args.path_out).mkdir(parents=True, exist_ok=True)
-    adjust_sample_rate(args.path_db, out_list, args.path_out,
+    adjust_sample_rate(args.path_db, targets, args.path_out,
                        args.out_sample_rate)
 
 

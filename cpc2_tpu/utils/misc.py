@@ -28,35 +28,41 @@ def untensor(d):
 
 
 def save_logs(data: Dict, path_logs: str) -> None:
+    """checkpoint_logs.json writer — 2-space-indent JSON, the exact file
+    the reference's tooling (best_val_epoch, resume) reads back."""
     with open(path_logs, 'w') as f:
         json.dump(data, f, indent=2)
 
 
 def update_logs(logs: Dict, log_step: int, prev_logs: Optional[Dict] = None
                 ) -> Dict:
-    out = {}
-    for key in logs:
-        out[key] = deepcopy(logs[key])
+    """Per-window means: (cumulative - previous cumulative) / steps, key
+    by key — byte-compatible with the reference's accumulator
+    (`utils/misc.py:30-38`)."""
+    def window_mean(key, total):
+        total = deepcopy(total)
         if prev_logs is not None:
-            out[key] -= prev_logs[key]
-        out[key] /= log_step
-    return out
+            total = total - prev_logs[key]
+        return total / log_step
+    return {key: window_mean(key, total) for key, total in logs.items()}
 
 
 def show_logs(text: str, logs: Dict) -> None:
-    print("")
-    print('-' * 50)
-    print(text)
-    for key in logs:
+    """The reference's per-prediction-step metric table, byte for byte
+    (`utils/misc.py:44-60`): a 'Step 1..K' header row and one
+    16-char-right-aligned value row per metric, between 50-dash rules."""
+    def row(cells):
+        return ' '.join('{:>16}' for _ in cells).format(*cells)
+
+    lines = ["", '-' * 50, text]
+    for key, values in logs.items():
         if key == "iter":
             continue
-        n_predicts = logs[key].shape[0]
-        str_steps = ['Step'] + [str(s) for s in range(1, n_predicts + 1)]
-        format_command = ' '.join(['{:>16}' for _ in range(n_predicts + 1)])
-        print(format_command.format(*str_steps))
-        str_log = [key] + ["{:10.6f}".format(s) for s in logs[key]]
-        print(format_command.format(*str_log))
-    print('-' * 50)
+        steps = [str(k) for k in range(1, values.shape[0] + 1)]
+        lines.append(row(['Step'] + steps))
+        lines.append(row([key] + ['{:10.6f}'.format(v) for v in values]))
+    lines.append('-' * 50)
+    print('\n'.join(lines))
 
 
 def set_seed(seed: Optional[int]) -> None:
