@@ -495,6 +495,7 @@ def build_feature_files(feature_maker: Callable, seq_paths,
         by_length[seq.shape[-1]].append((p, seq))
 
     out = {}
+    pending = []       # (batch_items, device (B, T, D)); fetched at the end
     for size_seq, items in by_length.items():
         for lo in range(0, len(items), max_batch):
             batch_items = items[lo:lo + max_batch]
@@ -521,15 +522,21 @@ def build_feature_files(feature_maker: Callable, seq_paths,
                       else DOWNSAMPLING)
                 delta = (size_seq - start) // ds
                 chunks.append(jnp.asarray(feats)[:, -delta:])
-            # concat on device, fetch once: per-chunk np.asarray paid one
-            # round trip per chunk on remote-dispatch backends
-            whole = np.asarray(jnp.concatenate(chunks, axis=1)
-                               if len(chunks) > 1 else chunks[0])
-            for j, (p, _) in enumerate(batch_items):
-                feats = whole[j:j + 1]
-                if bucket_frames > 0:
-                    feats = feats[:, :true_frames[p]]
-                out[p] = feats
+            # concat on device; the FETCH is deferred so group k+1's
+            # dispatches overlap group k's device->host transfer (an
+            # inline np.asarray here serialized compute with fetch —
+            # round-trip bound on remote-dispatch backends)
+            pending.append((batch_items,
+                            jnp.concatenate(chunks, axis=1)
+                            if len(chunks) > 1 else chunks[0]))
+
+    for batch_items, whole_dev in pending:
+        whole = np.asarray(whole_dev)
+        for j, (p, _) in enumerate(batch_items):
+            feats = whole[j:j + 1]
+            if bucket_frames > 0:
+                feats = feats[:, :true_frames[p]]
+            out[p] = feats
     return out
 
 

@@ -153,3 +153,12 @@ class TestTrajectoryParity:
             batch, lab = shard_batch(mesh, x, np.zeros((8,), np.int32))
             st, losses, accs = step(st, batch, lab, jax.random.PRNGKey(0))
             assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_dcn_rejects_model_axis_composition(tmp_path):
+    """--dcn_axis_size composes with the data-parallel paths only; with
+    --model_axis_size > 1 train.main must refuse up front."""
+    from cpc2_tpu import train
+    with pytest.raises(ValueError, match='dcn_axis_size composes'):
+        train.main(['--pathDB', str(tmp_path),
+                    '--model_axis_size', '2', '--dcn_axis_size', '2'])

@@ -259,6 +259,52 @@ def test_two_process_train_cli_ragged_tails(tmp_path):
     assert m0 == m1 and m0, (m0[:3], m1[:3])
 
 
+def test_two_process_unequal_loaders_fail_fast(tmp_path):
+    """The lock-step guard: per-host loaders of different LENGTHS must
+    raise the clear sharding error at epoch start on every rank instead
+    of hanging mid-epoch on a collective nobody joins (the reference's
+    DDP hangs silently in this situation)."""
+    sys.path.insert(0, REPO)
+    from cpc2_tpu.data.audio_io import save_wav
+    from cpc2_tpu.data.corpus import findAllSeqs
+    rs = np.random.RandomState(0)
+    root = tmp_path / 'db'
+    # host0 gets a 8-window file, host1 a 16-window file -> 2 vs 4
+    # batches at B_local=4 under uniform sampling
+    for i, n_win in enumerate((8, 16)):
+        d = root / f's{i}' / 'c'
+        d.mkdir(parents=True)
+        n = 4160 * n_win + 2080
+        t = np.arange(n) / 16000.0
+        x = (0.3 * np.sin(2 * np.pi * (150 + 30 * i) * t)
+             + 0.05 * rs.randn(n)).astype(np.float32)
+        save_wav(str(d / f's{i}-t.wav'), x, 16000)
+    for i in range(2):
+        d = root / f's{i}' / 'c'
+        n = 4160 * 8
+        x = (0.2 * np.sin(2 * np.pi * 220 * np.arange(n) / 16000.0)
+             ).astype(np.float32)
+        save_wav(str(d / f's{i}-v.wav'), x, 16000)
+    (tmp_path / 'train.txt').write_text('s0-t\ns1-t\n')
+    (tmp_path / 'val.txt').write_text('s0-v\ns1-v\n')
+    findAllSeqs(str(root), extension='.wav', loadCache=False)
+
+    env = _worker_env()
+    port = str(_free_port())
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'multihost_train_worker.py')
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), port, str(root),
+         str(tmp_path / f'ck{pid}'), str(tmp_path / 'train.txt'),
+         str(tmp_path / 'val.txt')],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode != 0, "expected the lock-step guard to fire"
+        assert 'per-host loader lengths diverge' in err, err[-2000:]
+
+
 def test_two_process_train_cli_dcn(tmp_path):
     """Multi-slice simulation: the same 2-process CLI run over the
     2-level ('dcn_data','ici_data') mesh (`--dcn_axis_size 2`) with the
