@@ -38,52 +38,44 @@ def _scatter_dense(coords, values, board_size):
     return dense, counts
 
 
+def _pooled_error(totals, counts):
+    """Two-stage average of a scored board down to one error rate.
+
+    Boards are (speaker, phoneA, phoneB, context[, speakerX]). Stage 1
+    averages each cell over its contexts (axis 3); stage 2 averages the
+    occupied cells over every remaining non-phone-pair axis — axis 0 for
+    'within', axes 0 and 3 (speaker X) for 'across' — matching the
+    reference's two sparse reductions (`eval_ABX.py:44-97`).
+    """
+    per_cell_n = counts.sum(axis=3)
+    per_cell = reduce_sparse_data(totals.sum(axis=3), per_cell_n)
+    occupied = per_cell_n > 0
+    pool_axes = tuple(a for a in range(per_cell.ndim) if a not in (1, 2))
+    per_pair_n = occupied.sum(axis=pool_axes)
+    per_pair = reduce_sparse_data(per_cell.sum(axis=pool_axes), per_pair_n)
+    return float(per_pair.sum() / (per_pair_n > 0).sum())
+
+
 def ABX(feature_function, path_item_file, seq_list, distance_mode,
         step_feature, modes, cuda=False, max_x_across=5, max_size_group=30,
         normalize=True):
-    """Reference `eval_ABX.py:20-99`."""
-    ABXDataset = abx_it.ABXFeatureLoader(path_item_file, seq_list,
-                                         feature_function, step_feature,
-                                         normalize)
-    distance_function = abx_g.get_distance_function_from_name(distance_mode)
+    """Reference `eval_ABX.py:20-99`; the sparse torch boards become numpy
+    scatter-adds and both modes share one pooling path."""
+    dataset = abx_it.ABXFeatureLoader(path_item_file, seq_list,
+                                      feature_function, step_feature,
+                                      normalize)
+    dist_fn = abx_g.get_distance_function_from_name(distance_mode)
     scores = {}
-
-    if 'within' in modes:
-        print("Computing ABX within speakers...")
-        ABXIterator = ABXDataset.get_iterator('within', max_size_group)
+    for mode in ('within', 'across'):
+        if mode not in modes:
+            continue
+        print(f"Computing ABX {mode} speakers...")
+        extra = {'max_x_across': max_x_across} if mode == 'across' else {}
+        group_it = dataset.get_iterator(mode, max_size_group, **extra)
         coords, values, board = abx_g.get_abx_scores_dtw_on_group(
-            ABXIterator, distance_function, ABXIterator.symmetric)
-        dense, counts = _scatter_dense(coords, values, board)
-        # average over contexts (axis 3)
-        divisor_context = counts.sum(axis=3)
-        group_confusion = reduce_sparse_data(dense.sum(axis=3),
-                                             divisor_context)
-        index_speaker = divisor_context > 0
-        divisor_speaker = index_speaker.sum(axis=0)
-        phone_confusion = reduce_sparse_data(group_confusion.sum(axis=0),
-                                             divisor_speaker)
-        scores['within'] = float(phone_confusion.sum()
-                                 / (divisor_speaker > 0).sum())
-        print(f"...done. ABX within : {scores['within']}")
-
-    if 'across' in modes:
-        print("Computing ABX across speakers...")
-        ABXIterator = ABXDataset.get_iterator('across', max_size_group,
-                                              max_x_across=max_x_across)
-        coords, values, board = abx_g.get_abx_scores_dtw_on_group(
-            ABXIterator, distance_function, ABXIterator.symmetric)
-        dense, counts = _scatter_dense(coords, values, board)
-        divisor_context = counts.sum(axis=3)
-        group_confusion = reduce_sparse_data(dense.sum(axis=3),
-                                             divisor_context)
-        index_speaker = divisor_context > 0
-        divisor_speaker = index_speaker.sum(axis=0).sum(axis=2)
-        phone_confusion = reduce_sparse_data(
-            group_confusion.sum(axis=0).sum(axis=2), divisor_speaker)
-        scores['across'] = float(phone_confusion.sum()
-                                 / (divisor_speaker > 0).sum())
-        print(f"...done. ABX across : {scores['across']}")
-
+            group_it, dist_fn, group_it.symmetric)
+        scores[mode] = _pooled_error(*_scatter_dense(coords, values, board))
+        print(f"...done. ABX {mode} : {scores[mode]}")
     return scores
 
 

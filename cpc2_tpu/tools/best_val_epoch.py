@@ -19,8 +19,8 @@ import numpy as np
 def find_best_epoch(model_path, min_epoch=None, max_epoch=None):
     checkpoint_logs = os.path.join(model_path, "checkpoint_logs.json")
     if not os.path.isfile(checkpoint_logs):
-        raise ValueError("Can't find %s. Make sure you did train the model."
-                         % checkpoint_logs)
+        raise ValueError(f"{checkpoint_logs} is missing — this directory "
+                         f"does not look like a finished training run")
     with open(checkpoint_logs, 'rb') as fin:
         logs = json.load(fin)
 
@@ -34,9 +34,8 @@ def find_best_epoch(model_path, min_epoch=None, max_epoch=None):
     if max_epoch is not None:
         cp_idxs = [e for e in cp_idxs if e <= max_epoch]
     if len(cp_idxs) == 0:
-        raise ValueError("Either no checkpoint between --min and --max can "
-                         "be found, either the model hasn't been trained. "
-                         "Please check.")
+        raise ValueError(f"No saved checkpoint_<n>.pt in {model_path} "
+                         f"within [--min, --max] to choose from")
     acc_val = np.asarray(logs['locAcc_val'], dtype=object)
     acc_val = np.asarray([np.mean(np.asarray(a, dtype=np.float64))
                           for a in acc_val])
@@ -57,10 +56,9 @@ def main(argv):
     args = parser.parse_args(argv)
 
     if not os.path.isdir(args.model_path):
-        raise ValueError("Can't find %s" % args.model_path)
+        raise ValueError(f"{args.model_path} is not a directory")
     opt_epoch, acc = find_best_epoch(args.model_path, args.min, args.max)
-    print("Best epoch with an average accuracy of %f on the validation set "
-          "is : %d" % (acc, opt_epoch))
+    print(f"Best epoch: {opt_epoch} (mean validation accuracy {acc:f})")
     return opt_epoch
 
 
