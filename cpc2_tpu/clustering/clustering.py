@@ -60,6 +60,71 @@ def _lloyd_accumulate(features: Array, ck: Array
     return sums, counts
 
 
+@jax.jit
+def _lloyd_accumulate_weighted(features: Array, ck: Array, w: Array
+                               ) -> Tuple[Array, Array]:
+    """Row-weighted accumulate: zero-weight rows are assigned but contribute
+    nothing — the pad-and-mask form that keeps the mesh-sharded path exactly
+    equal to the unpadded math (`parallel.mesh.pad_rows`)."""
+    d = _sq_distances(features, ck)
+    assign = jnp.argmin(d, axis=1)
+    onehot = (jax.nn.one_hot(assign, ck.shape[0], dtype=features.dtype)
+              * w[:, None])
+    sums = jnp.einsum('nk,nd->kd', onehot, features,
+                      preferred_element_type=jnp.float32)
+    counts = jnp.sum(onehot, axis=0)
+    return sums, counts
+
+
+class _EvalSharder:
+    """Commits eval-loop operands onto the local data mesh so XLA's SPMD
+    partitioner data-parallelizes the jitted accumulate/assign programs —
+    the TPU analogue of the reference's `DataParallel(kMeanClusterStep)`
+    (`clustering.py:132-134`). Single-device (or multi-process) runs get a
+    no-op sharder; N-divisible batches commit without padding, ragged ones
+    go through the weighted pad-and-mask path."""
+
+    def __init__(self, mesh='auto'):
+        if mesh == 'auto':
+            mesh = None
+            if jax.process_count() == 1 and len(jax.local_devices()) > 1:
+                from ..parallel.mesh import eval_mesh
+                mesh = eval_mesh()
+        self.mesh = mesh
+        self.n_dev = 1 if mesh is None else mesh.devices.size
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import batch_pspec, data_axes
+            self._rows = NamedSharding(mesh, batch_pspec(mesh, 2))
+            self._vec = NamedSharding(mesh, PartitionSpec(data_axes(mesh)))
+            self._repl = NamedSharding(mesh, PartitionSpec())
+
+    def replicated(self, arr):
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        return jax.device_put(jnp.asarray(arr), self._repl)
+
+    def accumulate(self, features, ck):
+        """Mesh-aware `_lloyd_accumulate` over an (N, D) feature matrix."""
+        if self.mesh is None:
+            return _lloyd_accumulate(jnp.asarray(features), ck)
+        if features.shape[0] % self.n_dev == 0:
+            feats = jax.device_put(jnp.asarray(features), self._rows)
+            return _lloyd_accumulate(feats, ck)
+        from ..parallel.mesh import pad_rows
+        feats, w = pad_rows(np.asarray(features), multiple=self.n_dev)
+        return _lloyd_accumulate_weighted(
+            jax.device_put(feats, self._rows), ck,
+            jax.device_put(w, self._vec))
+
+    def rows(self, features):
+        """Commit an (N, D) matrix row-sharded when divisible (assign-only
+        programs need no weights: callers drop the outputs of pad rows)."""
+        if self.mesh is None or features.shape[0] % self.n_dev:
+            return jnp.asarray(features)
+        return jax.device_put(jnp.asarray(features), self._rows)
+
+
 class kMeanCluster:
     """Distance module (B, S, D) -> (B, S, k) squared-L2 to each centroid
     (reference `clustering.py:24-34`). Ck: (1, k, D)."""
@@ -136,7 +201,7 @@ def _setup_log_file(save_dir):
 
 def kMeanGPU(dataLoader, featureMaker, k, n_group=1, MAX_ITER=100,
              EPSILON=1e-4, perIterSize=-1, start_clusters=None,
-             save_dir=None, save_last=5):
+             save_dir=None, save_last=5, mesh='auto'):
     logging.basicConfig(level=logging.INFO)
     logger = logging.getLogger("Kmean")
     save = save_dir is not None
@@ -169,6 +234,11 @@ def kMeanGPU(dataLoader, featureMaker, k, n_group=1, MAX_ITER=100,
     if perIterSize < 0:
         perIterSize = len(dataLoader)
 
+    sharder = _EvalSharder(mesh)
+    if sharder.mesh is not None:
+        logger.info(f"Accumulating over {sharder.n_dev} devices")
+    ck = sharder.replicated(ck)
+
     it, stored = 0, 0
     sum_seen = 0.0
     last_diff = float('inf')
@@ -181,7 +251,7 @@ def kMeanGPU(dataLoader, featureMaker, k, n_group=1, MAX_ITER=100,
         n_items_clusters = jnp.zeros((k,), jnp.float32)
         for index, data in enumerate(dataLoader):
             c_feature = jnp.asarray(featureMaker(data)).reshape(-1, d)
-            sums, counts = _lloyd_accumulate(c_feature, ck)
+            sums, counts = sharder.accumulate(c_feature, ck)
             ck1 = ck1 + sums
             n_items_clusters = n_items_clusters + counts
             stored += 1
@@ -256,7 +326,7 @@ def _dp_assign(features: Array, mu_pad: Array):
 
 def fastDPMean(dataLoader, featureMaker, l, MAX_ITER=100, batchSize=1000,
                EPSILON=1e-4, perIterSize=-1, save_dir=None, save_last=5,
-               mu_start=None):
+               mu_start=None, mesh='auto'):
     logging.basicConfig(level=logging.INFO)
     logger = logging.getLogger("DPMean")
     save = save_dir is not None
@@ -282,6 +352,7 @@ def fastDPMean(dataLoader, featureMaker, l, MAX_ITER=100, batchSize=1000,
         k = 1
         mu = (acc.reshape(-1, d).mean(axis=0) / n_seqs).reshape(1, d)
 
+    sharder = _EvalSharder(mesh)
     it = 0
     last_diff = float('inf')
     while it < MAX_ITER:
@@ -290,8 +361,8 @@ def fastDPMean(dataLoader, featureMaker, l, MAX_ITER=100, batchSize=1000,
         c1 = np.zeros((k,), np.float64)
         for n_batch, data in enumerate(dataLoader):
             features = np.asarray(featureMaker(data)).reshape(-1, d)
-            assign, dist = _dp_assign(jnp.asarray(features),
-                                      jnp.asarray(_padded(mu, k)))
+            assign, dist = _dp_assign(sharder.rows(features),
+                                      sharder.replicated(_padded(mu, k)))
             assign = np.array(assign)
             dist = np.array(dist)
             max_dist = dist.max()

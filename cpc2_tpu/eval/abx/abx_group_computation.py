@@ -189,7 +189,23 @@ def _unpack_flush_buffer(buf, sa, sb, sx):
     return out
 
 
-def _make_fused_theta_gather(dist_name: str, symmetric: bool):
+def _shard_groups(mesh, arrays):
+    """Constrain the leading (G) axis of each unpacked array over the
+    mesh's data axis — ONE compiled program whose per-device share is a
+    G/n_dev stack of groups (the across-chips analogue of the reference
+    DataParallel-izing its distance batches). Groups are independent until
+    the per-group numerator, so the scores are bit-identical to the
+    unsharded program. No-op when G does not divide the mesh."""
+    if mesh is None or arrays[0].shape[0] % mesh.devices.size:
+        return arrays
+    from jax.sharding import NamedSharding
+    from ...parallel.mesh import batch_pspec
+    return tuple(jax.lax.with_sharding_constraint(
+        t, NamedSharding(mesh, batch_pspec(mesh, t.ndim)))
+        for t in arrays)
+
+
+def _make_fused_theta_gather(dist_name: str, symmetric: bool, mesh=None):
     """The batched scorer fed by token-row INDICES into a device-resident
     (T, D) feature matrix: per flush the host uploads one int32 buffer
     (indices + lengths + valid masks, ~D x fewer bytes than the
@@ -202,14 +218,14 @@ def _make_fused_theta_gather(dist_name: str, symmetric: bool):
     core = _make_fused_core(dist_name, symmetric)
 
     def gathered(feats, buf, sa, sb, sx):
-        ia, ib, ix, la, lb, lx, va, vb, vx = _unpack_flush_buffer(
-            buf, sa, sb, sx)
+        ia, ib, ix, la, lb, lx, va, vb, vx = _shard_groups(
+            mesh, _unpack_flush_buffer(buf, sa, sb, sx))
         return core(feats[ia], feats[ib], feats[ix], la, lb, lx,
                     va != 0, vb != 0, vx != 0)
     return jax.jit(gathered, static_argnums=(2, 3, 4))
 
 
-def _make_fused_theta_packed(dist_name: str, symmetric: bool):
+def _make_fused_theta_packed(dist_name: str, symmetric: bool, mesh=None):
     """The batched scorer behind ONE flat float32 operand: the host packs
     all nine per-flush arrays (three (G,N,S,D) feature blocks, lengths,
     valid masks — lengths/masks are exact in f32) into a single buffer,
@@ -220,8 +236,8 @@ def _make_fused_theta_packed(dist_name: str, symmetric: bool):
     core = _make_fused_core(dist_name, symmetric)
 
     def packed(buf, sa, sb, sx):
-        a, b, x, la, lb, lx, va, vb, vx = _unpack_flush_buffer(
-            buf, sa, sb, sx)
+        a, b, x, la, lb, lx, va, vb, vx = _shard_groups(
+            mesh, _unpack_flush_buffer(buf, sa, sb, sx))
         return core(a, b, x,
                     la.astype(jnp.int32), lb.astype(jnp.int32),
                     lx.astype(jnp.int32), va != 0, vb != 0, vx != 0)
@@ -261,10 +277,14 @@ _SCORER_MAKERS = {'batched': _make_fused_theta_batched,
 _SCORER_CACHE = {}
 
 
-def _scorer(kind: str, dist_name: str, symmetric: bool):
-    key = (kind, dist_name, symmetric)
+def _scorer(kind: str, dist_name: str, symmetric: bool, mesh=None):
+    key = (kind, dist_name, symmetric, mesh)
     if key not in _SCORER_CACHE:
-        _SCORER_CACHE[key] = _SCORER_MAKERS[kind](dist_name, symmetric)
+        maker = _SCORER_MAKERS[kind]
+        if kind == 'batched':
+            _SCORER_CACHE[key] = maker(dist_name, symmetric)
+        else:
+            _SCORER_CACHE[key] = maker(dist_name, symmetric, mesh)
     return _SCORER_CACHE[key]
 
 
@@ -272,12 +292,12 @@ def _fused_theta_batched(dist_name: str, symmetric: bool):
     return _scorer('batched', dist_name, symmetric)
 
 
-def _fused_theta_packed(dist_name: str, symmetric: bool):
-    return _scorer('packed', dist_name, symmetric)
+def _fused_theta_packed(dist_name: str, symmetric: bool, mesh=None):
+    return _scorer('packed', dist_name, symmetric, mesh)
 
 
-def _fused_theta_gather(dist_name: str, symmetric: bool):
-    return _scorer('gather', dist_name, symmetric)
+def _fused_theta_gather(dist_name: str, symmetric: bool, mesh=None):
+    return _scorer('gather', dist_name, symmetric, mesh)
 
 
 def _pad_group(g, sizes):
@@ -363,11 +383,11 @@ def loc_dtw(data, distance_function, symmetric):
 _GROUP_BATCH = 32
 
 
-def _bucket_g(n: int) -> int:
+def _bucket_g(n: int, cap: int = _GROUP_BATCH) -> int:
     g = 1
     while g < n:
         g *= 2
-    return min(g, _GROUP_BATCH)
+    return min(g, cap)
 
 
 def get_abx_scores_dtw_on_group(group_iterator, distance_function,
@@ -394,6 +414,16 @@ def get_abx_scores_dtw_on_group(group_iterator, distance_function,
     pending = []                  # (device (G,) numerators, [indices])
     buffers = {}                  # shape key -> list of (index, padded...)
 
+    # Group-axis sharding over the local devices: each flush stacks up to
+    # n_dev x _GROUP_BATCH groups (per-device share unchanged) and the
+    # scorer constrains the G axis over the mesh — scores are identical to
+    # the single-device program, wall-clock divides by the chip count.
+    mesh = None
+    if jax.process_count() == 1 and len(jax.local_devices()) > 1:
+        from ...parallel.mesh import eval_mesh
+        mesh = eval_mesh()
+    group_batch = _GROUP_BATCH * (1 if mesh is None else mesh.devices.size)
+
     # Device-resident feature matrix for the index-gather fast path: the
     # loader's flat (T, D) block uploads ONCE; each flush then ships only
     # int32 indices/lengths/masks and the program gathers the padded
@@ -405,14 +435,19 @@ def get_abx_scores_dtw_on_group(group_iterator, distance_function,
                        None)
     feats_dev = None
     if isinstance(feats_np, np.ndarray) and feats_np.ndim == 2:
-        feats_dev = jnp.asarray(np.ascontiguousarray(feats_np, np.float32))
-    fused_gather = _fused_theta_gather(dist_name, symmetric)
-    fused_packed = _fused_theta_packed(dist_name, symmetric)
+        feats_host = np.ascontiguousarray(feats_np, np.float32)
+        if mesh is not None:
+            from ...parallel.mesh import replicate
+            feats_dev = replicate(mesh, jnp.asarray(feats_host))
+        else:
+            feats_dev = jnp.asarray(feats_host)
+    fused_gather = _fused_theta_gather(dist_name, symmetric, mesh)
+    fused_packed = _fused_theta_packed(dist_name, symmetric, mesh)
 
     def flush(key):
         items = buffers.pop(key)
         g_true = len(items)
-        gb = _bucket_g(g_true)
+        gb = _bucket_g(g_true, group_batch)
         idxs = [it[0] for it in items]
 
         def stack(pos):
@@ -479,7 +514,7 @@ def get_abx_scores_dtw_on_group(group_iterator, distance_function,
             (index, ap, la, va, bp, lb, vb, xp, lx, vx,
              pad_starts(a, ap.shape[0]), pad_starts(b, bp.shape[0]),
              pad_starts(x, xp.shape[0])))
-        if len(buffers[key]) >= _GROUP_BATCH:
+        if len(buffers[key]) >= group_batch:
             flush(key)
         done += 1
         if done % 500 == 0:

@@ -183,7 +183,8 @@ class CTCPhoneCriterionCV(nn.Module):
         return conv(c_feature)
 
     def __call__(self, c_feature: Array, feature_size: Array, label: Array,
-                 label_size: Array, train: bool = True) -> Array:
+                 label_size: Array, train: bool = True,
+                 example_weights=None) -> Array:
         logits = self.get_prediction(c_feature, feature_size, train)
         feature_size = feature_size // 4
         feature_size = jnp.clip(feature_size, 0, logits.shape[1])
@@ -207,7 +208,18 @@ class CTCPhoneCriterionCV(nn.Module):
             # divided by its target length before the batch mean
             # (reduction='sum' is a plain sum in both).
             sizes = jnp.maximum(label_size.astype(loss.dtype), 1)
-            return jnp.mean(loss / sizes).reshape(1, -1)
+            loss = loss / sizes
+        if example_weights is not None:
+            # pad-and-mask form for the mesh-sharded eval: zero-weight rows
+            # (whose all-blank CTC path is NOT zero-loss) contribute
+            # nothing; 'mean' normalizes by the real-example count.
+            ew = example_weights.astype(loss.dtype)
+            total = jnp.sum(loss * ew)
+            if self.reduction == 'mean':
+                total = total / jnp.maximum(jnp.sum(ew), 1.0)
+            return total.reshape(1, -1)
+        if self.reduction == 'mean':
+            return jnp.mean(loss).reshape(1, -1)
         return jnp.sum(loss).reshape(1, -1)
 
 
@@ -222,55 +234,117 @@ class IDModule(nn.Module):
         return jnp.transpose(feature, (0, 2, 1)), None, None, None
 
 
-def build_cv_steps(model, criterion, tx, freeze: bool):
-    def forward(params, seq, size_seq, phone, size_phone, train, rng=None):
-        # --freeze runs the feature net in eval mode with detached features;
-        # unfrozen training puts it in train mode, like the reference's
-        # `model.train()` when `model.optimize`
-        # (`common_voices_eval.py:248-249,568-571`).
-        model_train = train and not freeze
-        m_rng = c_rng = None
-        if train and rng is not None:
-            m_rng, c_rng = jax.random.split(rng)
-        c, _, _, _ = model.apply(
-            {'params': params['model']}, seq, None, train=model_train,
-            rngs={'dropout': m_rng} if m_rng is not None else None)
-        if freeze:
-            c = jax.lax.stop_gradient(c)
-        # criterion.train() is unconditional in the reference train_step
-        # (`common_voices_eval.py:251`), so --dropout is active here.
-        return criterion.apply(
-            {'params': params['criterion']}, c, size_seq, phone, size_phone,
-            train=train, rngs={'dropout': c_rng} if c_rng is not None
-            else None)
+class CVSteps:
+    """Jitted CTC-eval steps, data-parallel over the local device mesh.
 
-    @jax.jit
-    def train_step(params, opt_state, seq, size_seq, phone, size_phone, rng):
-        def loss_fn(p):
-            return jnp.mean(forward(p, seq, size_seq, phone, size_phone,
-                                    True, rng))
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        if freeze:
-            grads['model'] = jax.tree.map(jnp.zeros_like, grads['model'])
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    The reference DataParallel-izes both the CPC feature model and the CTC
+    head (`common_voices_eval.py:542,549`); here batches commit sharded over
+    the mesh, parameters replicated, and the weighted loss (pad rows carry
+    weight 0) keeps the trajectory identical at any device count — ragged
+    tail batches included.
+    """
 
-    @jax.jit
-    def val_step(params, seq, size_seq, phone, size_phone):
-        return jnp.mean(forward(params, seq, size_seq, phone, size_phone,
-                                False))
+    def __init__(self, model, criterion, tx, freeze: bool, mesh=None):
+        self._mesh = mesh
+        self._n_dev = 1 if mesh is None else mesh.devices.size
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import batch_pspec, data_axes
+            self._shardings = {
+                nd: NamedSharding(mesh, batch_pspec(mesh, nd))
+                for nd in (2, 3)}
+            self._shardings[1] = NamedSharding(
+                mesh, PartitionSpec(data_axes(mesh)))
 
-    @jax.jit
-    def predict_step(params, seq, size_seq):
-        c, _, _, _ = model.apply({'params': params['model']}, seq, None,
-                                 train=False)
-        logits = criterion.apply({'params': params['criterion']}, c,
-                                 size_seq, train=False,
-                                 method=criterion.get_prediction)
-        return jax.nn.softmax(logits, axis=2)
+        def forward(params, seq, size_seq, phone, size_phone, w, train,
+                    rng=None):
+            # --freeze runs the feature net in eval mode with detached
+            # features; unfrozen training puts it in train mode, like the
+            # reference's `model.train()` when `model.optimize`
+            # (`common_voices_eval.py:248-249,568-571`).
+            model_train = train and not freeze
+            m_rng = c_rng = None
+            if train and rng is not None:
+                m_rng, c_rng = jax.random.split(rng)
+            c, _, _, _ = model.apply(
+                {'params': params['model']}, seq, None, train=model_train,
+                rngs={'dropout': m_rng} if m_rng is not None else None)
+            if freeze:
+                c = jax.lax.stop_gradient(c)
+            # criterion.train() is unconditional in the reference train_step
+            # (`common_voices_eval.py:251`), so --dropout is active here.
+            return criterion.apply(
+                {'params': params['criterion']}, c, size_seq, phone,
+                size_phone, train=train, example_weights=w,
+                rngs={'dropout': c_rng} if c_rng is not None else None)
 
-    return train_step, val_step, predict_step
+        @jax.jit
+        def train_step(params, opt_state, seq, size_seq, phone, size_phone,
+                       w, rng):
+            def loss_fn(p):
+                return jnp.mean(forward(p, seq, size_seq, phone, size_phone,
+                                        w, True, rng))
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            if freeze:
+                grads['model'] = jax.tree.map(jnp.zeros_like,
+                                              grads['model'])
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        @jax.jit
+        def val_step(params, seq, size_seq, phone, size_phone, w):
+            return jnp.mean(forward(params, seq, size_seq, phone,
+                                    size_phone, w, False))
+
+        @jax.jit
+        def predict_step(params, seq, size_seq):
+            c, _, _, _ = model.apply({'params': params['model']}, seq, None,
+                                     train=False)
+            logits = criterion.apply({'params': params['criterion']}, c,
+                                     size_seq, train=False,
+                                     method=criterion.get_prediction)
+            return jax.nn.softmax(logits, axis=2)
+
+        self._train = train_step
+        self._val = val_step
+        self._predict = predict_step
+
+    def _stage(self, *arrays):
+        """Pad host batches to a device-divisible size and commit them;
+        returns (*staged, weights)."""
+        if self._mesh is None:
+            return (*[jnp.asarray(a) for a in arrays],
+                    jnp.ones((arrays[0].shape[0],), jnp.float32))
+        from ..parallel.mesh import pad_rows
+        padded = pad_rows(*[np.asarray(a) for a in arrays],
+                          multiple=self._n_dev)
+        return tuple(jax.device_put(a, self._shardings[a.ndim])
+                     for a in padded)
+
+    def train_batch(self, params, opt_state, seq, size_seq, phone,
+                    size_phone, rng):
+        seq, size_seq, phone, size_phone, w = self._stage(
+            seq, size_seq, phone, size_phone)
+        return self._train(params, opt_state, seq, size_seq, phone,
+                           size_phone, w, rng)
+
+    def val_batch(self, params, seq, size_seq, phone, size_phone):
+        seq, size_seq, phone, size_phone, w = self._stage(
+            seq, size_seq, phone, size_phone)
+        return self._val(params, seq, size_seq, phone, size_phone, w)
+
+    def predict_batch(self, params, seq, size_seq):
+        n = seq.shape[0]
+        seq, size_seq, _w = self._stage(seq, size_seq)
+        return np.asarray(self._predict(params, seq, size_seq))[:n]
+
+
+def build_cv_steps(model, criterion, tx, freeze: bool, mesh=None):
+    """Compatibility wrapper over `CVSteps` returning the three raw-batch
+    callables."""
+    steps = CVSteps(model, criterion, tx, freeze, mesh)
+    return steps.train_batch, steps.val_batch, steps.predict_batch
 
 
 def get_per(data):
@@ -289,9 +363,8 @@ def per_step(dataset, params, predict_step, blank_label, batch_size,
     print("Starting the PER computation through beam search")
     for seq, size_seq, phone, size_phone in dataset.batches(batch_size,
                                                             shuffle=False):
-        seq_in = jnp.asarray(seq[:, 0, :]) if seq.shape[1] == 1 \
-            else jnp.asarray(seq)
-        feat_size = jnp.asarray(size_seq // downsampling_factor)
+        seq_in = seq[:, 0, :] if seq.shape[1] == 1 else seq
+        feat_size = size_seq // downsampling_factor
         predictions = np.asarray(predict_step(params, seq_in, feat_size))
         for b in range(seq.shape[0]):
             score = get_per((predictions[b], size_seq[b]
@@ -318,12 +391,10 @@ def run_training(dataset_train, dataset_val, params, tx, opt_state,
         tot, n = 0.0, 0
         for seq, size_seq, phone, size_phone in dataset_train.batches(
                 batch_size):
-            seq_in = jnp.asarray(seq[:, 0, :]) if seq.shape[1] == 1 \
-                else jnp.asarray(seq)
+            seq_in = seq[:, 0, :] if seq.shape[1] == 1 else seq
             params, opt_state, loss = train_step(
-                params, opt_state, seq_in,
-                jnp.asarray(size_seq // 160), jnp.asarray(phone),
-                jnp.asarray(size_phone), jax.random.fold_in(rng, step_idx))
+                params, opt_state, seq_in, size_seq // 160, phone,
+                size_phone, jax.random.fold_in(rng, step_idx))
             step_idx += 1
             tot += float(loss)
             n += 1
@@ -332,10 +403,9 @@ def run_training(dataset_train, dataset_val, params, tx, opt_state,
         tot, n = 0.0, 0
         for seq, size_seq, phone, size_phone in dataset_val.batches(
                 batch_size, shuffle=False):
-            seq_in = jnp.asarray(seq[:, 0, :]) if seq.shape[1] == 1 \
-                else jnp.asarray(seq)
-            loss = val_step(params, seq_in, jnp.asarray(size_seq // 160),
-                            jnp.asarray(phone), jnp.asarray(size_phone))
+            seq_in = seq[:, 0, :] if seq.shape[1] == 1 else seq
+            loss = val_step(params, seq_in, size_seq // 160, phone,
+                            size_phone)
             tot += float(loss)
             n += 1
         loss_val = tot / max(n, 1)
@@ -352,6 +422,16 @@ def run_training(dataset_train, dataset_val, params, tx, opt_state,
                 'bestLoss': best_loss}
             torch.save(state_dict, path_checkpoint)
     return params
+
+
+def _local_eval_mesh():
+    """Data mesh over the local devices (None single-device/multi-process),
+    the analogue of the reference's DataParallel wrap of the CTC model
+    (`common_voices_eval.py:542,549`)."""
+    if jax.process_count() > 1 or len(jax.local_devices()) <= 1:
+        return None
+    from ..parallel.mesh import eval_mesh
+    return eval_mesh()
 
 
 def get_PER_args(args):
@@ -521,8 +601,14 @@ def main(argv):
             tx = optax.adamw(args.lr, b1=args.beta1, b2=args.beta2,
                              eps=args.epsilon)
         opt_state = tx.init(params)
+        mesh = _local_eval_mesh()
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            params = replicate(mesh, params)
+            opt_state = replicate(mesh, opt_state)
+            print(f"CTC eval over {mesh.devices.size} devices")
         train_step, val_step, predict_step = build_cv_steps(
-            module, criterion, tx, args.freeze)
+            module, criterion, tx, args.freeze, mesh)
 
         with open(os.path.join(args.output, "args_training.json"), 'w') as f:
             json.dump(vars(args), f, indent=2)
@@ -545,7 +631,12 @@ def main(argv):
         params = {'model': model_params, 'criterion': crit_params}
 
         tx = optax.adamw(2e-4)
-        _, _, predict_step = build_cv_steps(module, criterion, tx, True)
+        mesh = _local_eval_mesh()
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+            params = replicate(mesh, params)
+        _, _, predict_step = build_cv_steps(module, criterion, tx, True,
+                                            mesh)
 
         with open(os.path.join(args.output,
                                f"args_validation_{args.name}.json"),

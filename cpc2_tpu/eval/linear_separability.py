@@ -1,12 +1,23 @@
-"""Linear separability probes (reference `cpc/eval/linear_separability.py`).
+"""Linear separability probes over frozen (or fine-tuned) CPC features.
 
-Trains a frozen (or `--unfrozen`) speaker / aligned-phone / CTC-phone probe
-over CPC features. The probe step is one jitted function; in frozen mode the
-feature network runs under `stop_gradient` so XLA skips its backward pass
-entirely.
+Covers the reference's probe trainer (`cpc/eval/linear_separability.py`):
+speaker classification, aligned-phone classification, or CTC phone
+recognition, each as a linear head trained on top of a loaded CPC
+checkpoint. Flags, checkpoint layout (`checkpoint_<n>.pt` +
+`checkpoint_args.json` + `checkpoint_logs.json`) and log keys are
+reference-compatible.
 
-Run: `python -m cpc2_tpu.eval.linear_separability <pathDB> <pathTrain>
-<pathVal> <checkpoint> [...]`
+TPU-first design
+----------------
+The probe step is one jitted program, data-parallel over the local device
+mesh — where the reference wraps the feature maker and criterion in
+`DataParallel` (`linear_separability.py:203,223`), here the batch is
+committed sharded over a `('data',)` mesh, parameters are replicated, and
+XLA's SPMD partitioner inserts the gradient reductions. Losses are computed
+as *weighted sums* normalized by the global weight so ragged tail batches
+(padded with zero-weight rows) and any device count produce the same
+trajectory. Frozen mode runs the feature network under `stop_gradient`, so
+XLA prunes its backward pass entirely.
 """
 
 from __future__ import annotations
@@ -29,176 +40,53 @@ from ..io.torch_ckpt import params_to_torch_state_dict, save_checkpoint
 from ..losses import CTCPhoneCriterion, PhoneCriterion, SpeakerCriterion
 from ..utils import misc as utils
 
-
-def build_probe_step(model, criterion, tx, unfrozen: bool):
-    def forward(params, batch_data, label, train, rng=None):
-        variables = {'params': params['model']}
-        # Frozen mode runs the feature net in eval mode; --unfrozen runs it
-        # in train mode during probe training (dropout active), like the
-        # reference's feature_maker.train() when optimize
-        # (`linear_separability.py:23-24`).
-        model_train = train and unfrozen
-        rngs = {'dropout': rng} if (model_train and rng is not None) else None
-        c, e, _, _ = model.apply(variables, batch_data, None,
-                                 train=model_train, rngs=rngs)
-        if not unfrozen:
-            c, e = jax.lax.stop_gradient(c), jax.lax.stop_gradient(e)
-        losses, accs = criterion.apply({'params': params['criterion']},
-                                       c, e, label, train=train)
-        return losses, accs
-
-    @jax.jit
-    def train_step(params, opt_state, batch_data, label, rng):
-        def loss_fn(p):
-            losses, accs = forward(p, batch_data, label, True, rng)
-            return jnp.sum(losses), (losses, accs)
-        grads, (losses, accs) = jax.grad(loss_fn, has_aux=True)(params)
-        if not unfrozen:
-            grads['model'] = jax.tree.map(jnp.zeros_like, grads['model'])
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, losses, accs
-
-    @jax.jit
-    def val_step(params, batch_data, label):
-        return forward(params, batch_data, label, False)
-
-    return train_step, val_step
-
-
-def train_epoch(params, opt_state, train_step, data_loader, rng):
-    # Every batch runs, including the ragged tail the uniform sampler can
-    # yield — jit retraces once for that one extra shape, which is paid a
-    # single time per run (the reference processes every batch too,
-    # `linear_separability.py:30-40`).
-    #
-    # Documented deviation: the reference averages its epoch logs by the
-    # LAST enumerate index (n_batches - 1, `linear_separability.py:45,69`),
-    # inflating reported loss/acc by n/(n-1); we divide by the true batch
-    # count. Best-epoch selection is unaffected (uniform scale).
-    logs = {"locLoss_train": 0, "locAcc_train": 0}
-    step = 0
-    for fulldata in data_loader:
-        batch_data, label = fulldata[0], fulldata[1]
-        batch_data = jnp.asarray(batch_data[:, 0, 0, :], jnp.float32)
-        label = jnp.asarray(np.asarray(label))
-        params, opt_state, all_losses, all_acc = train_step(
-            params, opt_state, batch_data, label,
-            jax.random.fold_in(rng, step))
-        logs["locLoss_train"] += np.asarray([float(all_losses.mean())])
-        logs["locAcc_train"] += np.asarray([float(all_acc.mean())])
-        step += 1
-    logs = utils.update_logs(logs, max(step, 1))
-    logs["iter"] = step
-    return params, opt_state, logs
-
-
-def val_epoch(params, val_step, data_loader):
-    logs = {"locLoss_val": 0, "locAcc_val": 0}
-    step = 0
-    for fulldata in data_loader:
-        batch_data, label = fulldata[0], fulldata[1]
-        batch_data = jnp.asarray(batch_data[:, 0, 0, :], jnp.float32)
-        label = jnp.asarray(np.asarray(label))
-        all_losses, all_acc = val_step(params, batch_data, label)
-        logs["locLoss_val"] += np.asarray([float(all_losses.mean())])
-        logs["locAcc_val"] += np.asarray([float(all_acc.mean())])
-        step += 1
-    logs = utils.update_logs(logs, max(step, 1))
-    return logs
-
-
-def run(params, opt_state, train_step_fn, val_step_fn, train_loader,
-        val_loader, logs, n_epochs, path_checkpoint, args):
-    start_epoch = len(logs["epoch"])
-    best_acc = -1
-    best_params = None
-    start_time = time.time()
-
-    rng = jax.random.PRNGKey(getattr(args, 'random_seed', None) or 0)
-    for epoch in range(start_epoch, n_epochs):
-        params, opt_state, logs_train = train_epoch(
-            params, opt_state, train_step_fn, train_loader,
-            jax.random.fold_in(rng, epoch))
-        logs_val = val_epoch(params, val_step_fn, val_loader)
-        print('')
-        print('_' * 50)
-        print(f'Ran {epoch + 1} epochs '
-              f'in {time.time() - start_time:.2f} seconds')
-        utils.show_logs("Training loss", logs_train)
-        utils.show_logs("Validation loss", logs_val)
-        print('_' * 50)
-        print('')
-
-        if logs_val["locAcc_val"] > best_acc:
-            best_params = jax.tree.map(np.asarray, params)
-            best_acc = logs_val["locAcc_val"]
-
-        logs["epoch"].append(epoch)
-        for key, value in dict(logs_train, **logs_val).items():
-            if key not in logs:
-                logs[key] = [None for _ in range(epoch)]
-            if isinstance(value, np.ndarray):
-                value = value.tolist()
-            logs[key].append(value)
-
-        if (epoch % logs["saveStep"] == 0 and epoch > 0) \
-                or epoch == n_epochs - 1:
-            model_sd = params_to_torch_state_dict(
-                jax.tree.map(np.asarray, params['model']))
-            crit_sd = params_to_torch_state_dict(
-                jax.tree.map(np.asarray, params['criterion']))
-            best_sd = (params_to_torch_state_dict(best_params['model'])
-                       if best_params is not None else None)
-            save_checkpoint(model_sd, crit_sd, {}, best_sd,
-                            f"{path_checkpoint}_{epoch}.pt")
-            utils.save_logs(logs, f"{path_checkpoint}_logs.json")
-    return params, best_acc
+# CLI parity surface: reference `linear_separability.py:123-188` (names,
+# defaults, help); the table form and everything downstream are ours.
+_FLAGS = [
+    (('pathDB',), dict(type=str, help="Audio corpus root.")),
+    (('pathTrain',), dict(type=str, help="Training sequence list.")),
+    (('pathVal',), dict(type=str, help="Validation sequence list.")),
+    (('load',), dict(type=str, nargs='*', help="CPC checkpoint(s) to "
+                     "probe.")),
+    (('--pathPhone',), dict(type=str, default=None,
+                            help="Aligned phone labels; switches the probe "
+                            "from speaker to phone separability.")),
+    (('--CTC',), dict(action='store_true',
+                      help="CTC loss instead of aligned-phone CE.")),
+    (('--pathCheckpoint',), dict(type=str, default='out',
+                                 help="Output directory.")),
+    (('--nGPU',), dict(type=int, default=-1,
+                       help="Device count; -1 = all local devices.")),
+    (('--batchSizeGPU',), dict(type=int, default=8,
+                               help="Windows per device.")),
+    (('--n_epoch',), dict(type=int, default=10)),
+    (('--debug',), dict(action='store_true')),
+    (('--unfrozen',), dict(action='store_true',
+                           help="Fine-tune the feature network under the "
+                           "probe loss instead of freezing it.")),
+    (('--no_pretraining',), dict(action='store_true',
+                                 help="Probe a randomly initialized "
+                                 "model.")),
+    (('--file_extension',), dict(type=str, default=".flac")),
+    (('--save_step',), dict(type=int, default=-1)),
+    (('--get_encoded',), dict(action='store_true',
+                              help="Probe the convolutional encoder output "
+                              "instead of the context.")),
+    (('--lr',), dict(type=float, default=2e-4)),
+    (('--beta1',), dict(type=float, default=0.9)),
+    (('--beta2',), dict(type=float, default=0.999)),
+    (('--epsilon',), dict(type=float, default=2e-8)),
+    (('--ignore_cache',), dict(action='store_true')),
+    (('--size_window',), dict(type=int, default=20480)),
+]
 
 
 def parse_args(argv):
     parser = argparse.ArgumentParser(
         description='Linear separability trainer'
                     ' (default test in speaker separability)')
-    parser.add_argument('pathDB', type=str,
-                        help="Path to the directory containing the audio "
-                        "data.")
-    parser.add_argument('pathTrain', type=str,
-                        help="Path to the list of the training sequences.")
-    parser.add_argument('pathVal', type=str,
-                        help="Path to the list of the test sequences.")
-    parser.add_argument('load', type=str, nargs='*',
-                        help="Path to the checkpoint to evaluate.")
-    parser.add_argument('--pathPhone', type=str, default=None,
-                        help="Path to the phone labels. If given, will "
-                        "compute the phone separability.")
-    parser.add_argument('--CTC', action='store_true',
-                        help="Use the CTC loss (for phone separability "
-                        "only)")
-    parser.add_argument('--pathCheckpoint', type=str, default='out',
-                        help="Path of the output directory.")
-    parser.add_argument('--nGPU', type=int, default=-1,
-                        help='Number of devices. Default=-1, use all')
-    parser.add_argument('--batchSizeGPU', type=int, default=8,
-                        help='Batch size per device.')
-    parser.add_argument('--n_epoch', type=int, default=10)
-    parser.add_argument('--debug', action='store_true')
-    parser.add_argument('--unfrozen', action='store_true',
-                        help="If activated, update the feature network as "
-                        "well as the linear classifier")
-    parser.add_argument('--no_pretraining', action='store_true',
-                        help="If activated, work from an untrained model.")
-    parser.add_argument('--file_extension', type=str, default=".flac")
-    parser.add_argument('--save_step', type=int, default=-1)
-    parser.add_argument('--get_encoded', action='store_true',
-                        help="If activated, will work with the output of "
-                        "the convolutional encoder.")
-    parser.add_argument('--lr', type=float, default=2e-4)
-    parser.add_argument('--beta1', type=float, default=0.9)
-    parser.add_argument('--beta2', type=float, default=0.999)
-    parser.add_argument('--epsilon', type=float, default=2e-8)
-    parser.add_argument('--ignore_cache', action='store_true')
-    parser.add_argument('--size_window', type=int, default=20480)
+    for flags, kw in _FLAGS:
+        parser.add_argument(*flags, **kw)
     args = parser.parse_args(argv)
     if args.nGPU < 0:
         args.nGPU = len(jax.devices())
@@ -207,6 +95,201 @@ def parse_args(argv):
     args.load = [str(Path(x).resolve()) for x in args.load]
     args.pathCheckpoint = str(Path(args.pathCheckpoint).resolve())
     return args
+
+
+# ---------------------------------------------------------------------------
+# probe task assembly
+# ---------------------------------------------------------------------------
+
+def select_probe(args, dim_features, n_speakers, n_phones):
+    """Choose the probe head + label mode from the flags. Returns
+    (criterion, per_frame_labels)."""
+    if args.pathPhone is None:
+        print("Running speaker separability")
+        return SpeakerCriterion(dim_encoder=dim_features,
+                                n_speakers=n_speakers), False
+    if args.CTC:
+        print("Running phone separability with CTC loss")
+        return CTCPhoneCriterion(dim_encoder=dim_features,
+                                 n_phones=n_phones,
+                                 on_encoder=args.get_encoded), True
+    print("Running phone separability with aligned phones")
+    return PhoneCriterion(dim_encoder=dim_features, n_phones=n_phones,
+                          on_encoder=args.get_encoded), True
+
+
+class ProbeSteps:
+    """Jitted, mesh-sharded train/val steps for one probe task.
+
+    Losses/accuracies come back as weighted sums over the (sharded) batch
+    normalized by the global example weight — with all-ones weights this is
+    the plain batch mean; pad rows (weight 0) contribute nothing, which is
+    what makes the trajectory independent of the device count.
+    """
+
+    def __init__(self, model, criterion, tx, unfrozen, mesh):
+        self._mesh = mesh
+        self._n_dev = 1 if mesh is None else mesh.devices.size
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..parallel.mesh import batch_pspec, data_axes
+            self._shard_audio = NamedSharding(mesh, batch_pspec(mesh, 2))
+            self._shard_vec = {
+                1: NamedSharding(mesh, PartitionSpec(data_axes(mesh))),
+                2: NamedSharding(mesh, batch_pspec(mesh, 2))}
+
+        def probe_forward(params, audio, label, w, train, rng):
+            run_model_in_train = train and unfrozen
+            rngs = ({'dropout': rng}
+                    if (run_model_in_train and rng is not None) else None)
+            c, e, _, _ = model.apply({'params': params['model']}, audio,
+                                     None, train=run_model_in_train,
+                                     rngs=rngs)
+            if not unfrozen:
+                c = jax.lax.stop_gradient(c)
+                e = jax.lax.stop_gradient(e)
+            loss_sum, acc_sum = criterion.apply(
+                {'params': params['criterion']}, c, e, label, train=train,
+                example_weights=w)
+            denom = jnp.sum(w)
+            return loss_sum / denom, acc_sum / denom
+
+        @jax.jit
+        def train_step(params, opt_state, audio, label, w, rng):
+            def objective(p):
+                loss, acc = probe_forward(p, audio, label, w, True, rng)
+                return jnp.sum(loss), (loss, acc)
+            grads, (loss, acc) = jax.grad(objective, has_aux=True)(params)
+            if not unfrozen:
+                grads['model'] = jax.tree.map(jnp.zeros_like,
+                                              grads['model'])
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss, acc
+
+        @jax.jit
+        def val_step(params, audio, label, w):
+            return probe_forward(params, audio, label, w, False, None)
+
+        self._train = train_step
+        self._val = val_step
+
+    def _stage(self, raw_batch, raw_label):
+        """Host (B, 2, 1, W) batch -> committed (audio, label, weights),
+        padded to a device-divisible batch when the mesh is active."""
+        audio = np.asarray(raw_batch)[:, 0, 0, :].astype(np.float32)
+        label = np.asarray(raw_label)
+        if self._mesh is None:
+            return (jnp.asarray(audio), jnp.asarray(label),
+                    jnp.ones((audio.shape[0],), jnp.float32))
+        from ..parallel.mesh import pad_rows
+        audio, label, w = pad_rows(audio, label, multiple=self._n_dev)
+        return (jax.device_put(audio, self._shard_audio),
+                jax.device_put(label, self._shard_vec[label.ndim]),
+                jax.device_put(w, self._shard_vec[1]))
+
+    def train_batch(self, params, opt_state, raw_batch, raw_label, rng):
+        audio, label, w = self._stage(raw_batch, raw_label)
+        return self._train(params, opt_state, audio, label, w, rng)
+
+    def val_batch(self, params, raw_batch, raw_label):
+        audio, label, w = self._stage(raw_batch, raw_label)
+        return self._val(params, audio, label, w)
+
+
+# ---------------------------------------------------------------------------
+# epoch driver
+# ---------------------------------------------------------------------------
+
+def _sweep(steps, params, opt_state, loader, rng, tag):
+    """One pass over a loader; returns (params, opt_state, epoch logs).
+    Every batch runs, including ragged tails (zero-weight padded). Epoch
+    logs divide by the true batch count — documented deviation: the
+    reference divides by the last enumerate index
+    (`linear_separability.py:45,69`), inflating reported numbers by
+    n/(n-1); best-epoch selection is unaffected (uniform scale)."""
+    training = rng is not None
+    loss_total, acc_total, batches = 0.0, 0.0, 0
+    for batch_data in loader:
+        raw, label = batch_data[0], batch_data[1]
+        if training:
+            params, opt_state, loss, acc = steps.train_batch(
+                params, opt_state, raw, label,
+                jax.random.fold_in(rng, batches))
+        else:
+            loss, acc = steps.val_batch(params, raw, label)
+        loss_total += float(np.asarray(loss).mean())
+        acc_total += float(np.asarray(acc).mean())
+        batches += 1
+    n = max(batches, 1)
+    logs = {f"locLoss_{tag}": np.asarray([loss_total / n]),
+            f"locAcc_{tag}": np.asarray([acc_total / n])}
+    if training:
+        logs["iter"] = batches
+    return params, opt_state, logs
+
+
+def _save_probe_checkpoint(params, best_params, path_prefix, epoch):
+    model_sd = params_to_torch_state_dict(
+        jax.tree.map(np.asarray, params['model']))
+    crit_sd = params_to_torch_state_dict(
+        jax.tree.map(np.asarray, params['criterion']))
+    best_sd = (params_to_torch_state_dict(best_params['model'])
+               if best_params is not None else None)
+    save_checkpoint(model_sd, crit_sd, {}, best_sd,
+                    f"{path_prefix}_{epoch}.pt")
+
+
+def run(steps, params, opt_state, train_loader, val_loader, logs, n_epochs,
+        path_prefix, seed):
+    best_acc, best_params = -1.0, None
+    rng = jax.random.PRNGKey(seed)
+    t0 = time.time()
+
+    for epoch in range(len(logs["epoch"]), n_epochs):
+        params, opt_state, train_logs = _sweep(
+            steps, params, opt_state, train_loader,
+            jax.random.fold_in(rng, epoch), "train")
+        _, _, val_logs = _sweep(steps, params, None, val_loader, None, "val")
+
+        print('')
+        print('_' * 50)
+        print(f'Ran {epoch + 1} epochs in {time.time() - t0:.2f} seconds')
+        utils.show_logs("Training loss", train_logs)
+        utils.show_logs("Validation loss", val_logs)
+        print('_' * 50)
+        print('')
+
+        if val_logs["locAcc_val"] > best_acc:
+            best_acc = val_logs["locAcc_val"]
+            best_params = jax.tree.map(np.asarray, params)
+
+        logs["epoch"].append(epoch)
+        for key, value in dict(train_logs, **val_logs).items():
+            if key not in logs:
+                logs[key] = [None] * epoch
+            logs[key].append(value.tolist()
+                             if isinstance(value, np.ndarray) else value)
+
+        is_save_epoch = (epoch % logs["saveStep"] == 0 and epoch > 0)
+        if is_save_epoch or epoch == n_epochs - 1:
+            _save_probe_checkpoint(params, best_params, path_prefix, epoch)
+            utils.save_logs(logs, f"{path_prefix}_logs.json")
+    return params, best_acc
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def _criterion_init(criterion, args, hidden_gar, hidden_encoder,
+                    per_frame_labels):
+    from ..models.encoder import encoded_seq_len
+    frames = encoded_seq_len(args.size_window)
+    c = jnp.zeros((2, frames, hidden_gar), jnp.float32)
+    e = jnp.zeros((2, frames, hidden_encoder), jnp.float32)
+    label_shape = (2, frames) if per_frame_labels else (2,)
+    return criterion.init(jax.random.PRNGKey(1), c, e,
+                          jnp.zeros(label_shape, jnp.int32), train=False)
 
 
 def main(argv):
@@ -221,75 +304,59 @@ def main(argv):
         args.load, loadStateDict=not args.no_pretraining)
     dim_features = hidden_encoder if args.get_encoded else hidden_gar
 
-    phone_labels = None
+    phone_labels, n_phones = (None, 0)
     if args.pathPhone is not None:
         phone_labels, n_phones = parseSeqLabels(args.pathPhone)
-        if not args.CTC:
-            print("Running phone separability with aligned phones")
-            criterion = PhoneCriterion(dim_encoder=dim_features,
-                                       n_phones=n_phones,
-                                       on_encoder=args.get_encoded)
-        else:
-            print("Running phone separability with CTC loss")
-            criterion = CTCPhoneCriterion(dim_encoder=dim_features,
-                                          n_phones=n_phones,
-                                          on_encoder=args.get_encoded)
-    else:
-        print("Running speaker separability")
-        criterion = SpeakerCriterion(dim_encoder=dim_features,
-                                     n_speakers=len(speakers))
+    criterion, per_frame_labels = select_probe(args, dim_features,
+                                               len(speakers), n_phones)
 
     seq_train = filterSeqs(args.pathTrain, seqNames)
     seq_val = filterSeqs(args.pathVal, seqNames)
     if args.debug:
-        seq_train = seq_train[:1000]
-        seq_val = seq_val[:100]
+        seq_train, seq_val = seq_train[:1000], seq_val[:100]
 
     db_train = AudioBatchData(args.pathDB, args.size_window, seq_train,
                               phone_labels, len(speakers))
     db_val = AudioBatchData(args.pathDB, args.size_window, seq_val,
                             phone_labels, len(speakers))
     batch_size = args.batchSizeGPU * args.nGPU
-
     train_loader = db_train.getDataLoader(batch_size, "uniform", True,
                                           numWorkers=0)
     val_loader = db_val.getDataLoader(batch_size, 'sequential', False,
                                       numWorkers=0)
 
-    # Criterion init
-    from ..models.encoder import encoded_seq_len
-    frames = encoded_seq_len(args.size_window)
-    c = jnp.zeros((2, frames, hidden_gar), jnp.float32)
-    e = jnp.zeros((2, frames, hidden_encoder), jnp.float32)
-    if args.pathPhone is not None:
-        dummy_label = jnp.zeros((2, frames), jnp.int32)
-    else:
-        dummy_label = jnp.zeros((2,), jnp.int32)
-    crit_vars = criterion.init(jax.random.PRNGKey(1), c, e, dummy_label,
-                               train=False)
-
+    crit_vars = _criterion_init(criterion, args, hidden_gar, hidden_encoder,
+                                per_frame_labels)
     params = {'model': bundle.variables['params'],
               'criterion': crit_vars['params']}
-    if args.unfrozen:
-        print("Working in full fine-tune mode")
-    else:
-        print("Working with frozen features")
+    print("Working in full fine-tune mode" if args.unfrozen
+          else "Working with frozen features")
 
     tx = optax.adam(args.lr, b1=args.beta1, b2=args.beta2, eps=args.epsilon)
     opt_state = tx.init(params)
 
-    train_step_fn, val_step_fn = build_probe_step(bundle.module, criterion,
-                                                  tx, args.unfrozen)
+    # Data-parallel probe over the local devices (the reference's
+    # DataParallel wrap of feature maker + criterion,
+    # `linear_separability.py:203,223`).
+    mesh = None
+    if jax.process_count() == 1 and min(args.nGPU,
+                                        len(jax.local_devices())) > 1:
+        from ..parallel.mesh import eval_mesh
+        mesh = eval_mesh(jax.local_devices()[:args.nGPU])
+        from ..parallel.mesh import replicate
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        print(f"Probing over {mesh.devices.size} devices")
+    steps = ProbeSteps(bundle.module, criterion, tx, args.unfrozen, mesh)
 
-    args.pathCheckpoint = Path(args.pathCheckpoint)
-    args.pathCheckpoint.mkdir(exist_ok=True)
-    args.pathCheckpoint = str(args.pathCheckpoint / "checkpoint")
-    with open(f"{args.pathCheckpoint}_args.json", 'w') as f:
+    out_dir = Path(args.pathCheckpoint)
+    out_dir.mkdir(exist_ok=True)
+    path_prefix = str(out_dir / "checkpoint")
+    with open(f"{path_prefix}_args.json", 'w') as f:
         json.dump(vars(args), f, indent=2)
 
-    _, best_acc = run(params, opt_state, train_step_fn, val_step_fn,
-                      train_loader, val_loader, logs, args.n_epoch,
-                      args.pathCheckpoint, args)
+    _, best_acc = run(steps, params, opt_state, train_loader, val_loader,
+                      logs, args.n_epoch, path_prefix, 0)
     print(f"Best validation accuracy: {best_acc}")
     return best_acc
 

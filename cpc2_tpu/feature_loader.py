@@ -251,13 +251,32 @@ class FeatureModule:
     def __init__(self, bundle: ModelBundle, get_encoded: bool,
                  collapse: bool = False, cca_projection: Optional[str] = None,
                  keep_hidden: bool = False, seqNorm: bool = False,
-                 train_mode: bool = False, train_mode_seed: int = 0):
+                 train_mode: bool = False, train_mode_seed: int = 0,
+                 mesh='auto'):
         self.bundle = bundle
         self.get_encoded = get_encoded
         self.collapse = collapse
         self.keep_hidden = keep_hidden
         self.seqNorm = seqNorm
         self.hidden = None
+        # Batch-sharded extraction over the local device mesh — the
+        # reference DataParallel-izes its eval feature makers
+        # (`linear_separability.py:203`, `clustering.py:133`,
+        # `common_voices_eval.py:542`). Feature extraction has no
+        # cross-example reduction, so sharding the batch axis is
+        # bit-identical per example; batches that don't divide the mesh
+        # fall back to the replicated placement of the same program.
+        # mesh: 'auto' -> all local devices when there are several;
+        # None -> single-device; or an explicit Mesh.
+        if mesh == 'auto':
+            mesh = None
+            if jax.process_count() == 1 and len(jax.local_devices()) > 1:
+                from .parallel.mesh import eval_mesh
+                mesh = eval_mesh()
+        self._mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import replicate
+            self.bundle.variables = replicate(mesh, self.bundle.variables)
         # --train_mode (reference `clustering_script.py:236-237`,
         # `build_zeroSpeech_features.py`): skip featureMaker.eval(), i.e.
         # keep dropout ACTIVE during feature extraction. Functionally that
@@ -306,6 +325,14 @@ class FeatureModule:
             batch_audio = batch_audio[:, 0]
         if batch_audio.ndim == 3:       # (B, 1, T) channel-first
             batch_audio = batch_audio[:, 0]
+        if self._mesh is not None:
+            n_dev = self._mesh.devices.size
+            if batch_audio.shape[0] % n_dev == 0:
+                from jax.sharding import NamedSharding
+                from .parallel.mesh import batch_pspec
+                batch_audio = jax.device_put(
+                    batch_audio,
+                    NamedSharding(self._mesh, batch_pspec(self._mesh, 2)))
         if self.train_mode:
             self._dropout_rng, rng = jax.random.split(self._dropout_rng)
             c, e, h = self._fwd(self.bundle.variables, batch_audio,

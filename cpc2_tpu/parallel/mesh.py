@@ -312,6 +312,46 @@ class DeviceCorpus:
         return self._gather[key](corpus, shard_batch(self._mesh, idx))
 
 
+def eval_mesh(devices=None) -> Mesh:
+    """1-D data mesh over this process's local devices for evaluation
+    workloads.
+
+    The reference DataParallel-izes its eval stack — k-means accumulation
+    (`cpc/clustering/clustering.py:132-134`), the separability probe's
+    feature maker and criterion (`cpc/eval/linear_separability.py:203,223`),
+    the CTC eval model (`cpc/eval/common_voices_eval.py:542,549`). The TPU
+    analogue is batch-sharded jit programs over this mesh: inputs committed
+    with `batch_pspec` shardings, params replicated, and XLA's SPMD
+    partitioner inserts the cross-device reductions. Eval CLIs are
+    single-process, so the mesh spans `jax.local_devices()` only."""
+    if devices is None:
+        devices = jax.local_devices()
+    return make_mesh(devices=devices)
+
+
+def pad_rows(*arrays, multiple: int):
+    """Pad axis 0 of each array up to a multiple of `multiple` (zero rows)
+    and return `(*padded, weights)` where weights is (N_padded,) float32
+    with 1.0 on real rows, 0.0 on pad rows. With `multiple` == 1 or an
+    already-divisible axis the arrays pass through unchanged (weights all
+    ones). Weighted reductions over the padded batch are exactly the
+    unpadded reductions — the device-count-invariance workhorse for eval
+    sharding (pad rows may be *assigned* — to a cluster, a class — but
+    contribute nothing)."""
+    n = arrays[0].shape[0]
+    n_pad = (-n) % max(multiple, 1)
+    w = np.ones((n + n_pad,), np.float32)
+    if n_pad == 0:
+        return (*arrays, w)
+    w[n:] = 0.0
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        pad_widths = [(0, n_pad)] + [(0, 0)] * (a.ndim - 1)
+        out.append(np.pad(a, pad_widths))
+    return (*out, w)
+
+
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh.
 
