@@ -159,12 +159,13 @@ def _wav_list(corpus):
 
 def phase_ours(work, backend):
     import jax
-    if backend == 'cpu':
+    if backend.startswith('cpu'):
         jax.config.update('jax_platforms', 'cpu')
     from cpc2_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     setup = json.load(open(os.path.join(work, 'setup.json')))
-    res = {'backend': jax.default_backend()}
+    res = {'backend': jax.default_backend(),
+           'n_devices': len(jax.local_devices())}
 
     from cpc2_tpu import feature_loader as fl
     model, hidden_gar, hidden_enc = fl.loadModel([setup['ckpt']])
@@ -201,13 +202,19 @@ def phase_ours(work, backend):
 
     from cpc2_tpu.eval import linear_separability as linsep
 
+    # Same global batch on every backend: per-device share shrinks with
+    # the device count (the meshed probe's trajectory is device-count
+    # invariant, tests/test_eval_mesh.py).
+    n_dev = len(jax.local_devices())
+    per_dev = max(8 // n_dev, 1)
+
     def probe():
         linsep.main([setup['corpus'], setup['train_list'],
                      setup['val_list'], setup['ckpt'],
                      '--pathCheckpoint',
                      os.path.join(work, f'linsep_ours_{backend}'),
-                     '--file_extension', '.wav', '--nGPU', '1',
-                     '--batchSizeGPU', '8', '--n_epoch', '2',
+                     '--file_extension', '.wav', '--nGPU', str(n_dev),
+                     '--batchSizeGPU', str(per_dev), '--n_epoch', '2',
                      '--size_window', '20480'])
     res['linsep_s'] = _twice(probe)
 
@@ -307,6 +314,8 @@ def main():
             phase_ours(work, 'default')
         elif phase == 'ours-cpu':
             phase_ours(work, 'cpu')
+        elif phase == 'ours-cpu8':
+            phase_ours(work, 'cpu8')
         elif phase == 'reference':
             phase_reference(work)
         return
@@ -317,13 +326,23 @@ def main():
     env = dict(os.environ)
     env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
 
-    for phase in ('corpus', 'ours-default', 'ours-cpu', 'reference'):
+    for phase in ('corpus', 'ours-default', 'ours-cpu', 'ours-cpu8',
+                  'reference'):
         print(f"--- phase {phase} ---", flush=True)
+        phase_env = dict(env)
+        if phase == 'ours-cpu8':
+            # the multi-device column: the same eval stack over an
+            # 8-virtual-device mesh (tests/test_eval_mesh.py pins the
+            # results device-count-invariant; this pins the wall-clock)
+            phase_env['XLA_FLAGS'] = (
+                env.get('XLA_FLAGS', '')
+                + ' --xla_force_host_platform_device_count=8').strip()
         subprocess.run([sys.executable, os.path.abspath(__file__),
-                        '--phase', phase, work], check=True, env=env)
+                        '--phase', phase, work], check=True, env=phase_env)
 
     ours = json.load(open(os.path.join(work, 'ours_default.json')))
     ours_cpu = json.load(open(os.path.join(work, 'ours_cpu.json')))
+    ours_cpu8 = json.load(open(os.path.join(work, 'ours_cpu8.json')))
     ref = json.load(open(os.path.join(work, 'reference.json')))
 
     rows = [('feature extraction (%d files)' % ours['feature_files'],
@@ -334,12 +353,15 @@ def main():
             ('linear separability (speaker probe, 2 ep)', 'linsep_s')]
     print(f"\n=== eval-stack wall times (2nd run, warm) ===")
     print(f"{'workload':42s} {'ours/' + ours['backend']:>12s} "
-          f"{'ours/cpu':>10s} {'reference':>10s} {'speedup':>8s}")
+          f"{'ours/cpu':>10s} {'ours/cpu x8':>11s} {'reference':>10s} "
+          f"{'speedup':>8s}")
     summary = {'ours_backend': ours['backend'], 'rows': {}}
     for label, key in rows:
-        a, c, r = ours[key], ours_cpu[key], ref[key]
-        print(f"{label:42s} {a:11.2f}s {c:9.2f}s {r:9.2f}s {r / a:7.1f}x")
-        summary['rows'][key] = {'ours': a, 'ours_cpu': c, 'reference': r,
+        a, c, c8, r = ours[key], ours_cpu[key], ours_cpu8[key], ref[key]
+        print(f"{label:42s} {a:11.2f}s {c:9.2f}s {c8:10.2f}s {r:9.2f}s "
+              f"{r / a:7.1f}x")
+        summary['rows'][key] = {'ours': a, 'ours_cpu': c,
+                                'ours_cpu_8dev': c8, 'reference': r,
                                 'speedup': r / a}
     json.dump(summary, open(os.path.join(work, 'bench_eval.json'), 'w'),
               indent=2)
