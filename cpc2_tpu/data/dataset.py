@@ -203,6 +203,7 @@ class AudioBatchData:
         print("Checking length...")
         all_length = list(self.reload_pool.map(extract_length, self.seqNames))
 
+        self.seqLengths = list(all_length)
         self.packageIndex, self.totSize = [], 0
         start, package_size = 0, 0
         for index, length in enumerate(all_length):
@@ -224,6 +225,13 @@ class AudioBatchData:
 
     def getNPacks(self):
         return len(self.packageIndex)
+
+    def max_pack_samples(self) -> int:
+        """Largest pack's total sample count (from the scan lengths,
+        without loading any pack) — the multi-process `DeviceCorpus`
+        sizes its pod-uniform HBM slab from the pod max of this."""
+        return max(sum(self.seqLengths[a:b])
+                   for a, b in self.packageIndex)
 
     def loadNextPack(self, first: bool = False):
         self.clear()

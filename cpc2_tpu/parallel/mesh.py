@@ -18,9 +18,17 @@ matches the reference's per-GPU negative pool semantics
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    _shard_map = _functools.partial(jax.shard_map, check_vma=False)
+except AttributeError:  # older jax
+    from jax.experimental.shard_map import shard_map as _sm
+    _shard_map = _functools.partial(_sm, check_rep=False)
 
 
 def make_mesh(data_axis_size: int = -1, devices=None,
@@ -263,6 +271,30 @@ class DeviceCorpus:
         self._corpus = None
         self._i16 = False
         self._gather = {}
+        self._pod_plan = None
+
+    def plan_pod(self, max_pack_samples: int, first_pack_i16: bool) -> None:
+        """Multi-process setup — ONE collective, before the first ensure().
+
+        Each host uploads its OWN pack shard (per-rank file sharding means
+        packs differ across hosts), so the global corpus is a
+        (n_devices, cap) array sharded row-per-device over the data axis:
+        device i holds its host's pack, and the sharded gather program
+        reads only the local row — per-host sampling and per-shard
+        negatives already match this layout. The pod must agree ONCE on
+        (a) `cap`, the slab length every pack pads to (pod max of the
+        scan-derived largest pack), and (b) the wire dtype (int16 iff
+        every host's first pack sits on the PCM16 grid) — per-pack
+        collectives are impossible because hosts cross pack boundaries at
+        different steps. Later packs that break the agreed int16 wire
+        raise instead of silently quantizing."""
+        from jax.experimental import multihost_utils
+        agreed = multihost_utils.process_allgather(
+            np.asarray([max_pack_samples, 1 if first_pack_i16 else 0],
+                       np.int64))
+        agreed = agreed.reshape(-1, 2)
+        self._pod_plan = (int(agreed[:, 0].max()),
+                          bool(agreed[:, 1].min()))
 
     def ensure(self, data) -> None:
         """Upload `data` (the pack's flat 1-D waveform) if not resident.
@@ -281,8 +313,49 @@ class DeviceCorpus:
                 "--corpus_on_device indexes packs with int32 offsets; "
                 f"pack has {arr.size} samples (>= 2**31). Lower "
                 "--max_size_loaded.")
+        if jax.process_count() > 1:
+            self._ensure_pod(data, arr)
+            return
         wire, self._i16 = pcm16_wire(arr)
         self._corpus = jax.device_put(wire, NamedSharding(self._mesh, P()))
+        self._host_data = data
+
+    def _ensure_pod(self, data, arr: np.ndarray) -> None:
+        """Multi-process upload: this host's pack into its devices' rows of
+        the pod-uniform (n_devices, cap) slab. Pure-local work (device_puts
+        + metadata assembly) — hosts hit pack boundaries at different
+        steps, so nothing here may be collective."""
+        if self._pod_plan is None:
+            raise RuntimeError(
+                "multi-process DeviceCorpus.ensure() before plan_pod()")
+        cap, use_i16 = self._pod_plan
+        if arr.size > cap:
+            raise ValueError(
+                f"pack has {arr.size} samples but the pod agreed on a "
+                f"{cap}-sample slab — the scan lengths and the decoded "
+                f"pack disagree")
+        if use_i16:
+            wire, ok = pcm16_wire(arr)
+            if not ok:
+                raise ValueError(
+                    "the pod agreed on the int16 corpus wire (every "
+                    "host's first pack sat on the PCM16 grid) but a "
+                    "later pack does not — mixed-precision corpora "
+                    "cannot use --corpus_on_device multi-process")
+            self._i16 = True
+        else:
+            wire, self._i16 = arr, False
+        if wire.shape[0] < cap:
+            wire = np.concatenate(
+                [wire, np.zeros(cap - wire.shape[0], wire.dtype)])
+        sharding = NamedSharding(self._mesh,
+                                 P(data_axes(self._mesh), None))
+        shape = (self._mesh.devices.size, cap)
+        idx_map = sharding.addressable_devices_indices_map(shape)
+        row = wire[None]
+        arrays = [jax.device_put(row, d) for d in idx_map]
+        self._corpus = jax.make_array_from_single_device_arrays(
+            shape, sharding, arrays)
         self._host_data = data
 
     @property
@@ -296,19 +369,32 @@ class DeviceCorpus:
         """Stage the batch at `indices` as a (B, 2, 1, W) float32 global
         array sharded over the 'data' axis (same layout `WireStager.put`
         returns). `corpus` overrides the resident pack (used to drain
-        offsets buffered before a pack swap)."""
+        offsets buffered before a pack swap). `indices` is this process's
+        LOCAL batch of window starts into its own pack; multi-process,
+        each device's shard of the gather program reads its own corpus
+        row."""
         corpus = corpus if corpus is not None else self._corpus
         if corpus is None:
             raise RuntimeError("DeviceCorpus.put before ensure()")
         idx = np.asarray(indices, dtype=np.int32)
-        key = (idx.shape[0], str(corpus.dtype))
+        key = (idx.shape[0], str(corpus.dtype), corpus.ndim)
         if key not in self._gather:
             w = self._w
             out_sharding = NamedSharding(self._mesh,
                                          batch_pspec(self._mesh, 4))
-            self._gather[key] = jax.jit(
-                lambda c, ii: device_gather_windows(c, ii, w),
-                out_shardings=out_sharding)
+            if corpus.ndim == 2:
+                DATA = data_axes(self._mesh)
+
+                def body(c_row, ii):
+                    return device_gather_windows(c_row[0], ii, w)
+                self._gather[key] = jax.jit(_shard_map(
+                    body, mesh=self._mesh,
+                    in_specs=(P(DATA, None), P(DATA)),
+                    out_specs=batch_pspec(self._mesh, 4)))
+            else:
+                self._gather[key] = jax.jit(
+                    lambda c, ii: device_gather_windows(c, ii, w),
+                    out_shardings=out_sharding)
         return self._gather[key](corpus, shard_batch(self._mesh, idx))
 
 

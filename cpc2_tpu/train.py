@@ -545,12 +545,23 @@ def run(train_dataset, val_dataset, batch_size, sampling_mode, state,
 
     # --corpus_on_device: corpora live in HBM across epochs (one upload per
     # pack, not per epoch); loaders yield window offsets instead of audio.
+    # Multi-process: each host's pack shard lives in ITS devices' rows of a
+    # pod-uniform slab (DeviceCorpus.plan_pod — one setup collective).
     yield_indices = bool(getattr(args, 'corpus_on_device', False))
     corpus_train = corpus_val = None
     if yield_indices:
         corpus_train = DeviceCorpus(mesh, args.sizeWindow)
         if val_dataset is not None:
             corpus_val = DeviceCorpus(mesh, args.sizeWindow)
+        if jax.process_count() > 1:
+            from .parallel.mesh import pcm16_wire as _p16
+            corpus_train.plan_pod(
+                train_dataset.max_pack_samples(),
+                _p16(np.asarray(train_dataset.data, np.float32))[1])
+            if corpus_val is not None:
+                corpus_val.plan_pod(
+                    val_dataset.max_pack_samples(),
+                    _p16(np.asarray(val_dataset.data, np.float32))[1])
 
     for epoch in range(start_epoch, n_epoch):
         print(f"Starting epoch {epoch}")
@@ -978,11 +989,6 @@ def main(argv):
     use_host_aug = device_augment is None or bool(host_aug_types)
 
     if getattr(args, 'corpus_on_device', False):
-        if args.distributed and jax.process_count() > 1:
-            raise ValueError("--corpus_on_device is single-process only: "
-                             "per-host packs differ, so a replicated "
-                             "device corpus would be incoherent across "
-                             "processes")
         host_aug_active = any(
             t != 'none' for t in (host_aug_types or []))
         if (args.augment_past or args.augment_future) and use_host_aug \
@@ -1200,6 +1206,23 @@ def main(argv):
         print("--steps_per_dispatch > 1 with --corpus_on_device is not "
               "wired on the 2-D head-sharded mesh; using 1")
         spd = 1
+    if (spd > 1 and getattr(args, 'corpus_on_device', False)
+            and jax.process_count() > 1):
+        # GroupAssembler flushes partial groups at pack swaps; hosts cross
+        # pack boundaries at different steps, so multi-pack corpora would
+        # dispatch different program sequences per process and desync the
+        # pod. Single-pack corpora (the case the HBM-resident path is for)
+        # have no swaps: groups flush only when full or at the epoch tail,
+        # identically on every host (batch counts are lock-step-checked).
+        from jax.experimental import multihost_utils
+        pod_packs = multihost_utils.process_allgather(
+            np.int32(train_dataset.getNPacks()))
+        if int(np.max(pod_packs)) > 1:
+            print("--steps_per_dispatch > 1 with --corpus_on_device needs "
+                  "single-pack corpora under multi-process (pack-swap "
+                  "group flushes would desync the pod); using 1. Raise "
+                  "--max_size_loaded to fit one pack per host.")
+            spd = 1
     if spd > 1 and criterion_local is not None:
         from .training import build_multi_step_2d
         multi_step = build_multi_step_2d(
@@ -1219,7 +1242,9 @@ def main(argv):
             # (spd, B) int32 offsets drives spd optimizer steps
             gather_window=(args.sizeWindow
                            if getattr(args, 'corpus_on_device', False)
-                           else None))
+                           else None),
+            corpus_sharded=(getattr(args, 'corpus_on_device', False)
+                            and jax.process_count() > 1))
     args._spd = spd
 
     # Ragged tail batches: single-host, the natural-size single-device

@@ -647,7 +647,8 @@ def build_multi_step(model: nn.Module, criterion: nn.Module,
                      tx: optax.GradientTransformation, mesh: Mesh,
                      n_inner: int, has_quality: bool = False,
                      uses_mask: bool = False, remat: bool = False,
-                     device_augment=None, gather_window: int = None):
+                     device_augment=None, gather_window: int = None,
+                     corpus_sharded: bool = False):
     """One host dispatch = `n_inner` optimizer steps (`lax.scan` over the
     per-step body inside a single jitted shard_map program).
 
@@ -693,7 +694,12 @@ def build_multi_step(model: nn.Module, criterion: nn.Module,
             batch = x['batch']
             if gather_window is not None:
                 from .parallel.mesh import device_gather_windows
-                batch = device_gather_windows(corpus, batch, gather_window)
+                # corpus_sharded: (n_dev, cap) row-per-device slab — this
+                # shard's row IS its host's pack (multi-process
+                # --corpus_on_device); offsets are host-local by the same
+                # per-rank sharding.
+                c = corpus[0] if corpus_sharded else corpus
+                batch = device_gather_windows(c, batch, gather_window)
             new_st, losses, accs, _ = train_body(
                 st, batch, x['labels'], x.get('quality'), rng,
                 x.get('mask'), None)
@@ -706,7 +712,8 @@ def build_multi_step(model: nn.Module, criterion: nn.Module,
     DATA = data_axes(mesh)
     rep = P()
     stacked = P(None, DATA)
-    n_in = (rep, rep, stacked, stacked,
+    corpus_spec = P(DATA, None) if corpus_sharded else rep
+    n_in = (rep, corpus_spec, stacked, stacked,
             stacked if has_quality else rep, rep,
             stacked if uses_mask else rep)
     multi_sm = shard_map(multi_body, mesh=mesh, in_specs=n_in,
@@ -793,15 +800,27 @@ def build_multi_step_2d(model: nn.Module, criterion_local: nn.Module,
 
 def shard_stacked_batch(mesh: Mesh, *arrays):
     """Place (n_inner, B, ...) host arrays on the mesh, sharded over axis 1
-    (the per-step batch axis used by `build_multi_step`)."""
+    (the per-step batch axis used by `build_multi_step`). Multi-host, each
+    process holds its (n_inner, B_local, ...) slice of the global stack
+    and the global array is assembled with
+    `jax.make_array_from_process_local_data` (same contract as
+    `parallel.mesh.shard_batch`, axis 1 instead of 0)."""
     from jax.sharding import NamedSharding
     from .parallel.mesh import data_axes
     import numpy as _np
+    n_proc = jax.process_count()
     out = []
     for a in arrays:
         if a is None:
             out.append(None)
             continue
         spec = P(None, data_axes(mesh), *([None] * (_np.ndim(a) - 2)))
-        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+        sharding = NamedSharding(mesh, spec)
+        if n_proc > 1:
+            a = _np.asarray(a)
+            global_shape = (a.shape[0], a.shape[1] * n_proc) + a.shape[2:]
+            out.append(jax.make_array_from_process_local_data(
+                sharding, a, global_shape))
+        else:
+            out.append(jax.device_put(a, sharding))
     return out if len(out) != 1 else out[0]

@@ -158,10 +158,46 @@ def _run_train_cli_two_proc(tmp_path, extra_flags):
     from cpc2_tpu import feature_loader as fl
     bundle, hg, he = fl.loadModel([str(ckpts[0] / 'checkpoint_0.pt')])
     assert (hg, he) == (16, 16)
+    return outs
 
 
 def test_two_process_train_cli(tmp_path):
     _run_train_cli_two_proc(tmp_path, [])
+
+
+def _metric_lines(out):
+    return [ln for ln in out.splitlines()
+            if 'locLoss' in ln or 'locAcc' in ln]
+
+
+def _metric_floats(out):
+    import re
+    vals = []
+    for ln in _metric_lines(out):
+        vals.extend(float(x) for x in re.findall(r'-?\d+\.\d+', ln))
+    return np.asarray(vals)
+
+
+def test_two_process_train_cli_corpus_on_device(tmp_path):
+    """Round-4 verdict item 3: `--corpus_on_device` multi-process. Each
+    host uploads its own pack shard into its devices' rows of the
+    pod-uniform slab (`DeviceCorpus.plan_pod`), offset batches stay
+    host-local, and the sharded gather program is bit-identical to the
+    host staging path — so the 2-process device-corpus run logs the SAME
+    metrics as the 2-process host-path run, and the
+    `--steps_per_dispatch` composition (single-pack corpora) matches to
+    fp-fusion tolerance."""
+    host = _run_train_cli_two_proc(tmp_path / 'host', [])
+    dev = _run_train_cli_two_proc(tmp_path / 'dev', ['--corpus_on_device'])
+    assert _metric_lines(host[0][0]) == _metric_lines(dev[0][0]), \
+        (_metric_lines(host[0][0])[:3], _metric_lines(dev[0][0])[:3])
+
+    spd = _run_train_cli_two_proc(
+        tmp_path / 'spd', ['--corpus_on_device',
+                           '--steps_per_dispatch', '2'])
+    np.testing.assert_allclose(_metric_floats(spd[0][0]),
+                               _metric_floats(host[0][0]),
+                               rtol=2e-3, atol=2e-4)
 
 
 def test_two_process_train_cli_2d(tmp_path):
