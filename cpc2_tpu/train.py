@@ -656,7 +656,8 @@ def run(train_dataset, val_dataset, batch_size, sampling_mode, state,
             _save_training_checkpoint(
                 state, best_state_params, model_bundle, args,
                 f"{path_checkpoint}_{epoch}.pt")
-            utils.save_logs(logs, path_checkpoint + "_logs.json")
+            if getattr(args, 'is_local_master', True):
+                utils.save_logs(logs, path_checkpoint + "_logs.json")
     return state
 
 
@@ -668,21 +669,26 @@ def _save_training_checkpoint(state, best_params, model_bundle, args, path):
     native orbax checkpoint (`<path>.orbax/`) used preferentially on resume
     (exact optimizer state, async-friendly, no host pickling of 100M+ params
     runs); the torch pickle stays for reference interop."""
+    master = getattr(args, 'is_local_master', True)
     batch_stats = (state.batch_stats.get('model')
                    if state.batch_stats else None)
-    model_sd = params_to_torch_state_dict(
-        jax.tree.map(np.asarray, state.params['model']),
-        batch_stats=jax.tree.map(np.asarray, batch_stats)
-        if batch_stats else None,
-        norm_mode=args.normMode)
-    crit_sd = params_to_torch_state_dict(
-        jax.tree.map(np.asarray, state.params['criterion']),
-        rnn_mode=args.rnnMode)
-    best_sd = None
-    if best_params is not None:
-        best_sd = params_to_torch_state_dict(best_params['model'],
-                                             norm_mode=args.normMode)
+    model_sd = crit_sd = best_sd = None
+    if master:
+        model_sd = params_to_torch_state_dict(
+            jax.tree.map(np.asarray, state.params['model']),
+            batch_stats=jax.tree.map(np.asarray, batch_stats)
+            if batch_stats else None,
+            norm_mode=args.normMode)
+        crit_sd = params_to_torch_state_dict(
+            jax.tree.map(np.asarray, state.params['criterion']),
+            rnn_mode=args.rnnMode)
+        if best_params is not None:
+            best_sd = params_to_torch_state_dict(best_params['model'],
+                                                 norm_mode=args.normMode)
     if getattr(args, 'ckpt_format', 'torch') == 'orbax':
+        # collective under multi-process: EVERY rank enters the save (the
+        # commit barrier needs all of them); orbax writes from the
+        # primary only.
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(os.path.abspath(path) + '.orbax',
@@ -690,7 +696,8 @@ def _save_training_checkpoint(state, best_params, model_bundle, args, path):
                     'opt_state': jax.tree.map(np.asarray, state.opt_state),
                     'step': np.asarray(state.step)},
                    force=True)
-        save_checkpoint(model_sd, crit_sd, {}, best_sd, path)
+        if master:
+            save_checkpoint(model_sd, crit_sd, {}, best_sd, path)
     else:
         # Flat tensor leaves, not the optax pytree: raw optax named-tuples
         # pickled into the file would make it unreadable by
@@ -1270,9 +1277,18 @@ def main(argv):
                                     encoded_seq_len(args.sizeWindow),
                                     device_augment=device_augment)
 
+    # Every rank keeps the checkpoint path when --ckpt_format orbax: the
+    # orbax save is internally collective under multi-process (all ranks
+    # must enter it; a master-only call deadlocks the pod on its commit
+    # barrier). The torch pickle and log writes stay master-only inside
+    # _save_training_checkpoint / run.
+    ckpt_path = args.pathCheckpoint
+    if not args.is_local_master \
+            and getattr(args, 'ckpt_format', 'torch') != 'orbax':
+        ckpt_path = None
     run(train_dataset, val_dataset, batch_size, args.samplingType, state,
         train_step, val_step, mesh, args, args.nEpoch,
-        args.pathCheckpoint if args.is_local_master else None,
+        ckpt_path,
         lr_fn, logs, model_bundle, criterion, multi_step=multi_step,
         tail_runner=tail_runner)
 
