@@ -1,0 +1,130 @@
+"""Attribute the median-vs-best dispatch spread (round-4 verdict item 4).
+
+`scripts/bench_realdata.py` shows steady-state training windows whose
+median ms/batch sits ~15-20% above the best window (5.4 vs 4.6 plain,
+7.8 vs 6.5 WSOLA-augmented). Two candidate causes:
+
+  * the shared/tunneled accelerator session itself (remote dispatch RPC
+    jitter, the single-tenant chip's service load), or
+  * something in OUR host pipeline (GC pauses, pack-boundary work,
+    telemetry cadence).
+
+This experiment separates them with a SAME-SESSION control that removes
+our pipeline entirely: a synthetic dispatch loop that mimics the training
+cadence — chained async dispatches of a device program calibrated to the
+training step's device time, one scalar fetch per logging window — with
+no loader, no stager, no GC pressure from batch assembly. If the control
+reproduces the spread, the spread is the session, not the pipeline.
+
+Two controls bracket the question:
+  * `heavy` — device program ~calibrated to the real step (~4.6 ms), so
+    windows are device-bound like training;
+  * `tiny`  — a near-empty program, so windows are pure dispatch
+    overhead (isolates RPC jitter).
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/dispatch_spread.py \
+      [--windows 18] [--window_steps 50] [--target_ms 4.6]
+Prints per-window ms/dispatch for both controls plus median/best/spread.
+"""
+
+import argparse
+import statistics
+import time
+
+import numpy as np
+
+
+def run_control(fn, x, windows, window_steps):
+    """Chained async dispatches; one scalar fetch per window (the logging
+    boundary sync train_epoch performs). Returns per-window ms/dispatch."""
+    # pipeline warmup + compile
+    for _ in range(5):
+        x = fn(x)
+    np.asarray(x).ravel()[0]
+    out = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(window_steps):
+            x = fn(x)
+        np.asarray(x).ravel()[0]          # window-boundary sync
+        out.append(1000.0 * (time.perf_counter() - t0) / window_steps)
+    return out
+
+
+def summarize(tag, ms):
+    med = statistics.median(ms)
+    best = min(ms)
+    print(f"{tag:8s} windows: " + " ".join(f"{v:.2f}" for v in ms))
+    print(f"{tag:8s} median {med:.2f} ms  best {best:.2f} ms  "
+          f"spread {(med / best - 1) * 100:.1f}%")
+    return med, best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--windows', type=int, default=18)
+    ap.add_argument('--window_steps', type=int, default=50)
+    ap.add_argument('--target_ms', type=float, default=4.6)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    # --- heavy control: calibrate a scanned-matmul program to target_ms
+    def make_heavy(n_iters):
+        @jax.jit
+        def heavy(x):
+            def body(c, _):
+                return jnp.tanh(c @ c), None
+            y, _ = jax.lax.scan(body, x, None, length=n_iters)
+            return y / jnp.maximum(jnp.max(jnp.abs(y)), 1.0)
+        return heavy
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1024, 1024)
+                    .astype(np.float32) * 0.01)
+    n_iters = 8
+    while True:
+        heavy = make_heavy(n_iters)
+        y = heavy(x)
+        np.asarray(y).ravel()[0]
+        t0 = time.perf_counter()
+        for _ in range(10):
+            y = heavy(y)
+        np.asarray(y).ravel()[0]
+        ms = 1000.0 * (time.perf_counter() - t0) / 10
+        if ms >= args.target_ms * 0.85 or n_iters >= 4096:
+            break
+        n_iters = int(n_iters * max(args.target_ms / max(ms, 1e-3), 1.3))
+    print(f"heavy control: {n_iters} scanned 1024x1024 matmuls, "
+          f"~{ms:.2f} ms/dispatch calibrated")
+
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    t = jnp.zeros((8,), jnp.float32)
+
+    heavy_ms = run_control(heavy, y, args.windows, args.window_steps)
+    tiny_ms = run_control(tiny, t, args.windows, args.window_steps)
+
+    print()
+    h = summarize('heavy', heavy_ms)
+    s = summarize('tiny', tiny_ms)
+    print()
+    print("Interpretation: if the heavy control's median/best spread "
+          "matches the training runs' ~15-20%, the spread is the "
+          "session (tunnel RPC / shared-service load), not the host "
+          "pipeline — the control has no loader, no staging, no GC "
+          "churn. The tiny control shows the dispatch-overhead floor "
+          "and its jitter in isolation.")
+    import json
+    print(json.dumps({'heavy_median_ms': h[0], 'heavy_best_ms': h[1],
+                      'tiny_median_ms': s[0], 'tiny_best_ms': s[1],
+                      'heavy_iters': n_iters}))
+
+
+if __name__ == '__main__':
+    main()
