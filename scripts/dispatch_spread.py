@@ -90,11 +90,13 @@ def main():
         heavy = make_heavy(n_iters)
         y = heavy(x)
         np.asarray(y).ravel()[0]
-        t0 = time.perf_counter()
-        for _ in range(10):
-            y = heavy(y)
-        np.asarray(y).ravel()[0]
-        ms = 1000.0 * (time.perf_counter() - t0) / 10
+        ms = None
+        for _ in range(2):          # second pass: steady-state, not warmup
+            t0 = time.perf_counter()
+            for _ in range(20):
+                y = heavy(y)
+            np.asarray(y).ravel()[0]
+            ms = 1000.0 * (time.perf_counter() - t0) / 20
         if ms >= args.target_ms * 0.85 or n_iters >= 4096:
             break
         n_iters = int(n_iters * max(args.target_ms / max(ms, 1e-3), 1.3))
