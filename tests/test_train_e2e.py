@@ -232,7 +232,8 @@ def test_staging_runs_on_prefetch_thread(tmp_path, monkeypatch):
             idents.append(threading.get_ident())
             return super().put(sequence)
 
-    monkeypatch.setattr(train_mod, 'WireStager', RecordingStager)
+    from cpc2_tpu import train_loop as train_loop_mod
+    monkeypatch.setattr(train_loop_mod, 'WireStager', RecordingStager)
 
     root = tmp_path / 'db'
     d = root / 's1' / 'c1'
