@@ -48,11 +48,12 @@ def _format_flag(name, value):
         return f"--{name}={value}"
     if isinstance(value, str):
         assert '"' not in value, (
-            f"Key {name} has string value {value} which contains forbidden "
-            f"quotes.")
+            f"sweep axis {name}: double quotes are not allowed in string "
+            f"values ({value!r})")
         return f'--{name}={value}'
     raise Exception(
-        f"Key {name} has value {value} of unsupported type {type(value)}.")
+        f"sweep axis {name}: cannot render a {type(value).__name__} "
+        f"({value!r}) as a flag")
 
 
 def parse_json_sweep(config):
