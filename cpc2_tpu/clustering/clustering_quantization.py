@@ -99,9 +99,19 @@ def feature_fn_for_clustering(clustering_args, nobatch: bool):
     return fn
 
 
+def ids_line(feats, cluster_module) -> str:
+    """Features -> the file's quantized line: per frame, the argmin
+    cluster id of each centroid group, '-'-joined across groups,
+    ','-joined over time."""
+    dim = cluster_module.Ck.shape[-1]
+    groups = feats.shape[-1] // dim
+    dists = cluster_module(jnp.asarray(feats).reshape(1, -1, dim))
+    ids = np.asarray(jnp.argmin(dists, axis=-1))[0].reshape(-1, groups)
+    return ",".join("-".join(str(v) for v in row) for row in ids)
+
+
 def quantize_file(path, feature_fn, cluster_module, args) -> str:
-    """One file -> its quantized line: per frame, the argmin cluster id of
-    each centroid group, '-'-joined across groups, ','-joined over time."""
+    """One file -> its quantized line (per-file extraction path)."""
     from ..feature_loader import buildFeature, buildFeature_batch
 
     if args.nobatch:
@@ -113,11 +123,7 @@ def quantize_file(path, feature_fn, cluster_module, args) -> str:
                                    strict=args.strict,
                                    maxSizeSeq=args.max_size_seq,
                                    batch_size=args.batch_size)
-    dim = cluster_module.Ck.shape[-1]
-    groups = feats.shape[-1] // dim
-    dists = cluster_module(jnp.asarray(feats).reshape(1, -1, dim))
-    ids = np.asarray(jnp.argmin(dists, axis=-1))[0].reshape(-1, groups)
-    return ",".join("-".join(str(v) for v in row) for row in ids)
+    return ids_line(feats, cluster_module)
 
 
 def write_quantized(out_dir, out_name, entries, by_speaker_level=None):
@@ -187,10 +193,27 @@ def main(argv):
 
     t0 = time.time()
     entries = []
+    # Streamed batched extraction for the hidden-carry path: decode on a
+    # worker thread, same-length files batched per program, per-file
+    # hidden carry preserved — features match `buildFeature` to float
+    # precision (`feature_loader.build_feature_files`), so the argmin ids
+    # match up to razor-edge distance ties. The dimReduction wrapper and
+    # the reference's chunk-stacked `--nobatch`-off mode keep the
+    # per-file loops (their chunking semantics are per-file by design).
+    cache = None
+    if args.nobatch and hasattr(feature_fn, 'reset_hidden'):
+        from ..feature_loader import build_feature_files
+        paths = [os.path.join(args.pathDB, rel) for _, rel in files]
+        cache = build_feature_files(feature_fn, paths, seqNorm=False,
+                                    strict=args.strict,
+                                    maxSizeSeq=args.max_size_seq)
     for i, (_, rel) in enumerate(files):
-        entries.append((rel, quantize_file(
-            os.path.join(args.pathDB, rel), feature_fn, cluster_module,
-            args)))
+        path = os.path.join(args.pathDB, rel)
+        if cache is not None:
+            entries.append((rel, ids_line(cache[path], cluster_module)))
+        else:
+            entries.append((rel, quantize_file(path, feature_fn,
+                                               cluster_module, args)))
         if (i + 1) % 100 == 0:
             print(f"  {i + 1}/{len(files)} files")
     print(f"quantized {len(entries)} files in {time.time() - t0:.1f}s")

@@ -65,12 +65,14 @@ _WRITERS = {'fea': _write_fea, 'npz': _write_npz, 'npy': _write_npy,
 
 
 def export_file(feature_fn, in_path, out_path, fmt, step_size,
-                strict=False, max_size_seq=64000, seq_norm=False):
-    """Extract one file's features and write them in `fmt`."""
-    feats = np.asarray(buildFeature(feature_fn, in_path,
-                                    strict=strict or seq_norm,
-                                    maxSizeSeq=max_size_seq,
-                                    seqNorm=seq_norm))[0]
+                strict=False, max_size_seq=64000, seq_norm=False,
+                feats=None):
+    """Extract one file's features (unless precomputed `feats` is given)
+    and write them in `fmt`."""
+    if feats is None:
+        feats = buildFeature(feature_fn, in_path, strict=strict or seq_norm,
+                             maxSizeSeq=max_size_seq, seqNorm=seq_norm)
+    feats = np.asarray(feats)[0]
     n_steps = feats.shape[0]
     times = [step_size / 2 + i * step_size for i in range(n_steps)]
     tot_time = np.array([step_size * n_steps], dtype=np.float32)
@@ -153,12 +155,27 @@ def main(argv):
     print(f"stepSize : {step_size}")
     feature_fn = assemble_feature_fn(args)
 
+    # Plain-extractor exports go through the streamed batched corpus API
+    # (decode on a worker thread, same-length files per program, meshed on
+    # multi-device hosts); per-file outputs match buildFeature to float
+    # precision. Head-wrapped extractors (phone/cluster/projection) and
+    # --train_mode (per-forward dropout draws) keep the per-file loop.
+    cache = None
+    if hasattr(feature_fn, 'reset_hidden') and not args.train_mode:
+        from ..feature_loader import build_feature_files
+        paths = [os.path.join(args.pathDB, rel) for rel in rel_paths]
+        cache = build_feature_files(feature_fn, paths,
+                                    maxSizeSeq=args.maxSizeSeq,
+                                    seqNorm=args.seqNorm,
+                                    strict=args.strict or args.seqNorm)
     for i, rel in enumerate(rel_paths):
         stem = os.path.basename(os.path.splitext(rel)[0])
-        export_file(feature_fn, os.path.join(args.pathDB, rel),
+        in_path = os.path.join(args.pathDB, rel)
+        export_file(feature_fn, in_path,
                     os.path.join(args.pathOut, f'{stem}.{args.format}'),
                     args.format, step_size, strict=args.strict,
-                    max_size_seq=args.maxSizeSeq, seq_norm=args.seqNorm)
+                    max_size_seq=args.maxSizeSeq, seq_norm=args.seqNorm,
+                    feats=None if cache is None else cache[in_path])
         if (i + 1) % 100 == 0:
             print(f"  {i + 1}/{len(rel_paths)} files")
 
