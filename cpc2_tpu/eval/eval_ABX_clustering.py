@@ -199,10 +199,24 @@ class ClusteringFeatures:
                 "onehot grouping over multiple groups needs --onehot-dict "
                 "(the unit-tuple vocabulary)")
             self.pair2idx = load_pair_vocabulary(onehot_dict)
+        self._cpc_cache = {}
+
+    def prime(self, paths):
+        """Batch-extract the CPC features for `paths` up front through the
+        streamed corpus API (worker-thread decode, same-length batching,
+        meshed on multi-device hosts); per-file features match the lazy
+        per-file path to float precision."""
+        from ..feature_loader import build_feature_files
+        self._cpc_cache.update(build_feature_files(
+            self.featureMaker, paths, seqNorm=False, strict=True,
+            maxSizeSeq=64000))
 
     def feature_function(self, x):
-        feats = np.asarray(buildFeature(self.featureMaker, x, seqNorm=False,
-                                        strict=True, maxSizeSeq=64000))
+        cached = self._cpc_cache.get(str(x))
+        feats = np.asarray(cached if cached is not None
+                           else buildFeature(self.featureMaker, x,
+                                             seqNorm=False, strict=True,
+                                             maxSizeSeq=64000))
         # regroup the feature channels into per-group cluster spaces
         feats = feats.reshape(1, -1, self.dim_clusters)
         dists = np.asarray(self.clusterModule(feats))
@@ -292,6 +306,15 @@ def eval_ABX_Librispeech(path_data, path_item_file, feature_function,
     if debug:
         found = found[:100]
     seq_list = [(p.stem, str(p)) for p in found]
+
+    # Feature sources that can pre-extract (ClusteringFeatures) do the
+    # whole item-file-referenced corpus up front in batched programs
+    # instead of one lazy chunk loop per file.
+    owner = getattr(feature_function, '__self__', None)
+    if hasattr(owner, 'prime'):
+        from .abx.abx_iterators import load_item_file
+        needed = set(load_item_file(path_item_file)[0].keys())
+        owner.prime([p for stem, p in seq_list if stem in needed])
 
     scores = ABX(feature_function, path_item_file, seq_list, distance_mode,
                  1.0 / feature_size, mode_list, cuda=False, max_x_across=5,

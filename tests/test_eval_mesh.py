@@ -124,6 +124,38 @@ class TestMeshedFeatureModule:
         assert feats.shape[0] == 3
 
 
+class TestShardedABXScorer:
+
+    @pytest.mark.parametrize('symmetric', [False, True])
+    def test_group_sharded_scores_exact(self, mesh8, symmetric):
+        """The packed theta scorer with its G axis constrained over the
+        mesh returns the same numerators as the unsharded program —
+        groups are independent until the per-group reduction."""
+        from cpc2_tpu.eval.abx import abx_group_computation as g
+        rs = np.random.RandomState(8)
+        G, N, S, D = 16, 4, 6, 5
+
+        def block(key):
+            feats = rs.randn(G, N, S, D).astype(np.float32)
+            feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+            lengths = rs.randint(2, S + 1, size=(G, N)).astype(np.float32)
+            valid = np.ones((G, N), np.float32)
+            return feats, lengths, valid
+
+        a, la, va = block(0)
+        b, lb, vb = block(1)
+        x, lx, vx = block(2)
+        buf = np.concatenate([t.ravel() for t in
+                              (a, b, x, la, lb, lx, va, vb, vx)])
+        shapes = ((G, N, S, D),) * 3
+
+        plain = g._make_fused_theta_packed('cosine', symmetric)
+        meshed = g._make_fused_theta_packed('cosine', symmetric, mesh8)
+        out_p = np.asarray(plain(jnp.asarray(buf), *shapes))
+        out_m = np.asarray(meshed(jnp.asarray(buf), *shapes))
+        np.testing.assert_allclose(out_p, out_m, rtol=1e-6, atol=1e-6)
+
+
 class TestMeshedCTCEval:
 
     def test_cv_trajectory_device_count_invariant(self, mesh8):

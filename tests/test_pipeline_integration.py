@@ -166,6 +166,41 @@ class TestPipeline:
         b = run(123, 'b')
         assert a == b, (a, b)
 
+    def test_abx_on_clustered_units(self, corpus, checkpoint, tmp_path):
+        """eval_ABX_clustering --clustering end-to-end: fit centroids, then
+        ABX over the on-the-fly quantized one-hot units (exercises the
+        pre-extraction prime() path and the unit feature pipeline)."""
+        from cpc2_tpu.clustering import clustering_script
+        from cpc2_tpu.eval import eval_ABX_clustering
+        root, names = corpus
+        cdir = tmp_path / "clusters"
+        clustering_script.main(
+            [str(checkpoint), str(cdir), str(root), '-k', '4',
+             '--extension', '.wav', '--batchSizeGPU', '8',
+             '--sizeWindow', '3200', '-n', '2', '--recursionLevel', '1'])
+
+        lines = ["#file onset offset #phone prev next speaker"]
+        for spk in ('s1', 's2', 's3'):
+            for i in range(3):
+                fid = f'{spk}-c-{i:04d}'
+                for j, ph in enumerate(['aa', 'bb']):
+                    for rep in range(2):
+                        onset = 0.15 + 0.4 * j + 0.9 * rep
+                        lines.append(f"{fid} {onset} {onset + 0.2} {ph} "
+                                     f"p n {spk}")
+        item = tmp_path / "units.item"
+        item.write_text("\n".join(lines) + "\n")
+
+        out = tmp_path / "abx_units.json"
+        scores = eval_ABX_clustering.main(
+            ['--clustering', str(cdir / 'checkpoint_last.pt'),
+             '--path_audio_data', str(root), '--path_abx_item', str(item),
+             '--file-extension', '.wav', '--modes', 'all',
+             '--group-modes', 'concat', '--name-output', str(out)])
+        assert 0.0 <= scores['within'] <= 1.0
+        assert 0.0 <= scores['across'] <= 1.0
+        assert out.exists()
+
     def test_zerospeech_export(self, corpus, checkpoint, tmp_path):
         from cpc2_tpu.eval import build_zeroSpeech_features
         root, names = corpus
