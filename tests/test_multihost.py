@@ -204,6 +204,20 @@ def _launch_two_proc_shared(root, tmp_path, ckpt_dir, extra_flags):
     return outs
 
 
+def test_two_process_corpus_on_device_dcn(tmp_path):
+    """Composition: the 2-level ('dcn_data','ici_data') mesh x the
+    multi-process device corpus. The slab's P(data_axes, None) spec and
+    the gather shard_map address the axis PAIR, so the same machinery
+    runs on the hierarchical layout — pinned by metric equality with the
+    host-path DCN run."""
+    host = _run_train_cli_two_proc(tmp_path / 'host',
+                                   ['--dcn_axis_size', '2'])
+    dev = _run_train_cli_two_proc(
+        tmp_path / 'dev', ['--dcn_axis_size', '2', '--corpus_on_device'])
+    assert _metric_lines(host[0][0]) == _metric_lines(dev[0][0]), \
+        (_metric_lines(host[0][0])[:3], _metric_lines(dev[0][0])[:3])
+
+
 def test_two_process_orbax_elastic_resume(tmp_path):
     """Round-4 verdict item 7: multi-host elastic resume. A 2-process run
     with `--ckpt_format orbax` and a SHARED checkpoint dir stops after
