@@ -10,13 +10,11 @@ Run: `python -m cpc2_tpu.train --pathDB ... --pathCheckpoint ...`
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import random
 import sys
 import time
-from copy import deepcopy
 
 import jax
 import jax.numpy as jnp
@@ -33,13 +31,11 @@ from .io.torch_ckpt import (load_torch_checkpoint,
                             params_to_torch_state_dict, save_checkpoint)
 from .losses import (CPCUnsupervisedCriterion, CTCPhoneCriterion,
                      NoneCriterion, PhoneCriterion, SpeakerCriterion)
-from .models.cpc import compute_bert_mask, compute_mask_indices
 from .models.encoder import encoded_seq_len
 from .parallel.distributed import init_distributed_mode
-from .parallel.mesh import (DeviceCorpus, WireStager,
+from .parallel.mesh import (DeviceCorpus,
                             data_extent as _mesh_data_extent, make_mesh,
                             shard_batch)
-from .utils.prefetch import prefetch
 from .training import (build_steps, create_train_state,
                        make_optimizer, set_learning_rate)
 from .utils import misc as utils
