@@ -130,8 +130,6 @@ class ABXFeatureLoader:
             if file_id not in files_data:
                 continue
             feats = np.asarray(feature_maker(file_path))
-            if normalize:
-                feats = normalize_with_singularity(feats)
             if feats.ndim > 2:
                 feats = feats.reshape(feats.shape[1], feats.shape[2])
             for onset, offset, context_id, phone_id, speaker_id \
@@ -151,7 +149,14 @@ class ABXFeatureLoader:
                 cursor += n_frames
         print("...done")
 
-        self.data = np.concatenate(slices, axis=0).astype(np.float32)
+        data = np.concatenate(slices, axis=0).astype(np.float32)
+        if normalize:
+            # row-local math, so normalizing AFTER slicing is bit-identical
+            # to the reference's per-file pass — and touches only the
+            # interval frames, in one vectorized call instead of one per
+            # file
+            data = normalize_with_singularity(data)
+        self.data = data
         self.feature_dim = self.data.shape[1]
 
     def get_ids(self, index):
